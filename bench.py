@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Headline benchmark: runs the engine's flagship queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Per-query timing wraps the full plan→execute→count cycle (the reference's
+fetch/transform/aggregate/write instrumentation shape,
+``Second Experiment/Claude Opus 4.py:43-52``, with values actually
+recorded this time).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "region_revenue",
+    "monthly_sales_gold",
+    "top_events_per_user",
+    "latest_event_per_user_type",
+    "merged_orders_silver",
+    "quality_report_events",
+    "monthly_event_gold",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from data_pipelines_using_llm_spark.registry import all_queries
+    from data_pipelines_using_llm_spark.session import get_spark
+
+    spark = get_spark("bench")
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry]
+    # Warm the JVM + parquet footers once so timings measure the queries.
+    registry[names[0]].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name in names:
+        t0 = time.perf_counter()
+        df = registry[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    total = round(time.perf_counter() - t_all, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

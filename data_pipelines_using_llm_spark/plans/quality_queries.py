@@ -1,0 +1,210 @@
+"""Quality-operator queries (SURVEY.md §2.13) bound to the driver's
+``events`` table, each with a DuckDB oracle.
+
+The profiles run over (user_id, ts) as the record key and ``value`` /
+``props`` as the metric columns — the same shapes the reference computes
+over (timestamp, pollutant columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipelines_using_llm_spark.operators import quality
+from data_pipelines_using_llm_spark.registry import QuerySpec
+from data_pipelines_using_llm_spark.sources.tables import load_table
+
+EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def null_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 one-pass null profile (vs the reference's per-column job loop,
+    ``First experiment/Claude Opus 4.py:182-183``)."""
+    return quality.null_profile(load_table(spark, sf_dir, "events"), EVENT_COLS)
+
+
+NULL_PROFILE_ORACLE = """
+SELECT count(*) AS total_records,
+       count(*) - count(event_id)   AS event_id_nulls,
+       count(*) - count(ts)         AS ts_nulls,
+       count(*) - count(user_id)    AS user_id_nulls,
+       count(*) - count(event_type) AS event_type_nulls,
+       count(*) - count(value)      AS value_nulls,
+       count(*) - count(props)      AS props_nulls
+FROM events
+"""
+
+
+def null_rate_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 tall form: (column, nulls, pct) — scales to wide tables."""
+    return quality.null_rate_columns(
+        load_table(spark, sf_dir, "events"), ["value", "props", "event_type"]
+    )
+
+
+NULL_RATE_REPORT_ORACLE = """
+WITH t AS (SELECT count(*) AS total_records,
+                  count(*) - count(value)      AS value_nulls,
+                  count(*) - count(props)      AS props_nulls,
+                  count(*) - count(event_type) AS event_type_nulls
+           FROM events)
+SELECT 'value' AS "column", value_nulls AS nulls,
+       round(value_nulls * 100.0 / total_records, 4) AS null_pct, total_records FROM t
+UNION ALL
+SELECT 'props', props_nulls, round(props_nulls * 100.0 / total_records, 4), total_records FROM t
+UNION ALL
+SELECT 'event_type', event_type_nulls, round(event_type_nulls * 100.0 / total_records, 4), total_records FROM t
+"""
+
+
+def duplicate_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2/D1/D2: one-row duplicate stats on the (user_id, ts) record key."""
+    return quality.duplicate_stats(
+        load_table(spark, sf_dir, "events"), ["user_id", "ts"]
+    )
+
+
+DUPLICATE_STATS_ORACLE = """
+WITH per_key AS (
+    SELECT user_id, ts, count(*) AS n FROM events GROUP BY user_id, ts
+)
+SELECT CAST(sum(n) AS BIGINT)                                  AS total_records,
+       count(*)                                                AS distinct_keys,
+       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)  AS dup_keys,
+       CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)  AS dup_rows,
+       CAST(sum(n) - count(*) AS BIGINT)                       AS excess_rows
+FROM per_key
+"""
+
+
+def duplicate_profile_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 top-offenders on a coarser key (user_id, day) where duplicates
+    actually exist — the ``HAVING COUNT(*)>1 ORDER BY count DESC LIMIT``
+    report of ``First experiment/Claude Sonnet 4.py:296-308``."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_trunc("day", F.col("ts"))
+    )
+    return quality.duplicate_profile(e, ["user_id", "event_date"], top_k=10)
+
+
+DUPLICATE_PROFILE_ORACLE = """
+SELECT user_id, date_trunc('day', ts) AS event_date, count(*) AS n_copies
+FROM events
+GROUP BY 1, 2
+HAVING count(*) > 1
+ORDER BY n_copies DESC, user_id, event_date
+LIMIT 10
+"""
+
+
+def completeness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 completeness % (``Third Experiment/Claude Sonnet 4.py:256-265``)."""
+    return quality.completeness(
+        load_table(spark, sf_dir, "events"), ["value", "props", "event_type"]
+    )
+
+
+COMPLETENESS_ORACLE = """
+SELECT count(*) AS total_records,
+       count(value) + count(props) + count(event_type) AS non_null_cells,
+       count(*) * 3 AS total_cells,
+       round((count(value) + count(props) + count(event_type)) * 100.0
+             / (count(*) * 3), 4) AS completeness_pct
+FROM events
+"""
+
+
+def quality_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 full quality report — totals, dup stats, per-metric nulls,
+    retention (``First experiment/Claude Opus 4.py:161-167`` shape)."""
+    return quality.quality_report(
+        load_table(spark, sf_dir, "events"),
+        key=["user_id", "ts"],
+        metric_cols=["value", "props"],
+    )
+
+
+QUALITY_REPORT_ORACLE = """
+WITH base AS (
+    SELECT user_id, ts,
+           CASE WHEN value IS NULL OR props IS NULL THEN 1 ELSE 0 END AS any_null,
+           CASE WHEN value IS NULL THEN 1 ELSE 0 END AS value_null,
+           CASE WHEN props IS NULL THEN 1 ELSE 0 END AS props_null
+    FROM events
+), per_key AS (
+    SELECT user_id, ts, count(*) AS n, sum(any_null) AS n_null,
+           sum(value_null) AS value_nulls, sum(props_null) AS props_nulls
+    FROM base GROUP BY user_id, ts
+)
+SELECT CAST(sum(n) AS BIGINT)             AS total_records,
+       CAST(count(*) AS BIGINT)           AS distinct_keys,
+       CAST(sum(n) - count(*) AS BIGINT)  AS excess_dup_rows,
+       CAST(sum(n_null) AS BIGINT)        AS rows_with_any_null,
+       CAST(sum(n) - sum(n_null) AS BIGINT) AS clean_records,
+       round((sum(n) - sum(n_null)) * 100.0 / sum(n), 4) AS retention_pct,
+       CAST(sum(value_nulls) AS BIGINT)   AS value_nulls,
+       CAST(sum(props_nulls) AS BIGINT)   AS props_nulls
+FROM per_key
+"""
+
+
+def health_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 health check (``First experiment/Claude Sonnet 4.py:699-779``),
+    anchored to data timestamps for determinism."""
+    return quality.health_check(
+        load_table(spark, sf_dir, "events"),
+        ts_col="ts",
+        metric_cols=["value", "props"],
+    )
+
+
+HEALTH_CHECK_ORACLE = """
+WITH agg AS (
+    SELECT count(*) AS total_records,
+           min(ts)  AS min_ts,
+           max(ts)  AS max_ts,
+           round((count(value) + count(props)) * 100.0 / (count(*) * 2), 4)
+               AS completeness_pct
+    FROM events
+)
+SELECT total_records, min_ts, max_ts, completeness_pct,
+       total_records > 0                                   AS has_rows,
+       max_ts >= min_ts + INTERVAL 48 HOUR                 AS spans_freshness_window,
+       completeness_pct >= 50.0                            AS is_complete_enough,
+       CAST(total_records > 0 AS INT)
+       + CAST(max_ts >= min_ts + INTERVAL 48 HOUR AS INT)
+       + CAST(completeness_pct >= 50.0 AS INT)             AS checks_passed
+FROM agg
+"""
+
+
+def monitoring_view_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 monitoring view body (``First experiment/Claude Sonnet 4.py:651-690``):
+    per-ingestion-bucket counts, nulls and averages."""
+    e = load_table(spark, sf_dir, "events")
+    return quality.monitoring_summary(e, F.date_trunc("day", F.col("ts")), ["value"]).withColumnRenamed(
+        "bucket", "event_date"
+    )
+
+
+MONITORING_VIEW_ORACLE = """
+SELECT date_trunc('day', ts)  AS event_date,
+       count(*)                AS n_records,
+       count(*) - count(value) AS value_nulls,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS value_avg
+FROM events
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "null_profile_events": QuerySpec(null_profile_events, NULL_PROFILE_ORACLE, "Q1 one-pass null profile"),
+    "null_rate_report_events": QuerySpec(null_rate_report_events, NULL_RATE_REPORT_ORACLE, "Q1 tall null-rate report"),
+    "duplicate_stats_events": QuerySpec(duplicate_stats_events, DUPLICATE_STATS_ORACLE, "Q2 dup stats"),
+    "duplicate_profile_user_day": QuerySpec(duplicate_profile_user_day, DUPLICATE_PROFILE_ORACLE, "Q2 top dup keys"),
+    "completeness_events": QuerySpec(completeness_events, COMPLETENESS_ORACLE, "Q7 completeness"),
+    "quality_report_events": QuerySpec(quality_report_events, QUALITY_REPORT_ORACLE, "Q4 quality report"),
+    "health_check_events": QuerySpec(health_check_events, HEALTH_CHECK_ORACLE, "Q5 health check"),
+    "monitoring_view_events": QuerySpec(monitoring_view_events, MONITORING_VIEW_ORACLE, "Q6 monitoring view"),
+}

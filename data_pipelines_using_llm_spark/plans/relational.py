@@ -1,0 +1,448 @@
+"""Relational core queries (SURVEY.md §2.3 P*/F*, §2.5 J*, §2.6 A*,
+§2.7 W1, §2.8 O*, §2.9) over the driver's TPC-H-ish tables.
+
+Every query is declarative DataFrame API so Catalyst gets predicate
+pushdown, column pruning and join selection; small dimension tables are
+broadcast explicitly.  Each entry has a DuckDB oracle with IDENTICAL output
+column names.  All money-column aggregates go through the exact-decimal
+helpers (`functions/exact.py`) so both engines produce bit-identical
+doubles — plain double sums are summation-order dependent and flake on
+round() boundaries (SURVEY.md §7.3.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipelines_using_llm_spark.functions.exact import dec, exact_avg, exact_sum
+from data_pipelines_using_llm_spark.registry import QuerySpec
+from data_pipelines_using_llm_spark.sources.tables import load_table
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 archetype (grouped multi-metric aggregate with null-ignoring
+    avg — ``Second Experiment/Claude 4 Sonnet.py:233-250``) in its classic
+    TPC-H-Q1 shape: scan one fact table, filter (pushed to parquet),
+    group by two low-cardinality keys, 8 aggregates.
+
+    Scale: map-side partial aggregation means only (flag,status) groups
+    shuffle — a few rows per input partition regardless of table size.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice", "decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - dec("l_discount", "decimal(3,2)")
+    )
+    charge = disc_price * (
+        F.lit(1).cast("decimal(3,2)") + dec("l_tax", "decimal(3,2)")
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity").alias("sum_qty"),
+            exact_sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            exact_avg("l_quantity").alias("avg_qty"),
+            exact_avg("l_extendedprice").alias("avg_price"),
+            exact_avg("l_discount", "decimal(3,2)").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+           AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)
+           AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity)
+           AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice)
+           AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(l_discount)
+           AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def monthly_sales_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-2 gold archetype: monthly multi-stat rollup
+    (``Second Experiment/Claude Opus 4.py:201-221`` — avg+min+max+count per
+    metric per (year, month)), on ``orders``."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+        )
+        .agg(
+            exact_avg("o_totalprice").alias("avg_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            exact_sum("o_totalprice").alias("sum_price"),
+            F.count(F.lit(1)).alias("total_records"),
+        )
+    )
+
+
+MONTHLY_SALES_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INT)  AS o_year,
+       CAST(month(o_orderdate) AS INT) AS o_month,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(o_totalprice)
+                                       AS avg_price,
+       min(o_totalprice)               AS min_price,
+       max(o_totalprice)               AS max_price,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       count(*)                        AS total_records
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2 multi-join archetype (``Third Experiment/Claude Opus 4.py:154-179``)
+    scaled up: fact ⋈ three dimensions, grouped rollup.
+
+    The dimensions are broadcast — at 100 TB the orders fact never
+    shuffles for these joins; only the final tiny groupBy shuffles.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("revenue"),
+            exact_avg("o_totalprice").alias("avg_order_value"),
+            F.count_distinct(F.col("c_custkey")).alias("n_customers"),
+        )
+    )
+
+
+REGION_REVENUE_ORACLE = """
+SELECT r_name                         AS region_name,
+       count(*)                       AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(o_totalprice)
+                                      AS avg_order_value,
+       count(DISTINCT c_custkey)      AS n_customers
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 top-k: ``ORDER BY … LIMIT`` compiles to TakeOrderedAndProject —
+    each partition keeps only its local top-k, so no global sort at scale
+    (``First experiment/Claude Sonnet 4.py:605-615`` is the reference shape).
+    Tiebreak on the unique key keeps the result deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+TOP_ORDERS_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 extension — top-k per group via ranking window.  One shuffle on
+    the partition key; rows never leave their partition for the rank."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        e.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", "event_type", "value", "rnk")
+    )
+
+
+TOP_EVENTS_PER_USER_ORACLE = """
+SELECT user_id, event_id, event_type, value,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS rnk
+FROM events
+QUALIFY rnk <= 3
+"""
+
+
+def latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 deterministic keep-first dedup (``First experiment/GPT 5 NANO.py:82-86``
+    semantics): one row per (user_id, event_type), latest ``ts`` wins,
+    unique ``event_id`` as final tiebreaker."""
+    from data_pipelines_using_llm_spark.operators.cleaning import dedup_deterministic
+
+    e = load_table(spark, sf_dir, "events")
+    return dedup_deterministic(
+        e,
+        ["user_id", "event_type"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+    ).select("user_id", "event_type", "event_id", "ts", "value")
+
+
+LATEST_EVENT_ORACLE = """
+SELECT user_id, event_type, event_id, ts, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def daily_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 time-bucketed report (``First experiment/Claude Sonnet 4.py:588-600``
+    daily trend): per-day per-type counts and averages."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("event_date"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_avg("value").alias("avg_value"),
+            exact_sum("value").alias("sum_value"),
+        )
+    )
+
+
+DAILY_TREND_ORACLE = """
+SELECT date_trunc('day', ts)    AS event_date,
+       event_type,
+       count(*)                  AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)               AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def hourly_peak_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 hour-of-day peak report (``First experiment/Claude Sonnet 4.py:604-615``
+    — top-10 hours by average metric).  The average is decimal-exact so
+    the top-10 cut is identical across engines; hour tiebreaks."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.hour("ts").alias("hour_of_day")).agg(
+        exact_avg("value").alias("avg_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        hourly.orderBy(F.col("avg_value").desc(), F.col("hour_of_day"))
+        .limit(10)
+    )
+
+
+HOURLY_PEAK_ORACLE = """
+SELECT CAST(hour(ts) AS INT) AS hour_of_day,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value,
+       count(*)              AS n_events
+FROM events
+GROUP BY 1
+ORDER BY avg_value DESC, hour_of_day
+LIMIT 10
+"""
+
+
+def freshness_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 threshold/freshness predicate
+    (``First experiment/Claude Sonnet 4.py:733-737`` — "rows in the last
+    48h"), anchored to max(ts) in the data instead of wall-clock NOW() so
+    the check is deterministic.  The one-row max is broadcast — no shuffle
+    of the fact side."""
+    e = load_table(spark, sf_dir, "events")
+    anchor = e.agg(F.max("ts").alias("_max_ts"))
+    return (
+        e.join(F.broadcast(anchor))
+        .filter(F.col("ts") >= F.col("_max_ts") - F.expr("INTERVAL 48 HOURS"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_recent"),
+            exact_avg("value").alias("avg_recent_value"),
+        )
+    )
+
+
+FRESHNESS_ORACLE = """
+SELECT event_type,
+       count(*) AS n_recent,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_recent_value
+FROM events
+WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 48 HOUR
+GROUP BY event_type
+"""
+
+
+def union_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 set-op surface: the reference's only union is the implicit
+    UNION ALL of append-mode re-ingestion (``First experiment/Claude Opus
+    4.py:129``); here made explicit with ``unionByName`` over two filtered
+    slices, then re-aggregated."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value"
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "value"
+    )
+    return (
+        purchases.unionByName(errors)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("sum_value"),
+        )
+    )
+
+
+UNION_SPLICE_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM (
+    SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT event_id, user_id, value FROM events WHERE event_type = 'error'
+)
+GROUP BY user_id
+"""
+
+
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + A1 (experiment-3 merged-silver shape): broadcast-join enrich
+    then per-segment stats; P3 pre-join disambiguation via select/alias."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").alias("acctbal")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("revenue"),
+            exact_avg("acctbal").alias("avg_acctbal"),
+        )
+    )
+
+
+CUSTOMER_ORDER_STATS_ORACLE = """
+SELECT c_mktsegment AS segment,
+       count(*)     AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(c_acctbal)
+                    AS avg_acctbal
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def rolling_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 extension flagged in SURVEY: rolling window over time buckets
+    (``rowsBetween(-6, 0)`` 7-day moving average of daily order revenue).
+    The global-ordered window runs on ONE row per day — bounded and tiny
+    after the pre-aggregation, so the single-partition sort is safe at any
+    input scale."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("order_date")).agg(
+        exact_sum("o_totalprice").alias("day_revenue")
+    )
+    w = Window.orderBy("order_date").rowsBetween(-6, 0)
+    return daily.select(
+        "order_date",
+        "day_revenue",
+        F.round(F.avg("day_revenue").over(w), 4).alias("revenue_7d_avg"),
+    )
+
+
+ROLLING_DAILY_REVENUE_ORACLE = """
+WITH daily AS (
+    SELECT date_trunc('day', o_orderdate) AS order_date,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_revenue
+    FROM orders GROUP BY 1
+)
+SELECT order_date, day_revenue,
+       round(avg(day_revenue) OVER (ORDER BY order_date
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS revenue_7d_avg
+FROM daily
+"""
+
+
+def part_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 ratio-% report shape (``First experiment/Claude Sonnet 4.py:861-867``
+    ``AVG(CASE WHEN…)*100``): revenue share of PROMO-like part types —
+    conditional aggregation in one pass over the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    rev = dec("l_extendedprice", "decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - dec("l_discount", "decimal(3,2)")
+    )
+    zero = F.lit(0).cast("decimal(16,4)")
+    return joined.agg(
+        F.round(
+            F.sum(
+                F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(zero)
+            ).cast("double")
+            * 100.0
+            / F.sum(rev).cast("double"),
+            4,
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+PART_TYPE_SHARE_ORACLE = """
+SELECT round(CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                      THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                      ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE) * 100.0
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE),
+             4) AS promo_revenue_pct,
+       count(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_ORACLE, "A1/A2 grouped multi-agg"),
+    "monthly_sales_gold": QuerySpec(monthly_sales_gold, MONTHLY_SALES_ORACLE, "SE gold monthly rollup"),
+    "region_revenue": QuerySpec(region_revenue, REGION_REVENUE_ORACLE, "J1/J2 multi-join rollup"),
+    "top_orders": QuerySpec(top_orders, TOP_ORDERS_ORACLE, "O2 global top-k"),
+    "top_events_per_user": QuerySpec(top_events_per_user, TOP_EVENTS_PER_USER_ORACLE, "W1 rank top-k per group"),
+    "latest_event_per_user_type": QuerySpec(latest_event_per_user_type, LATEST_EVENT_ORACLE, "D4 deterministic dedup"),
+    "daily_event_trend": QuerySpec(daily_event_trend, DAILY_TREND_ORACLE, "A7 daily trend"),
+    "hourly_peak_pattern": QuerySpec(hourly_peak_pattern, HOURLY_PEAK_ORACLE, "A7 hour-of-day peaks"),
+    "freshness_window": QuerySpec(freshness_window, FRESHNESS_ORACLE, "F5 freshness threshold"),
+    "union_splice": QuerySpec(union_splice, UNION_SPLICE_ORACLE, "§2.9 unionByName"),
+    "customer_order_stats": QuerySpec(customer_order_stats, CUSTOMER_ORDER_STATS_ORACLE, "J1+A1 enrich+agg"),
+    "rolling_daily_revenue": QuerySpec(rolling_daily_revenue, ROLLING_DAILY_REVENUE_ORACLE, "rolling window ext"),
+    "part_type_share": QuerySpec(part_type_share, PART_TYPE_SHARE_ORACLE, "A4 conditional ratio report"),
+}

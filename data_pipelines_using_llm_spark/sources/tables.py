@@ -1,0 +1,77 @@
+"""Parquet catalog-table scans (SURVEY.md §2.1 S5/S6).
+
+The reference reads managed Delta tables by name
+(``spark.table(...)`` at ``First experiment/Claude Opus 4.py:349-355``);
+here the "catalog" is a scale-factor directory of parquet files.  Reads go
+through ``spark.read.parquet`` so Catalyst gets vectorized scans with
+predicate pushdown and column pruning for free.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@lru_cache(maxsize=None)
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects (PARQUET_TYPE_ILLEGAL).  Footer-only read, cached."""
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return ()
+    return tuple(
+        f.name for f in schema if str(f.type) == "timestamp[ns]"
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table of the scale-factor directory (S5).
+
+    Nanosecond parquet timestamps are read as long (legacy nanosAsLong
+    conf) and truncated to microseconds — the same truncation DuckDB
+    applies when casting TIMESTAMP_NS to its microsecond TIMESTAMP, so
+    oracle comparisons agree.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    nanos_cols = _nanos_timestamp_cols(path)
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> None:
+    """Register each table as a temp view for the SQL entry point (K6).
+
+    Mirrors the reference's SQL-first pipelines, which address tables by
+    catalog name inside ``spark.sql`` strings
+    (``First experiment/Claude Sonnet 4.py:179,229-233``).
+    """
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def table_exists(spark: SparkSession, name: str) -> bool:
+    """Catalog probe (S6) — ``spark.catalog.tableExists`` branch used by the
+    reference to pick create-vs-append (``Second Experiment/GPT 5 nano.py:114``)."""
+    return spark.catalog.tableExists(name)
