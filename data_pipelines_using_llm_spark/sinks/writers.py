@@ -1,0 +1,177 @@
+"""Medallion sinks (SURVEY.md §2.2 K1–K7).
+
+Parquet-first: the driver environment has no Delta jars, so Delta-only
+behaviors (MERGE, OPTIMIZE, ZORDER, mergeSchema-on-write) degrade to
+documented parquet equivalents behind the same API:
+
+- K1/K2 partitioned & plain append  → ``write_table``
+- K4 overwrite(+schema)             → ``write_table(mode="overwrite")``
+- K5 DDL-from-StructType            → ``ensure_table``
+- SE/`GPT 5 nano.py:106-175` align-to-target (rename/reorder/null-pad)
+                                    → ``align_to_schema``
+- §4.3.6 idempotent upsert (Delta MERGE on the event key)
+                                    → ``idempotent_upsert`` (anti-join+union)
+- K7 OPTIMIZE/ZORDER maintenance    → ``compact_table`` (repartition +
+                                      sortWithinPartitions = clustering for
+                                      data-skipping, the parquet analogue)
+
+All writers take an explicit ``path`` (location-based tables); catalog
+``saveAsTable`` works identically when a metastore is present.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """K1/K2/K4: (partitioned) append/overwrite write.
+
+    Reference shape: ``write.format("delta").mode("append")
+    .partitionBy("ingestion_date").saveAsTable(...)``
+    (``First experiment/Claude Opus 4.py:128-132``).  Partitioning by the
+    ingestion/event date gives partition pruning on every downstream
+    time-ranged read — at 100 TB this is the difference between scanning a
+    day and scanning a decade.
+    """
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def ensure_table(
+    spark: SparkSession,
+    name: str,
+    schema: T.StructType,
+    path: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """K5: explicit DDL generated from a StructType
+    (``Third Experiment/GPT 5.py:113-137`` builds ``CREATE TABLE … USING
+    DELTA PARTITIONED BY`` from its declared schema).  Parquet flavor via
+    ``CREATE TABLE … USING PARQUET LOCATION``; no-op when present (S6
+    catalog probe)."""
+    if spark.catalog.tableExists(name):
+        return
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    part = (
+        f" PARTITIONED BY ({', '.join(partition_by)})" if partition_by else ""
+    )
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {name} ({cols}) USING PARQUET{part} "
+        f"LOCATION '{path}'"
+    )
+
+
+def align_to_schema(
+    df: DataFrame,
+    target: T.StructType,
+    rename_map: dict[str, str] | None = None,
+    strict_extra: bool = False,
+) -> DataFrame:
+    """Align a DataFrame to a target table schema: rename → reorder →
+    null-pad missing → cast — the semantics of
+    ``Second Experiment/GPT 5 nano.py:106-175`` as one reusable operator.
+
+    ``rename_map`` handles source→target name drift (``avg_x`` vs
+    ``x_avg``); missing target columns become typed NULLs; extra source
+    columns are dropped (or raise when ``strict_extra``).
+    """
+    renamed = df
+    for src, dst in (rename_map or {}).items():
+        if src in renamed.columns:
+            renamed = renamed.withColumnRenamed(src, dst)
+
+    target_names = [f.name for f in target.fields]
+    extra = [c for c in renamed.columns if c not in target_names]
+    if extra and strict_extra:
+        raise ValueError(f"source has columns not in target schema: {extra}")
+
+    out = []
+    for f in target.fields:
+        if f.name in renamed.columns:
+            out.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            out.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return renamed.select(*out)
+
+
+def idempotent_upsert(
+    spark: SparkSession,
+    new_data: DataFrame,
+    path: str,
+    key: list[str],
+    partition_by: list[str] | None = None,
+) -> None:
+    """§4.3.6: idempotent ingestion — re-running a batch must not
+    double-append (the reference's append mode does:
+    ``First experiment/Claude Opus 4.py:129`` vs the dedup cleanup it then
+    needs at ``:217-236``).
+
+    Without Delta MERGE, emulated as anti-join + union rewrite: existing
+    rows whose key collides with the incoming batch are replaced.  The
+    anti-join broadcasts the (small) incoming key set, so the history scan
+    is shuffle-free; with Delta available this swaps for ``MERGE INTO``
+    with partition-pruned matching.  Writes to a temp location then swaps,
+    so a failed job never truncates history.
+    """
+    import os
+    import shutil
+
+    exists = os.path.exists(path) and any(
+        n.endswith(".parquet") or n.startswith("part-")
+        for root, _, files in os.walk(path)
+        for n in files
+    )
+    if not exists:
+        write_table(new_data, path, mode="overwrite", partition_by=partition_by)
+        return
+
+    current = spark.read.parquet(path)
+    keys = new_data.select(*key).distinct()
+    kept = current.join(F.broadcast(keys), on=key, how="left_anti")
+    merged = kept.unionByName(new_data.select(*current.columns))
+
+    tmp = path.rstrip("/") + "__tmp_upsert"
+    write_table(merged, tmp, mode="overwrite", partition_by=partition_by)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    zorder_by: list[str] | None = None,
+    target_partitions: int | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
+    """K7 maintenance: small-file compaction + clustering.
+
+    Delta's ``OPTIMIZE``/``ZORDER BY`` (``First experiment/Claude Sonnet
+    4.py:799-806``, ``Second Experiment/Claude 4 Sonnet.py:536-543``)
+    expressed for parquet: coalesce to fewer files and sort within
+    partitions by the clustering key so parquet min/max row-group stats
+    give the same data-skipping effect.
+    """
+    df = spark.read.parquet(path)
+    n = target_partitions or max(1, df.rdd.getNumPartitions() // 4)
+    compacted = df.repartition(n)
+    if zorder_by:
+        compacted = compacted.sortWithinPartitions(*zorder_by)
+
+    import os
+    import shutil
+
+    tmp = path.rstrip("/") + "__tmp_compact"
+    write_table(compacted, tmp, mode="overwrite", partition_by=partition_by)
+    shutil.rmtree(path)
+    os.rename(tmp, path)

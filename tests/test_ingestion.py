@@ -1,0 +1,169 @@
+"""Ingestion-module tests over the F3 hazard payloads (FIXTURES.md):
+short metric array (pad), long metric array (truncate), missing metric key
+(null backfill), empty payload."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from data_pipelines_using_llm_spark.sources.columnar_json import (
+    discover_metrics,
+    flatten_hourly,
+    with_ingestion_metadata,
+)
+from data_pipelines_using_llm_spark.sources.http_api import fetch_url_table
+
+
+def make_payload(n=4, pm10=None, pm2_5=None, drop=()):
+    hourly = {
+        "time": [f"2025-01-01T{h:02d}:00" for h in range(n)],
+        "pm10": pm10 if pm10 is not None else [float(i) for i in range(n)],
+        "pm2_5": pm2_5 if pm2_5 is not None else [10.0 + i for i in range(n)],
+    }
+    for k in drop:
+        hourly.pop(k, None)
+    return json.dumps(
+        {"latitude": 40.35, "longitude": 18.17, "timezone": "UTC", "hourly": hourly}
+    )
+
+
+def payloads_df(spark, payloads):
+    return spark.createDataFrame(
+        [(f"b{i}", p) for i, p in enumerate(payloads)], "batch_id string, payload string"
+    )
+
+
+def test_flatten_clean_payload(spark):
+    df = payloads_df(spark, [make_payload(n=4)])
+    out = flatten_hourly(df, ["pm10", "pm2_5"], keep_cols=["batch_id"])
+    rows = out.orderBy("event_time").collect()
+    assert len(rows) == 4
+    assert rows[0].event_time.hour == 0 and rows[3].event_time.hour == 3
+    assert rows[2].pm10 == 2.0 and rows[2].pm2_5 == 12.0
+    assert rows[0].latitude == 40.35 and rows[0].timezone == "UTC"
+
+
+def test_short_metric_array_pads_null(spark):
+    # pm2_5 has 2 of 4 values -> pad_null keeps 4 rows, trailing NULLs
+    df = payloads_df(spark, [make_payload(n=4, pm2_5=[1.0, 2.0])])
+    out = flatten_hourly(df, ["pm10", "pm2_5"], length_policy="pad_null")
+    rows = out.orderBy("event_time").collect()
+    assert len(rows) == 4
+    assert [r.pm2_5 for r in rows] == [1.0, 2.0, None, None]
+
+
+def test_truncate_min_policy(spark):
+    df = payloads_df(spark, [make_payload(n=4, pm2_5=[1.0, 2.0])])
+    out = flatten_hourly(df, ["pm10", "pm2_5"], length_policy="truncate_min")
+    rows = out.orderBy("event_time").collect()
+    assert len(rows) == 2
+    assert [r.pm2_5 for r in rows] == [1.0, 2.0]
+
+
+def test_long_metric_array_truncated_to_time(spark):
+    # metric longer than time: pad_null aligns to len(time)
+    df = payloads_df(spark, [make_payload(n=3, pm10=[1.0, 2.0, 3.0, 4.0, 5.0])])
+    out = flatten_hourly(df, ["pm10", "pm2_5"], length_policy="pad_null")
+    assert out.count() == 3
+
+
+def test_missing_metric_key_backfills_null(spark):
+    df = payloads_df(spark, [make_payload(n=3, drop=("pm2_5",))])
+    out = flatten_hourly(df, ["pm10", "pm2_5"], length_policy="pad_null")
+    rows = out.collect()
+    assert len(rows) == 3
+    assert all(r.pm2_5 is None for r in rows)
+    assert all(r.pm10 is not None for r in rows)
+
+
+def test_missing_metric_key_with_truncate_min_ignores_missing(spark):
+    df = payloads_df(spark, [make_payload(n=3, drop=("pm2_5",))])
+    out = flatten_hourly(df, ["pm10", "pm2_5"], length_policy="truncate_min")
+    assert out.count() == 3
+
+
+def test_fail_policy_raises_on_mismatch(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = payloads_df(spark, [make_payload(n=4, pm2_5=[1.0])])
+    out = flatten_hourly(df, ["pm10", "pm2_5"], length_policy="fail")
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
+        out.collect()
+
+
+def test_fail_policy_passes_on_clean(spark):
+    df = payloads_df(spark, [make_payload(n=4)])
+    out = flatten_hourly(df, ["pm10", "pm2_5"], length_policy="fail")
+    assert out.count() == 4
+
+
+def test_empty_payload(spark):
+    empty = json.dumps(
+        {"latitude": 1.0, "longitude": 2.0, "timezone": "UTC",
+         "hourly": {"time": [], "pm10": [], "pm2_5": []}}
+    )
+    df = payloads_df(spark, [empty])
+    out = flatten_hourly(df, ["pm10", "pm2_5"])
+    assert out.count() == 0
+
+
+def test_multi_batch_distributed_flatten(spark):
+    df = payloads_df(spark, [make_payload(n=4), make_payload(n=2)])
+    out = flatten_hourly(df, ["pm10", "pm2_5"], keep_cols=["batch_id"])
+    assert out.count() == 6
+    assert out.filter("batch_id = 'b1'").count() == 2
+
+
+def test_payload_driven_discovery(spark):
+    df = payloads_df(spark, [make_payload(n=3)])
+    assert discover_metrics(df) == ["pm10", "pm2_5"]
+    out = flatten_hourly(df, metrics=None)
+    assert {"pm10", "pm2_5", "event_time"} <= set(out.columns)
+    assert out.count() == 3
+
+
+def test_ingestion_metadata(spark):
+    df = payloads_df(spark, [make_payload(n=2)])
+    out = with_ingestion_metadata(
+        flatten_hourly(df, ["pm10", "pm2_5"]), source="open-meteo"
+    )
+    row = out.first()
+    assert row.ingestion_date is not None
+    assert row.ingestion_ts is not None
+    assert row.data_source == "open-meteo"
+
+
+def test_fetch_url_table_with_fake_transport(spark):
+    urls = spark.createDataFrame(
+        [("u1", "http://x/a"), ("u2", "http://x/b"), ("u3", "http://x/bad")],
+        "id string, url string",
+    )
+
+    # The fetcher ships to executors — capture the payload by value, not a
+    # test-module global (workers can't import tests/).
+    body = make_payload(n=2)
+
+    def fake(url: str, _body=body) -> str:
+        if url.endswith("bad"):
+            raise OSError("HTTP 500")
+        return _body
+
+    out = fetch_url_table(urls, fetcher=fake).cache()
+    assert out.count() == 3
+    assert out.filter("payload IS NULL").count() == 1
+    flat = flatten_hourly(out.filter("payload IS NOT NULL"), ["pm10", "pm2_5"],
+                          keep_cols=["id"])
+    assert flat.count() == 4
+
+
+def test_fetch_url_table_raise_mode(spark):
+    urls = spark.createDataFrame([("u1", "http://x/bad")], "id string, url string")
+
+    def fake(url: str) -> str:
+        raise OSError("HTTP 500")
+
+    with pytest.raises(Exception):
+        fetch_url_table(urls, fetcher=fake, on_error="raise").collect()

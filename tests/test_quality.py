@@ -1,0 +1,168 @@
+"""Quality + cleaning operator tests over hazard-injected fixtures
+(FIXTURES.md F4: H1 nulls, H2 duplicate timestamps with differing values,
+H3 overlapping re-ingestion) — the data hazards the reference's operators
+exist to catch."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipelines_using_llm_spark.operators import cleaning, quality
+
+
+@pytest.fixture(scope="module")
+def hazard_df(spark):
+    """Hourly feed with: a NULL pm10 (H1), a fully-null column (H1), a
+    duplicated event_time with differing values (H2), and two overlapping
+    ingestion batches (H3)."""
+    t0 = dt.datetime(2025, 1, 1, 0, 0)
+    rows = []
+    # batch 1: hours 0..5, ingestion day 1
+    for h in range(6):
+        rows.append(
+            (t0 + dt.timedelta(hours=h),
+             None if h == 2 else float(10 + h),   # H1: one NULL pm10
+             float(20 + h), None,                  # H1: dead_metric fully null
+             dt.date(2025, 1, 1),
+             dt.datetime(2025, 1, 1, 6, 0))
+        )
+    # H2: duplicate of hour 4 within batch 1 with a DIFFERENT value
+    rows.append(
+        (t0 + dt.timedelta(hours=4), 99.0, 99.0, None,
+         dt.date(2025, 1, 1), dt.datetime(2025, 1, 1, 6, 30))
+    )
+    # batch 2 (H3): hours 3..8 re-ingested next day
+    for h in range(3, 9):
+        rows.append(
+            (t0 + dt.timedelta(hours=h), float(100 + h), float(200 + h), None,
+             dt.date(2025, 1, 2), dt.datetime(2025, 1, 2, 6, 0))
+        )
+    return spark.createDataFrame(
+        rows,
+        "event_time timestamp, pm10 double, pm2_5 double, dead_metric double,"
+        "ingestion_date date, ingestion_ts timestamp",
+    )
+
+
+def test_null_profile_one_row(hazard_df):
+    row = quality.null_profile(hazard_df, ["pm10", "pm2_5", "dead_metric"]).first()
+    assert row.total_records == 13
+    assert row.pm10_nulls == 1
+    assert row.pm2_5_nulls == 0
+    assert row.dead_metric_nulls == 13  # fully-null column detected
+
+
+def test_null_rate_tall_report(hazard_df):
+    rows = {r.column: r for r in quality.null_rate_columns(
+        hazard_df, ["pm10", "dead_metric"]).collect()}
+    assert rows["dead_metric"].null_pct == 100.0
+    assert rows["pm10"].nulls == 1
+
+
+def test_duplicate_stats_and_profile(hazard_df):
+    stats = quality.duplicate_stats(hazard_df, ["event_time"]).first()
+    assert stats.total_records == 13
+    assert stats.distinct_keys == 9          # hours 0..8
+    # hours 3,4,5 appear twice-or-thrice: 4 → 3 copies (dup + overlap), 3,5 → 2
+    assert stats.dup_keys == 3
+    assert stats.dup_rows == 7
+    assert stats.excess_rows == 4
+    top = quality.duplicate_profile(hazard_df, ["event_time"]).collect()
+    assert top[0].n_copies == 3   # hour 4 worst offender first
+
+
+def test_completeness(hazard_df):
+    row = quality.completeness(hazard_df, ["pm10", "pm2_5", "dead_metric"]).first()
+    assert row.total_cells == 39
+    assert row.non_null_cells == 12 + 13  # pm10 non-null + pm2_5 non-null
+    assert 0 < row.completeness_pct < 100
+
+
+def test_quality_report(hazard_df):
+    row = quality.quality_report(
+        hazard_df, key=["event_time"], metric_cols=["pm10", "pm2_5"]
+    ).first()
+    assert row.total_records == 13
+    assert row.excess_dup_rows == 4
+    assert row.rows_with_any_null == 1
+    assert row.clean_records == 12
+    assert row.pm10_nulls == 1
+
+
+def test_health_check(hazard_df):
+    row = quality.health_check(
+        hazard_df, ts_col="event_time", metric_cols=["pm10", "pm2_5"],
+        freshness_hours=6,
+    ).first()
+    assert row.has_rows
+    assert row.spans_freshness_window  # 9 hours > 6
+    assert row.is_complete_enough
+    assert row.checks_passed == 3
+
+
+def test_deterministic_dedup_latest_ingestion_wins(hazard_df):
+    out = cleaning.dedup_deterministic(
+        hazard_df, ["event_time"],
+        [F.col("ingestion_ts").desc(), F.col("pm10").desc_nulls_last()],
+    )
+    rows = {r.event_time.hour: r for r in out.collect()}
+    assert len(rows) == 9
+    # hour 4: batch-2 re-ingestion (ingestion_ts 1/2) beats both batch-1 rows
+    assert rows[4].pm10 == 104.0
+    # hour 0: only batch 1 → kept as-is
+    assert rows[0].pm10 == 10.0
+
+
+def test_dedup_idempotent_on_reingestion(hazard_df):
+    """H3 idempotence: dedup(batch1 ∪ batch2) == dedup(dedup(batch1 ∪ batch2)
+    ∪ batch2) — re-appending the same batch must not change silver."""
+    tiebreak = [F.col("ingestion_ts").desc(), F.col("pm10").desc_nulls_last()]
+    silver1 = cleaning.dedup_deterministic(hazard_df, ["event_time"], tiebreak)
+    batch2 = hazard_df.filter(F.col("ingestion_date") == dt.date(2025, 1, 2))
+    silver2 = cleaning.dedup_deterministic(
+        silver1.unionByName(batch2), ["event_time"], tiebreak
+    )
+    a = sorted(silver1.collect(), key=lambda r: r.event_time)
+    b = sorted(silver2.collect(), key=lambda r: r.event_time)
+    assert a == b
+
+
+def test_clean_policies(hazard_df):
+    drop = cleaning.clean(
+        hazard_df, key=["event_time"], metric_cols=["pm10", "pm2_5"],
+        null_policy="drop_any_null", dedup_policy="none",
+    )
+    assert drop.count() == 12
+    keep_any = cleaning.clean(
+        hazard_df, key=["event_time"], metric_cols=["pm10", "dead_metric"],
+        null_policy="keep_if_any_present", dedup_policy="none",
+    )
+    assert keep_any.count() == 12  # row with NULL pm10 has NULL dead_metric too
+    full = cleaning.clean(
+        hazard_df, key=["event_time"], metric_cols=["pm10", "pm2_5"],
+        null_policy="keep_nulls", dedup_policy="deterministic",
+        tiebreaker=[F.col("ingestion_ts").desc(), F.col("pm10").desc_nulls_last()],
+    )
+    assert full.count() == 9
+
+
+def test_clean_rejects_bad_policies(hazard_df):
+    with pytest.raises(ValueError):
+        cleaning.clean(hazard_df, ["event_time"], ["pm10"], null_policy="bogus")
+    with pytest.raises(ValueError):
+        cleaning.clean(hazard_df, ["event_time"], ["pm10"],
+                       dedup_policy="deterministic", tiebreaker=None)
+
+
+def test_nan_and_null_distinct(spark):
+    """SURVEY.md §4.3.5: NaN and NULL are different things."""
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (None,)], "x double"
+    )
+    nulls = quality.null_profile(df, ["x"]).first()
+    nans = quality.nan_profile(df, ["x"]).first()
+    assert nulls.x_nulls == 1
+    assert nans.x_nans == 1
