@@ -1,0 +1,140 @@
+"""Text-analysis operators for training-data pipelines: tokenization,
+quality scoring, language ID, document fingerprinting.
+
+No reference counterpart (SURVEY.md §2.12 — the corpus registers zero
+UDFs); these are the beyond-reference operators the 100 TB training-data
+pipeline needs (BASELINE.json north star).  Everything here is built-in
+column expressions — JVM-side, whole-stage-codegen'd, no Python in the hot
+path — and every function has an exact DuckDB-SQL equivalent, so the
+operators are oracle-checkable.
+
+Cross-engine hash primitive: polynomial rolling hash over character codes
+``h = (h*31 + ascii(c)) mod 1e9+7`` — Spark ``aggregate(split(s,''))`` and
+DuckDB ``list_reduce(string_split(s,''))`` produce identical values (no
+shared built-in hash exists across the two engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH_MOD = 1_000_000_007
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword lists for the n-gram/stopword-ratio heuristic
+# language ID.  Deterministic and oracle-shareable; accuracy scales with
+# list size, the operator shape doesn't change.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans"],
+    "es": ["el", "los", "las", "y", "es", "un", "una", "para", "con"],
+    "zh": ["的", "是", "在", "了", "我", "有", "和", "不", "这"],
+}
+
+
+def tokens(c: str | Column) -> Column:
+    """Whitespace tokenization as an array column (empty-safe)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda x: x != "")
+
+
+def token_count(c: str | Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(c))
+
+
+def regex_token_count(c: str | Column) -> Column:
+    """BPE-ish token count: words / numbers / individual punctuation, the
+    pre-tokenizer split most BPE vocabularies start from."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.regexp_count(col, F.lit(TOKEN_REGEX))
+
+
+def char_hash(c: Column) -> Column:
+    """Polynomial rolling hash of a string — the cross-engine primitive."""
+    return F.aggregate(
+        F.transform(F.split(c, ""), lambda x: F.ascii(x)),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % HASH_MOD,
+    )
+
+
+def fingerprint(c: str | Column) -> Column:
+    """Document fingerprint: rolling hash over the normalized text
+    (lowercased, whitespace collapsed).  Equal fingerprints == equal
+    normalized text (mod collisions) — the cheap exact-dup key."""
+    col = F.col(c) if isinstance(c, str) else c
+    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return char_hash(normalized)
+
+
+def word_hashes(c: str | Column) -> Column:
+    """Distinct token hash set — the shingle base for MinHash/SimHash."""
+    return F.array_distinct(F.transform(tokens(c), char_hash))
+
+
+def stopword_hits(c: str | Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang`` (with repeats —
+    ratio semantics need occurrence counts, not set overlap)."""
+    stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(c), lambda x: F.array_contains(stops, x)))
+
+
+def language_id(c: str | Column) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hit counts,
+    ties broken by the fixed language order, 'und' (undetermined) when no
+    stopword hits at all."""
+    hits = {lang: stopword_hits(c, lang) for lang in STOPWORDS}
+    best = None
+    expr = F.lit("und")
+    # Build the when-chain back to front so earlier langs win ties.
+    langs = list(STOPWORDS.keys())
+    for lang in reversed(langs):
+        cond = hits[lang] > 0
+        for other in langs:
+            if langs.index(other) < langs.index(lang):
+                cond = cond & (hits[lang] > hits[other])
+            elif other != lang:
+                cond = cond & (hits[lang] >= hits[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+        best = lang
+    return expr
+
+
+def quality_features(c: str | Column) -> dict[str, Column]:
+    """Per-document quality signals (length / punctuation / stopword /
+    word-shape ratios — the classic pre-training quality heuristics)."""
+    col = F.col(c) if isinstance(c, str) else c
+    n_chars = F.length(col)
+    n_tok = token_count(col)
+    n_punct = F.regexp_count(col, F.lit(r"[^A-Za-z0-9\s]"))
+    n_stop = stopword_hits(col, "en")
+    avg_tok = F.when(n_tok > 0, n_chars.cast("double") / n_tok).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "punct_ratio": F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(
+            F.lit(0.0)
+        ),
+        "stopword_ratio": F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(
+            F.lit(0.0)
+        ),
+        "avg_token_len": avg_tok,
+    }
+
+
+def quality_score(c: str | Column) -> Column:
+    """Composite 0–1 quality score: in-range token count, sane average
+    token length, low punctuation density.  Weights are fixed so the
+    score is deterministic and oracle-shareable."""
+    f = quality_features(c)
+    len_ok = F.when((f["n_tokens"] >= 10) & (f["n_tokens"] <= 100000), 1.0).otherwise(
+        0.0
+    )
+    tok_ok = F.when(
+        (f["avg_token_len"] >= 2.0) & (f["avg_token_len"] <= 12.0), 1.0
+    ).otherwise(0.0)
+    punct_ok = F.when(f["punct_ratio"] <= 0.2, 1.0).otherwise(0.0)
+    return (0.4 * len_ok + 0.3 * tok_ok + 0.3 * punct_ok).cast("double")

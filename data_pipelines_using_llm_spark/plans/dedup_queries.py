@@ -1,3 +1,234 @@
-"""Deduplication query pack — filled by operators/dedup.py (task 5)."""
+"""Deduplication query pack over ``documents`` — exact, n-gram Jaccard,
+MinHash+LSH, SimHash — each with a DuckDB oracle GENERATED from the same
+constants as the Spark operators (operators/dedup.py), so hash family,
+shingle construction, banding, and thresholds cannot drift between engines.
+"""
 
-QUERIES: dict = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipelines_using_llm_spark.operators import dedup as DD
+from data_pipelines_using_llm_spark.operators.text import HASH_MOD
+from data_pipelines_using_llm_spark.registry import QuerySpec
+from data_pipelines_using_llm_spark.sources.tables import load_table
+
+NGRAM_N = 3
+JACCARD_THRESHOLD = 0.8
+SIMHASH_BITS = 20
+SIMHASH_MAX_HAMMING = 4
+LEN_BAND = 60
+
+# ---- DuckDB snippet builders mirroring operators/dedup.py ----
+
+_SQL_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')"
+_SQL_CHAR_HASH_G = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(g, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    f"(acc, x) -> (acc * 31 + x) % {HASH_MOD})"
+)
+
+
+def _sql_gram_strs(n: int = NGRAM_N) -> str:
+    # toks[i:i+n-1] is 1-based inclusive slicing -> n elements
+    return (
+        f"CASE WHEN len({_SQL_TOKS}) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len({_SQL_TOKS}) - {n - 2}), "
+        f"i -> array_to_string(({_SQL_TOKS})[i:i+{n - 1}], ' '))) "
+        f"ELSE [] END"
+    )
+
+
+def _sql_gram_hashes(n: int = NGRAM_N) -> str:
+    return (
+        f"list_distinct(list_transform({_sql_gram_strs(n)}, g -> {_SQL_CHAR_HASH_G}))"
+    )
+
+
+def _sql_minhash_el(i: int) -> str:
+    a, b = DD.MINHASH_COEFFS[i]
+    return (
+        f"coalesce(list_min(list_transform(grams, h -> (h * {a} + {b}) % {HASH_MOD})), "
+        f"{HASH_MOD})"
+    )
+
+
+def _sql_band_keys(n_bands: int = DD.DEFAULT_BANDS) -> list[str]:
+    k = len(DD.MINHASH_COEFFS)
+    r = k // n_bands
+    keys = []
+    for band in range(n_bands):
+        parts = ", ".join(
+            f"CAST({_sql_minhash_el(band * r + j)} AS VARCHAR)" for j in range(r)
+        )
+        keys.append(f"array_to_string([{parts}], '-')")
+    return keys
+
+
+_SQL_JACCARD = (
+    "round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / "
+    "(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6)"
+)
+_SQL_BUCKET = f"CAST(floor(doc_len / {LEN_BAND}.0) AS BIGINT)"
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one representative (min id)
+    per digest + copy count.  One shuffle on the digest; at 100 TB the
+    map-side partial agg means only distinct digests move."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("digest"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS digest,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (length-band blocked)."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(
+        d, "doc_id", "text", "n_chars",
+        n=NGRAM_N, threshold=JACCARD_THRESHOLD, len_band=LEN_BAND,
+    )
+
+
+DEDUP_NGRAM_JACCARD_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id, n_chars AS doc_len, {_sql_gram_strs()} AS grams
+    FROM documents
+), nonempty AS (
+    SELECT * FROM base WHERE len(grams) > 0
+), bucketed AS (
+    SELECT doc_id, doc_len, grams, u.bucket
+    FROM nonempty,
+         UNNEST([{_SQL_BUCKET}, {_SQL_BUCKET} + 1]) AS u(bucket)
+)
+SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       {_SQL_JACCARD} AS jaccard
+FROM bucketed a
+JOIN bucketed b
+  ON a.bucket = b.bucket
+ AND a.doc_id < b.doc_id
+ AND a.bucket = CAST(floor(a.doc_len / {LEN_BAND}.0) AS BIGINT)
+WHERE abs(a.doc_len - b.doc_len) <= {LEN_BAND}
+  AND {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (16 hashes, 4 bands × 4 rows), verified
+    with true Jaccard — the linear-ish scale path for corpus dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(
+        d, "doc_id", "text", n=NGRAM_N, threshold=JACCARD_THRESHOLD
+    )
+
+
+def _minhash_oracle() -> str:
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sigs"
+        for b, key in enumerate(_sql_band_keys())
+    )
+    return f"""
+WITH base AS (
+    SELECT doc_id, {_sql_gram_hashes()} AS grams FROM documents
+), sigs AS (
+    SELECT * FROM base WHERE len(grams) > 0
+), banded AS (
+{band_selects}
+), cand AS (
+    SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b
+    FROM banded l JOIN banded r
+      ON l.band_id = r.band_id AND l.band_key = r.band_key
+     AND l.doc_id < r.doc_id
+)
+SELECT doc_id_a, doc_id_b, {_SQL_JACCARD} AS jaccard
+FROM cand
+JOIN sigs a ON a.doc_id = cand.doc_id_a
+JOIN sigs b ON b.doc_id = cand.doc_id_b
+WHERE {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
+"""
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document SimHash signature (20-bit, over 3-gram shingles)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", DD.simhash("text", NGRAM_N, SIMHASH_BITS).alias("simhash")
+    )
+
+
+def _sql_simhash(bits: int = SIMHASH_BITS) -> str:
+    terms = []
+    for j in range(bits):
+        ones = f"list_sum(list_transform(grams, h -> (h >> {j}) & 1))"
+        terms.append(
+            f"(CAST(CASE WHEN {ones} * 2 > len(grams) THEN 1 ELSE 0 END AS BIGINT) << {j})"
+        )
+    return " + ".join(terms)
+
+
+SIMHASH_SIGNATURES_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id, {_sql_gram_hashes()} AS grams FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(grams) = 0 THEN 0 ELSE {_sql_simhash()} END AS simhash
+FROM base
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming ≤ 4 within length bands."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.simhash_pairs(
+        d, "doc_id", "text", "n_chars",
+        n=NGRAM_N, bits=SIMHASH_BITS,
+        max_hamming=SIMHASH_MAX_HAMMING, len_band=LEN_BAND,
+    )
+
+
+DEDUP_SIMHASH_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id, n_chars AS doc_len, {_sql_gram_hashes()} AS grams
+    FROM documents
+), sh AS (
+    SELECT doc_id, doc_len,
+           CASE WHEN len(grams) = 0 THEN 0 ELSE {_sql_simhash()} END AS sh
+    FROM base
+), bucketed AS (
+    SELECT doc_id, doc_len, sh, u.bucket
+    FROM sh, UNNEST([{_SQL_BUCKET}, {_SQL_BUCKET} + 1]) AS u(bucket)
+)
+SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM bucketed a
+JOIN bucketed b
+  ON a.bucket = b.bucket
+ AND a.doc_id < b.doc_id
+ AND a.bucket = CAST(floor(a.doc_len / {LEN_BAND}.0) AS BIGINT)
+WHERE abs(a.doc_len - b.doc_len) <= {LEN_BAND}
+  AND bit_count(xor(a.sh, b.sh)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+QUERIES = {
+    "dedup_exact_docs": QuerySpec(dedup_exact_docs, DEDUP_EXACT_ORACLE, "exact hash-groupBy dedup"),
+    "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_ORACLE, "3-gram Jaccard near-dup"),
+    "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _minhash_oracle(), "MinHash+LSH near-dup"),
+    "simhash_signatures": QuerySpec(simhash_signatures, SIMHASH_SIGNATURES_ORACLE, "SimHash signatures"),
+    "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_ORACLE, "SimHash near-dup pairs"),
+}

@@ -1,3 +1,169 @@
-"""Text-analysis query pack — filled by operators/text.py (task 7)."""
+"""Text-analysis query pack over the ``documents`` table (task: the
+training-data-pipeline text operators, each with a DuckDB oracle).
 
-QUERIES: dict = {}
+The oracle SQL mirrors operators/text.py expression-for-expression; shared
+constants (stopword lists, hash modulus, token regex) are injected from the
+same Python definitions so the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipelines_using_llm_spark.operators import text as TX
+from data_pipelines_using_llm_spark.registry import QuerySpec
+from data_pipelines_using_llm_spark.sources.tables import load_table
+
+# ---- DuckDB SQL snippet builders (kept next to the Spark expressions they
+# mirror; see operators/text.py) ----
+
+SQL_TOKENS = (
+    "list_filter(regexp_split_to_array(trim({col}), '\\s+'), x -> x != '')"
+)
+SQL_CHAR_HASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({s}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    f"(acc, x) -> (acc * 31 + x) % {TX.HASH_MOD})"
+)
+SQL_BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def sql_stop_hits(col: str, lang: str) -> str:
+    stops = ", ".join(f"'{w}'" for w in TX.STOPWORDS[lang])
+    toks = SQL_TOKENS.format(col=col)
+    return f"len(list_filter({toks}, x -> list_contains([{stops}], x)))"
+
+
+def sql_language_id(col: str) -> str:
+    langs = list(TX.STOPWORDS.keys())
+    hits = {lang: sql_stop_hits(col, lang) for lang in langs}
+    expr = "'und'"
+    for lang in reversed(langs):
+        conds = [f"{hits[lang]} > 0"]
+        for other in langs:
+            if langs.index(other) < langs.index(lang):
+                conds.append(f"{hits[lang]} > {hits[other]}")
+            elif other != lang:
+                conds.append(f"{hits[lang]} >= {hits[other]}")
+        expr = f"CASE WHEN {' AND '.join(conds)} THEN '{lang}' ELSE {expr} END"
+    return expr
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens + chars."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        TX.token_count("text").alias("n_tokens"),
+        TX.regex_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+DOC_TOKEN_STATS_ORACLE = f"""
+SELECT doc_id,
+       length(text)                                  AS n_chars,
+       CAST(len({SQL_TOKENS.format(col='text')}) AS INT)       AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{SQL_BPE_REGEX}')) AS INT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/stopword ratios + composite score."""
+    d = load_table(spark, sf_dir, "documents")
+    f = TX.quality_features("text")
+    return d.select(
+        "doc_id",
+        f["n_tokens"].alias("n_tokens"),
+        f["punct_ratio"].alias("punct_ratio"),
+        f["stopword_ratio"].alias("stopword_ratio"),
+        f["avg_token_len"].alias("avg_token_len"),
+        TX.quality_score("text").alias("quality_score"),
+    )
+
+
+_SQL_NTOK = f"len({SQL_TOKENS.format(col='text')})"
+_SQL_NPUNCT = r"len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))"
+DOC_QUALITY_ORACLE = f"""
+WITH feats AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           {_SQL_NTOK} AS n_tokens,
+           {_SQL_NPUNCT} AS n_punct,
+           {sql_stop_hits('text', 'en')} AS n_stop
+    FROM documents
+)
+SELECT doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END
+           AS punct_ratio,
+       CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END
+           AS stopword_ratio,
+       CASE WHEN n_tokens > 0 THEN CAST(n_chars AS DOUBLE) / n_tokens ELSE 0.0 END
+           AS avg_token_len,
+       0.4 * (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+       + 0.3 * (CASE WHEN n_tokens > 0
+                      AND CAST(n_chars AS DOUBLE) / n_tokens BETWEEN 2.0 AND 12.0
+                     THEN 1.0 ELSE 0.0 END)
+       + 0.3 * (CASE WHEN n_chars = 0
+                      OR CAST(n_punct AS DOUBLE) / n_chars <= 0.2
+                     THEN 1.0 ELSE 0.0 END) AS quality_score
+FROM feats
+"""
+
+
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document heuristic language ID (stopword-hit argmax)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        TX.language_id("text").alias("detected_lang"),
+    )
+
+
+DOC_LANGUAGE_ID_ORACLE = f"""
+SELECT doc_id, lang AS labeled_lang, {sql_language_id('text')} AS detected_lang
+FROM documents
+"""
+
+
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled-vs-detected language confusion counts (aggregate shape)."""
+    return (
+        doc_language_id(spark, sf_dir)
+        .groupBy("labeled_lang", "detected_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+LANG_CONFUSION_ORACLE = f"""
+SELECT lang AS labeled_lang, {sql_language_id('text')} AS detected_lang,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint of normalized text (exact-dup key)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint("text").alias("fingerprint"))
+
+
+_SQL_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+DOC_FINGERPRINTS_ORACLE = f"""
+SELECT doc_id, {SQL_CHAR_HASH.format(s=_SQL_NORM)} AS fingerprint
+FROM documents
+"""
+
+
+QUERIES = {
+    "doc_token_stats": QuerySpec(doc_token_stats, DOC_TOKEN_STATS_ORACLE, "token counting"),
+    "doc_quality_scores": QuerySpec(doc_quality_scores, DOC_QUALITY_ORACLE, "quality scoring"),
+    "doc_language_id": QuerySpec(doc_language_id, DOC_LANGUAGE_ID_ORACLE, "language ID"),
+    "lang_confusion": QuerySpec(lang_confusion, LANG_CONFUSION_ORACLE, "lang ID aggregate"),
+    "doc_fingerprints": QuerySpec(doc_fingerprints, DOC_FINGERPRINTS_ORACLE, "rolling-hash fingerprint"),
+}
