@@ -1,0 +1,333 @@
+"""Similarity search over embedding columns: brute-force cosine top-k,
+random-hyperplane LSH ANN, IVF cells with exact centroids, and
+embedding-cosine near-dup pairs.
+
+No reference counterpart (the reference corpus has no vector data at all —
+SURVEY.md §2.12); these are the beyond-reference similarity operators a
+training-data pipeline needs (BASELINE.json north star).  Everything is
+built-in Spark SQL higher-order functions — ``zip_with`` + ``aggregate``
+for dot products, JVM-side, no Python in the hot path — so every operator
+has an exact DuckDB oracle.
+
+Cross-engine exactness rules (the whole design):
+- dot products are SEQUENTIAL left folds over ``array<double>`` — Spark
+  ``aggregate(zip_with(a, b, *))`` and DuckDB
+  ``list_reduce(list_prepend(0.0, list_transform(...)))`` perform the same
+  IEEE-754 operations in the same order, so the resulting doubles are
+  bit-identical and downstream ranking ties out identically.
+- IVF centroids are means computed as exact DECIMAL sums divided by counts
+  (see functions/exact.py for why: double summation is order-dependent).
+- hyperplanes are small-integer vectors from a fixed LCG, shared verbatim
+  with the SQL builders in plans/similarity_queries.py.
+
+Scale shape: the embedding tables here are small (≤2000 rows), but every
+plan is written for the 100 TB case — the query set / hyperplanes /
+centroids are the broadcast side, the corpus is never collected, and the
+only shuffles are the LSH-bucket equi-join and the per-query top-k window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DIM = 64
+N_TABLES = 2
+N_PLANES = 8  # per table -> 256 buckets per table
+DEFAULT_K = 10
+
+
+def _lcg_ints(seed: int, n: int, lo: int = -16, hi: int = 16) -> list[int]:
+    """Deterministic small ints for hyperplane components (shared with the
+    DuckDB oracle builders, so both engines use identical hyperplanes)."""
+    x = seed
+    out: list[int] = []
+    for _ in range(n):
+        x = (1103515245 * x + 12345) % (2**31 - 1)
+        out.append(lo + x % (hi - lo + 1))
+    return out
+
+
+#: HYPERPLANES[t][j] is the j-th hyperplane of LSH table t (64 ints each).
+HYPERPLANES: list[list[list[int]]] = [
+    [_lcg_ints(seed=1_000 + t * 100 + j, n=DIM) for j in range(N_PLANES)]
+    for t in range(N_TABLES)
+]
+
+
+def to_double(c: str | Column) -> Column:
+    """float32 array -> array<double> (all arithmetic happens in double)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def plane_literal(plane: list[int]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in plane])
+
+
+def lsh_bucket(v: Column, table: int) -> Column:
+    """Random-hyperplane bucket id of LSH ``table``: bit j set iff
+    dot(v, H[table][j]) >= 0.  Integer hyperplanes keep the sign exact."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(HYPERPLANES[table]):
+        bit = (dot(v, plane_literal(plane)) >= 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, j)
+    return bucket
+
+
+def normed(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Project to (vec_id, v: array<double>, nrm) — the shared base of every
+    operator below (norm computed once, not per pair)."""
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        to_double(vec_col).alias("v"),
+        norm(to_double(vec_col)).alias("nrm"),
+    )
+
+
+def knn_brute_force(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_mod: int = 100,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Exact cosine top-k: every vec_id divisible by ``query_mod`` is a
+    query; neighbors ranked by cosine desc (id asc tiebreak), self excluded.
+
+    The query side is explicitly broadcast — at 100 TB the corpus streams
+    through the executors once, and the only shuffle is the per-query
+    top-k window (small: |queries| × |corpus-partition| rows pre-filtered
+    to k per partition by the window's rank).
+    """
+    base = normed(df, id_col, vec_col)
+    queries = base.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = F.broadcast(queries).join(
+        base, F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+def _bucketed(base: DataFrame) -> DataFrame:
+    """(vec_id, v, nrm) -> one row per LSH table with the bucket id."""
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"), lsh_bucket(F.col("v"), t).alias("bucket")
+            )
+            for t in range(N_TABLES)
+        ]
+    )
+    return base.select(
+        "vec_id", "v", "nrm", F.explode(tables).alias("tb")
+    ).select("vec_id", "v", "nrm", "tb.tbl", "tb.bucket")
+
+
+def knn_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_mod: int = 100,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH: candidates = corpus
+    vectors sharing any (table, bucket) with the query, then exact cosine
+    rank among candidates.  The scale path: the join is an equi-join on
+    (table, bucket) — work proportional to bucket collisions, never
+    |queries| × |corpus|."""
+    buck = _bucketed(normed(df, id_col, vec_col))
+    qb = buck.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        "tbl",
+        "bucket",
+    )
+    cand = (
+        F.broadcast(qb)
+        .join(buck, ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", "qnrm", "vec_id", "v", "nrm")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+def ivf_centroids(base: DataFrame, cell_col: str) -> DataFrame:
+    """Per-cell mean vector with ORDER-INDEPENDENT exact arithmetic:
+    posexplode -> decimal sum per (cell, pos) -> double division ->
+    re-assemble sorted by pos.  Identical bits on any partitioning and in
+    the DuckDB oracle."""
+    comp = base.select(
+        F.col(cell_col).alias("cell"), F.posexplode("v").alias("pos", "x")
+    )
+    sums = comp.groupBy("cell", "pos").agg(
+        F.sum(F.col("x").cast("decimal(28,10)")).cast("double").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        sums.select("cell", "pos", (F.col("s") / F.col("n")).alias("c"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cv")
+        )
+        .select("cell", "cv", norm(F.col("cv")).alias("cnrm"))
+    )
+
+
+def knn_ivf(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    query_mod: int = 100,
+    k: int = DEFAULT_K,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search with a provided coarse partition (``cell_col``): queries
+    probe the ``nprobe`` nearest cell centroids, exact cosine within probed
+    cells only.  At scale the corpus is hash-partitioned by cell and only
+    probed cells are scanned; centroids + queries broadcast."""
+    base = normed(df, id_col, vec_col).join(
+        df.select(F.col(id_col).alias("vec_id"), F.col(cell_col).alias("cell")),
+        "vec_id",
+    )
+    cents = ivf_centroids(base, "cell")
+    queries = base.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("cell")
+    )
+    probes = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qv",
+            "qnrm",
+            "cell",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cnrm"))).alias(
+                "ccos"
+            ),
+        )
+        .withColumn("crank", F.row_number().over(wprobe))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "qv", "qnrm", "cell")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(base, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-blocked: candidate pairs share
+    at least one (table, bucket); exact cosine filters.  Linear-ish in
+    corpus size for clustered data — the all-pairs product never happens."""
+    buck = _bucketed(normed(df, id_col, vec_col))
+    a = buck.alias("a")
+    b = buck.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            (
+                dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cos"),
+        )
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+        .filter(F.col("cos") >= threshold)
+        .select(
+            "vec_id_a", "vec_id_b", F.round("cos", 6).alias("cosine_sim")
+        )
+    )

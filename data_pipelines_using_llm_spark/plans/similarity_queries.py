@@ -1,3 +1,213 @@
-"""Similarity-search query pack — filled by operators/similarity.py (task 6)."""
+"""Similarity-search query pack over ``embeddings`` — brute-force cosine
+top-k, LSH ANN, IVF ANN, embedding-cosine near-dup pairs.
 
-QUERIES: dict = {}
+The DuckDB oracle SQL is GENERATED from the same constants as the Spark
+operators (operators/similarity.py): identical hyperplanes, identical
+sequential-fold dot products, identical decimal-exact centroids — so the
+resulting doubles are bit-identical across engines and rankings agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_pipelines_using_llm_spark.operators import similarity as SIM
+from data_pipelines_using_llm_spark.registry import QuerySpec
+from data_pipelines_using_llm_spark.sources.tables import load_table
+
+QUERY_MOD = 100
+K = SIM.DEFAULT_K
+NPROBE = 2
+PAIR_THRESHOLD = 0.4  # driver embeddings are near-orthogonal (max cos ~0.46)
+
+# ---- DuckDB snippet builders mirroring operators/similarity.py ----
+
+_TO_D = "list_transform({col}, x -> CAST(x AS DOUBLE))"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """Sequential left-fold dot product — same op order as Spark's
+    ``aggregate(zip_with(...))``, hence bit-identical doubles."""
+    return (
+        f"list_reduce(list_prepend(0.0, "
+        f"list_transform(range(1, {SIM.DIM + 1}), i -> ({a})[i] * ({b})[i])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _sql_plane(plane: list[int]) -> str:
+    return "[" + ", ".join(f"{float(v)}" for v in plane) + "]"
+
+
+def _sql_bucket(v: str, table: int) -> str:
+    bits = [
+        f"(CASE WHEN {_sql_dot(v, _sql_plane(plane))} >= 0 "
+        f"THEN CAST(1 AS BIGINT) << {j} ELSE 0 END)"
+        for j, plane in enumerate(SIM.HYPERPLANES[table])
+    ]
+    return " + ".join(bits)
+
+
+_SQL_BASE = f"""
+base AS (
+    SELECT vec_id, {_TO_D.format(col='embedding')} AS v
+    FROM embeddings
+), n AS (
+    SELECT vec_id, v, sqrt({_sql_dot('v', 'v')}) AS nrm FROM base
+)"""
+
+
+def _sql_banded() -> str:
+    selects = "\nUNION ALL\n".join(
+        f"SELECT vec_id, v, nrm, {t} AS tbl, {_sql_bucket('v', t)} AS bucket FROM n"
+        for t in range(SIM.N_TABLES)
+    )
+    return f"banded AS (\n{selects}\n)"
+
+
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 per query (query set: vec_id % 100 == 0)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_brute_force(e, "vec_id", "embedding", QUERY_MOD, K)
+
+
+KNN_BRUTE_FORCE_ORACLE = f"""
+WITH {_SQL_BASE},
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+      WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           {_sql_dot('q.qv', 'c.v')} / (q.qnrm * c.nrm) AS cos
+    FROM q JOIN n c ON c.vec_id != q.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine_sim,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {K}
+"""
+
+
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 (2 tables × 8 hyperplanes)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_lsh(e, "vec_id", "embedding", QUERY_MOD, K)
+
+
+def _knn_lsh_oracle() -> str:
+    return f"""
+WITH {_SQL_BASE},
+{_sql_banded()},
+qb AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, tbl, bucket
+       FROM banded WHERE vec_id % {QUERY_MOD} = 0),
+cand AS (
+    SELECT DISTINCT qb.query_id, qb.qv, qb.qnrm, c.vec_id, c.v, c.nrm
+    FROM qb JOIN banded c ON c.tbl = qb.tbl AND c.bucket = qb.bucket
+    WHERE c.vec_id != qb.query_id
+),
+scored AS (
+    SELECT query_id, vec_id AS neighbor_id,
+           {_sql_dot('qv', 'v')} / (qnrm * nrm) AS cos
+    FROM cand
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine_sim,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {K}
+"""
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: label cells, exact decimal centroids,
+    nprobe=2."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_ivf(e, "vec_id", "embedding", "label", QUERY_MOD, K, NPROBE)
+
+
+def _knn_ivf_oracle() -> str:
+    return f"""
+WITH {_SQL_BASE},
+lbl AS (SELECT n.vec_id, n.v, n.nrm, e.label AS cell
+        FROM n JOIN embeddings e ON e.vec_id = n.vec_id),
+comp AS (
+    SELECT cell, t.i AS pos, v[t.i] AS x
+    FROM lbl, range(1, {SIM.DIM + 1}) t(i)
+),
+sums AS (
+    SELECT cell, pos,
+           CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS s,
+           count(*) AS cnt
+    FROM comp GROUP BY cell, pos
+),
+cents AS (
+    SELECT cell, array_agg(s / cnt ORDER BY pos) AS cv FROM sums GROUP BY cell
+),
+cents_n AS (
+    SELECT cell, cv, sqrt({_sql_dot('cv', 'cv')}) AS cnrm FROM cents
+),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+      WHERE vec_id % {QUERY_MOD} = 0),
+probes AS (
+    SELECT query_id, qv, qnrm, cell,
+           row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_sql_dot('qv', 'cv')} / (qnrm * cnrm) DESC, cell
+           ) AS crank
+    FROM q CROSS JOIN cents_n
+),
+scored AS (
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+           {_sql_dot('p.qv', 'c.v')} / (p.qnrm * c.nrm) AS cos
+    FROM probes p JOIN lbl c ON c.cell = p.cell
+    WHERE p.crank <= {NPROBE} AND c.vec_id != p.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine_sim,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {K}
+"""
+
+
+def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH-blocked, cosine >= 0.4)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_pairs(e, "vec_id", "embedding", PAIR_THRESHOLD)
+
+
+def _pairs_oracle() -> str:
+    return f"""
+WITH {_SQL_BASE},
+{_sql_banded()},
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_id_a, a.v AS va, a.nrm AS na,
+                    b.vec_id AS vec_id_b, b.v AS vb, b.nrm AS nb
+    FROM banded a JOIN banded b
+      ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_id_a, vec_id_b,
+       round({_sql_dot('va', 'vb')} / (na * nb), 6) AS cosine_sim
+FROM cand
+WHERE {_sql_dot('va', 'vb')} / (na * nb) >= {PAIR_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "knn_brute_force": QuerySpec(knn_brute_force, KNN_BRUTE_FORCE_ORACLE, "exact cosine top-k"),
+    "knn_lsh": QuerySpec(knn_lsh, _knn_lsh_oracle(), "LSH ANN top-k"),
+    "knn_ivf": QuerySpec(knn_ivf, _knn_ivf_oracle(), "IVF ANN top-k"),
+    "embedding_cosine_pairs": QuerySpec(embedding_cosine_pairs, _pairs_oracle(), "cosine near-dup pairs"),
+}

@@ -1,0 +1,41 @@
+"""Similarity operators: shape and non-vacuousness (oracle equivalence is
+covered by test_oracle.py; these assert the queries return real work)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipelines_using_llm_spark.plans import similarity_queries as SQ
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_brute_force_k_per_query(spark):
+    df = SQ.knn_brute_force(spark, SF_DIR)
+    per_q = df.groupBy("query_id").count().collect()
+    assert len(per_q) == 5  # vec_ids 0,100,...,400 at sf0.001
+    assert all(r["count"] == SQ.K for r in per_q)
+    assert df.filter(F.col("cosine_sim") > 1.0).count() == 0
+
+
+def test_lsh_subset_of_brute_force_candidates(spark):
+    """LSH neighbors are a subset of the corpus and ranks are contiguous."""
+    df = SQ.knn_lsh(spark, SF_DIR).cache()
+    assert df.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+    ranks = (
+        df.groupBy("query_id")
+        .agg(F.max("rank").alias("mx"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert all(r["mx"] == r["n"] for r in ranks)  # 1..n dense
+
+
+def test_ivf_returns_neighbors(spark):
+    df = SQ.knn_ivf(spark, SF_DIR)
+    assert df.groupBy("query_id").count().count() == 5
+
+
+def test_cosine_pairs_nonempty_and_canonical(spark):
+    df = SQ.embedding_cosine_pairs(spark, SF_DIR).cache()
+    assert df.count() > 0
+    assert df.filter(F.col("vec_id_a") >= F.col("vec_id_b")).count() == 0
