@@ -1,0 +1,79 @@
+"""Structured-Streaming ingestion of the ``events`` table.
+
+The reference has NO streaming surface (SURVEY.md §2.11 — its closest
+analogue is incremental batch append, `First experiment/Claude Opus 4.py:129`);
+this module is the §7.2 extension: the same event pipeline expressed as a
+real `readStream` job.  Every query here runs the stream with
+``Trigger.AvailableNow`` into a memory sink and returns the result as a
+batch DataFrame, so the streaming operators stay inside the DuckDB oracle
+gate: the streaming semantics (watermarks, windows, state) are real, and
+on bounded input the results must equal the batch SQL.
+
+Scale shape: file-source streams partition per file/split exactly like
+batch scans; windowed aggs shuffle once on (group key, window); state is
+per-key in the state store.  Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: events.parquet stores ts as parquet TIMESTAMP(NANOS); the streaming
+#: reader (like sources/tables.py::load_table) reads it as long under the
+#: legacy nanosAsLong conf and truncates to microseconds.
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (one file == one batch
+    under AvailableNow; in production this is a directory of arriving
+    files or a Kafka topic with the same downstream plan)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sdf = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_table(
+    sdf: DataFrame,
+    spark: SparkSession,
+    name: str,
+    output_mode: str,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion (AvailableNow) into a
+    memory sink and return the materialized result as a batch DataFrame."""
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = query.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(f"streaming query {name} exceeded {timeout_sec}s")
+    finally:
+        query.stop()
+    return spark.table(name)

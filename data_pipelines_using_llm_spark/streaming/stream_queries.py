@@ -1,3 +1,257 @@
-"""Structured-Streaming query pack — filled by streaming/ingest.py (task 8)."""
+"""Structured-Streaming query pack: tumbling / sliding / session windows,
+watermark dedup, and a custom stateful operator (applyInPandasWithState).
 
-QUERIES: dict = {}
+Each query executes a REAL streaming job (readStream → transform →
+writeStream, AvailableNow trigger, memory sink) and returns the final
+table; on the bounded test input the result must equal the batch oracle
+SQL, which is how streaming semantics stay inside the driver's
+correctness gate.  See streaming/ingest.py for the source adapter.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+from data_pipelines_using_llm_spark.registry import QuerySpec
+from data_pipelines_using_llm_spark.streaming.ingest import run_to_table, stream_events
+
+SESSION_GAP_MIN = 30
+
+
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed counts/sums per event_type with a
+    10-minute watermark (complete output => bounded result equals the
+    batch group-by; the watermark is real and bounds state in update
+    deployments)."""
+    sdf = stream_events(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_table(agg, spark, "dpls_stream_hourly_counts", "complete")
+
+
+STREAM_HOURLY_COUNTS_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (1 h window, 30 min slide) per-type averages — each
+    event contributes to exactly two overlapping windows."""
+    sdf = stream_events(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("value")
+            ).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+    return run_to_table(agg, spark, "dpls_stream_sliding_avg", "complete")
+
+
+# every event lands in exactly two 30-min-aligned windows of width 1 h:
+# the one starting at its own 30-min floor and the one 30 min earlier
+STREAM_SLIDING_AVG_ORACLE = """
+WITH floored AS (
+    SELECT *,
+           date_trunc('hour', ts)
+           + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                  ELSE INTERVAL 0 MINUTE END AS f30
+    FROM events
+),
+slid AS (
+    SELECT f.*, u.window_start
+    FROM floored f,
+         UNNEST([f30, f30 - INTERVAL 30 MINUTE]) AS u(window_start)
+)
+SELECT window_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value
+FROM slid
+GROUP BY 1, 2
+"""
+
+
+def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-minute inactivity gap): built-in
+    ``session_window`` — session end extends to last event + gap."""
+    sdf = stream_events(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "10 minutes")
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_table(agg, spark, "dpls_stream_user_sessions", "complete")
+
+
+# gaps-and-islands replica of session_window: a new session starts when the
+# gap to the previous event of the same user exceeds SESSION_GAP_MIN;
+# session end = last event + gap (session_window semantics)
+STREAM_USER_SESSIONS_ORACLE = f"""
+WITH flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     <= INTERVAL {SESSION_GAP_MIN} MINUTE
+                THEN 0 ELSE 1 END AS new_session
+    FROM events
+),
+numbered AS (
+    SELECT *, sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS session_no
+    FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM numbered
+GROUP BY user_id, session_no
+"""
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingestion guard: drop event_id duplicates arriving
+    within the watermark (state bounded by the 1-hour horizon; the batch
+    equivalent is keyed dedup, SURVEY.md §2.4 D4)."""
+    sdf = stream_events(spark, sf_dir)
+    deduped = (
+        sdf.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    return run_to_table(deduped, spark, "dpls_stream_dedup_events", "append")
+
+
+# event_ids are unique per table generation, so keyed streaming dedup must
+# return every row exactly once regardless of arrival order
+STREAM_DEDUP_ORACLE = """
+SELECT event_id, user_id, event_type, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY ts) = 1
+"""
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("sum_cents", LongType()),
+    ]
+)
+_STATEFUL_OUT_SCHEMA = (
+    "user_id long, n_events long, sum_value double"
+)
+
+
+def _user_stats_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: per-user running totals.  Money is summed
+    as integer cents so the emitted double is order-independent and
+    bit-identical to the oracle's DECIMAL sum."""
+    if state.exists:
+        n_events, sum_cents = state.get
+    else:
+        n_events, sum_cents = 0, 0
+    for pdf in pdfs:
+        n_events += len(pdf)
+        sum_cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+    state.update((n_events, sum_cents))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n_events],
+            "sum_value": [sum_cents / 100.0],
+        }
+    )
+
+
+def stream_user_stats_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-stateful streaming aggregation via applyInPandasWithState
+    (the extension hook for rate-limited / LLM-batch operators): per-user
+    event counts + exact value totals."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sdf = stream_events(spark, sf_dir)
+    stats = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_stats_fn,
+            outputStructType=_STATEFUL_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_table(stats, spark, "dpls_stream_user_stats", "append")
+
+
+STREAM_USER_STATS_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "stream_hourly_counts": QuerySpec(stream_hourly_counts, STREAM_HOURLY_COUNTS_ORACLE, "tumbling window agg"),
+    "stream_sliding_avg": QuerySpec(stream_sliding_avg, STREAM_SLIDING_AVG_ORACLE, "sliding window agg"),
+    "stream_user_sessions": QuerySpec(stream_user_sessions, STREAM_USER_SESSIONS_ORACLE, "session windows"),
+    "stream_dedup_events": QuerySpec(stream_dedup_events, STREAM_DEDUP_ORACLE, "watermark dedup"),
+    "stream_user_stats_stateful": QuerySpec(stream_user_stats_stateful, STREAM_USER_STATS_ORACLE, "applyInPandasWithState"),
+}
