@@ -28,6 +28,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Imported lazily so `import data_pipelines_using_llm_spark` stays cheap.
     from data_pipelines_using_llm_spark.plans import (
         dedup_queries,
+        multimodal_queries,
         pipelines,
         quality_queries,
         relational,
@@ -43,6 +44,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup_queries,
         similarity_queries,
         text_queries,
+        multimodal_queries,
         pipelines,
         stream_queries,
     ):
