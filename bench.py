@@ -17,6 +17,7 @@ import sys
 import time
 
 HEADLINE = [
+    # relational / medallion core
     "q1_pricing_summary",
     "region_revenue",
     "monthly_sales_gold",
@@ -25,6 +26,17 @@ HEADLINE = [
     "merged_orders_silver",
     "quality_report_events",
     "monthly_event_gold",
+    # training-data operators: dedup / text / similarity / multimodal
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "doc_quality_scores",
+    "doc_fingerprints",
+    "knn_brute_force",
+    "knn_lsh",
+    "media_decode_stats",
+    # streaming
+    "stream_hourly_counts",
 ]
 
 

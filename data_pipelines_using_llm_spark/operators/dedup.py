@@ -55,8 +55,55 @@ def ngram_set(c: str | Column, n: int = 3) -> Column:
 
 
 def ngram_hashes(c: str | Column, n: int = 3) -> Column:
-    """Distinct n-gram shingle hashes — input to MinHash/SimHash."""
-    return F.array_distinct(F.transform(ngram_set(c, n), char_hash))
+    """Distinct n-gram shingle hashes as an inline column expression.
+
+    Prefer :func:`gram_hash_df` in DataFrame pipelines — this inline form
+    re-evaluates the whole tokenize+hash chain wherever the column is
+    referenced (Catalyst collapses projections), which measured ~50x slower
+    in the LSH pipeline.
+    """
+    return _gram_fold(F.transform(tokens(c), char_hash), n)
+
+
+def _gram_fold(th: Column, n: int = 3) -> Column:
+    """Shingle hashes from a token-hash array: each gram combines ``n``
+    consecutive token hashes with the same 31-polynomial used for chars
+    (g = ((th1*31 + th2) % M)*31 + th3 ... % M).  Hashing per TOKEN once
+    and folding longs per gram is ~10x cheaper than re-hashing every
+    character of every gram string."""
+    def one_gram(i: Column) -> Column:
+        g = F.element_at(th, i)
+        for j in range(1, n):
+            g = (g * 31 + F.element_at(th, i + j)) % HASH_MOD
+        return g
+
+    grams = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), F.size(th) - (n - 1)), one_gram)
+    )
+    return F.when(F.size(th) >= n, grams).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
+def gram_hash_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id[, extras], grams) with token hashes MATERIALIZED before the
+    gram fold.  The persist barrier makes ``th`` a stored column, so the
+    per-gram ``element_at`` lookups are array reads — without it Catalyst
+    inlines the token-hash expression into every reference."""
+    th_df = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in extra_cols],
+        F.transform(tokens(text_col), char_hash).alias("th"),
+    ).persist()
+    return th_df.select(
+        "doc_id", *extra_cols, _gram_fold(F.col("th"), n).alias("grams")
+    )
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -125,14 +172,20 @@ def minhash_lsh_pairs(
     all-pairs.  The verify join re-fetches the two shingle sets by id —
     two hash-shuffles on the id, each row tiny.
     """
-    base = df.select(
-        F.col(id_col).alias("doc_id"), ngram_hashes(text_col, n).alias("grams")
-    ).filter(F.size("grams") > 0)
-    sigs = base.select(
-        "doc_id", "grams", lsh_bands(minhash_signature(F.col("grams")), n_bands).alias("bands")
+    # Materialize the shingle sets ONCE.  Without the persist barriers,
+    # Catalyst's projection collapse inlines the shingle expression into
+    # every one of the 16 minhash aggregates (and both join sides),
+    # re-tokenizing and re-hashing each document ~20x — measured 50x
+    # slower at sf0.1.  At 100 TB this materialization is the standard
+    # "write the signature table" stage of an LSH pipeline.
+    base = (
+        gram_hash_df(df, id_col, text_col, n)
+        .filter(F.size("grams") > 0)
+        .persist()
     )
+    sigs = base.withColumn("sig", minhash_signature(F.col("grams"))).persist()
     banded = sigs.select(
-        "doc_id", F.explode("bands").alias("band")
+        "doc_id", F.explode(lsh_bands(F.col("sig"), n_bands)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
 
     left = banded.alias("l")
@@ -174,7 +227,9 @@ def ngram_jaccard_pairs(
     len_band: int = 60,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs with length-band blocking —
-    the correctness baseline the LSH path approximates.
+    the correctness baseline the LSH path approximates.  Jaccard is
+    computed over HASHED shingles (standard shingle hashing: 8-byte longs
+    shuffle and intersect ~4x faster than the gram strings).
 
     Blocking on overlapping length buckets keeps the join equi-key (each
     doc lands in 2 buckets of width ``len_band``; pairs are checked once
@@ -182,11 +237,14 @@ def ngram_jaccard_pairs(
     cartesian product.  Still quadratic WITHIN a bucket — use the LSH
     variant when buckets are hot.
     """
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(len_col).alias("doc_len"),
-        ngram_set(text_col, n).alias("grams"),
-    ).filter(F.size("grams") > 0)
+    # persist: stop projection collapse from inlining the shingle
+    # expression into both join sides and the jaccard evaluation
+    base = (
+        gram_hash_df(df, id_col, text_col, n, extra_cols=(len_col,))
+        .withColumnRenamed(len_col, "doc_len")
+        .filter(F.size("grams") > 0)
+        .persist()
+    )
 
     # each doc joins buckets floor(len/band) and floor(len/band)+1 so any
     # pair within `len_band` of each other shares at least one bucket
@@ -212,22 +270,42 @@ def ngram_jaccard_pairs(
             & (F.col("a.bucket") == (F.col("a.doc_len") / len_band).cast("long")),
         )
         .filter(F.abs(F.col("a.doc_len") - F.col("b.doc_len")) <= len_band)
+        # J >= t implies min/max set-size ratio >= t: O(1) guard that skips
+        # the O(|A|+|B|) intersection for most candidate pairs
+        .filter(
+            (F.size("a.grams") >= threshold * F.size("b.grams"))
+            & (F.size("b.grams") >= threshold * F.size("a.grams"))
+        )
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
-            F.round(jaccard(F.col("a.grams"), F.col("b.grams")), 6).alias("jaccard"),
+            F.size(F.array_intersect("a.grams", "b.grams")).alias("inter"),
+            F.size("a.grams").alias("sa"),
+            F.size("b.grams").alias("sb"),
         )
-        .distinct()
-        .filter(F.col("jaccard") >= threshold)
+        # persist: without this barrier, predicate pushdown rewrites the
+        # threshold filter in terms of array_intersect and the jaccard
+        # projection references it twice more — 4 intersect evaluations
+        # per pair instead of 1
+        .persist()
     )
-    return pairs
+    union = F.col("sa") + F.col("sb") - F.col("inter")
+    return (
+        # no distinct needed: the bucket-ownership rule yields each pair
+        # exactly once, and skipping it avoids shuffling every scored pair
+        pairs.select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(F.col("inter").cast("double") / union, 6).alias("jaccard"),
+        ).filter(F.col("jaccard") >= threshold)
+    )
 
 
-def simhash(c: str | Column, n: int = 3, bits: int = 20) -> Column:
-    """SimHash over n-gram shingle hashes: bit j is set when more than half
-    the shingles have bit j set.  ``bits`` kept small because the shingle
-    hashes carry ~30 bits of entropy."""
-    grams = ngram_hashes(c, n)
+def simhash_from_grams(grams: Column, bits: int = 20) -> Column:
+    """SimHash over a (materialized) shingle-hash column: bit j is set when
+    more than half the shingles have bit j set.  ``grams`` MUST be a
+    stored column (see ``simhash_df``), not an inline expression — the
+    ``bits`` independent aggregates would each re-evaluate it."""
     n_grams = F.size(grams)
 
     def ones_fn(j: int):
@@ -239,6 +317,27 @@ def simhash(c: str | Column, n: int = 3, bits: int = 20) -> Column:
         bit_j = (ones * 2 > n_grams).cast("long")
         total = total + F.shiftleft(bit_j, j)
     return total
+
+
+def simhash_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    bits: int = 20,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id[, extras], sh) with the shingle sets materialized once —
+    the persist barrier keeps the ``bits`` aggregates reading a stored
+    array instead of re-tokenizing the document per bit."""
+    base = gram_hash_df(df, id_col, text_col, n, extra_cols=extra_cols).persist()
+    return base.select(
+        "doc_id",
+        *extra_cols,
+        F.when(F.size("grams") == 0, F.lit(0).cast("long"))
+        .otherwise(simhash_from_grams(F.col("grams"), bits))
+        .alias("sh"),
+    )
 
 
 def simhash_pairs(
@@ -253,11 +352,9 @@ def simhash_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs: hamming distance ≤ ``max_hamming`` within
     length-band blocks (same bucketing as :func:`ngram_jaccard_pairs`)."""
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(len_col).alias("doc_len"),
-        simhash(text_col, n, bits).alias("sh"),
-    )
+    base = simhash_df(
+        df, id_col, text_col, n, bits, extra_cols=(len_col,)
+    ).withColumnRenamed(len_col, "doc_len")
     bucketed = base.select(
         "doc_id",
         "doc_len",
@@ -284,6 +381,6 @@ def simhash_pairs(
             F.col("b.doc_id").alias("doc_id_b"),
             F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
         )
-        .distinct()
+        # bucket-ownership rule => pairs are already unique; no distinct
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -23,26 +23,27 @@ LEN_BAND = 60
 # ---- DuckDB snippet builders mirroring operators/dedup.py ----
 
 _SQL_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')"
-_SQL_CHAR_HASH_G = (
+_SQL_CHAR_HASH_W = (
     "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-    "list_transform(string_split(g, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))), "
     f"(acc, x) -> (acc * 31 + x) % {HASH_MOD})"
 )
+#: token-hash array (computed once per document in a CTE — mirrors the
+#: materialized ``th`` column of operators/dedup.py::gram_hash_df)
+SQL_TOKEN_HASHES = f"list_transform({_SQL_TOKS}, w -> {_SQL_CHAR_HASH_W})"
 
 
-def _sql_gram_strs(n: int = NGRAM_N) -> str:
-    # toks[i:i+n-1] is 1-based inclusive slicing -> n elements
+def _sql_gram_fold(n: int = NGRAM_N) -> str:
+    """Shingle hash = 31-polynomial fold of ``n`` consecutive token hashes
+    (identical to operators/dedup.py::_gram_fold); expects a CTE column
+    ``th`` holding the token-hash array."""
+    g = "th[i]"
+    for j in range(1, n):
+        g = f"(({g}) * 31 + th[i + {j}]) % {HASH_MOD}"
     return (
-        f"CASE WHEN len({_SQL_TOKS}) >= {n} THEN "
-        f"list_distinct(list_transform(range(1, len({_SQL_TOKS}) - {n - 2}), "
-        f"i -> array_to_string(({_SQL_TOKS})[i:i+{n - 1}], ' '))) "
+        f"CASE WHEN len(th) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len(th) - {n - 2}), i -> {g})) "
         f"ELSE [] END"
-    )
-
-
-def _sql_gram_hashes(n: int = NGRAM_N) -> str:
-    return (
-        f"list_distinct(list_transform({_sql_gram_strs(n)}, g -> {_SQL_CHAR_HASH_G}))"
     )
 
 
@@ -64,6 +65,15 @@ def _sql_band_keys(n_bands: int = DD.DEFAULT_BANDS) -> list[str]:
         )
         keys.append(f"array_to_string([{parts}], '-')")
     return keys
+
+
+def _sql_grams_cte(extra: str = "") -> str:
+    """Shared CTE prefix: token hashes once per doc, then the gram fold."""
+    return f"""tok AS (
+    SELECT doc_id{extra}, {SQL_TOKEN_HASHES} AS th FROM documents
+), base AS (
+    SELECT * EXCLUDE (th), {_sql_gram_fold()} AS grams FROM tok
+)"""
 
 
 _SQL_JACCARD = (
@@ -106,10 +116,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_NGRAM_JACCARD_ORACLE = f"""
-WITH base AS (
-    SELECT doc_id, n_chars AS doc_len, {_sql_gram_strs()} AS grams
-    FROM documents
-), nonempty AS (
+WITH {_sql_grams_cte(", n_chars AS doc_len")}, nonempty AS (
     SELECT * FROM base WHERE len(grams) > 0
 ), bucketed AS (
     SELECT doc_id, doc_len, grams, u.bucket
@@ -143,9 +150,7 @@ def _minhash_oracle() -> str:
         for b, key in enumerate(_sql_band_keys())
     )
     return f"""
-WITH base AS (
-    SELECT doc_id, {_sql_gram_hashes()} AS grams FROM documents
-), sigs AS (
+WITH {_sql_grams_cte()}, sigs AS (
     SELECT * FROM base WHERE len(grams) > 0
 ), banded AS (
 {band_selects}
@@ -166,8 +171,8 @@ WHERE {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document SimHash signature (20-bit, over 3-gram shingles)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", DD.simhash("text", NGRAM_N, SIMHASH_BITS).alias("simhash")
+    return DD.simhash_df(d, "doc_id", "text", NGRAM_N, SIMHASH_BITS).select(
+        "doc_id", F.col("sh").alias("simhash")
     )
 
 
@@ -182,9 +187,7 @@ def _sql_simhash(bits: int = SIMHASH_BITS) -> str:
 
 
 SIMHASH_SIGNATURES_ORACLE = f"""
-WITH base AS (
-    SELECT doc_id, {_sql_gram_hashes()} AS grams FROM documents
-)
+WITH {_sql_grams_cte()}
 SELECT doc_id,
        CASE WHEN len(grams) = 0 THEN 0 ELSE {_sql_simhash()} END AS simhash
 FROM base
@@ -202,10 +205,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_SIMHASH_ORACLE = f"""
-WITH base AS (
-    SELECT doc_id, n_chars AS doc_len, {_sql_gram_hashes()} AS grams
-    FROM documents
-), sh AS (
+WITH {_sql_grams_cte(", n_chars AS doc_len")}, sh AS (
     SELECT doc_id, doc_len,
            CASE WHEN len(grams) = 0 THEN 0 ELSE {_sql_simhash()} END AS sh
     FROM base
