@@ -198,8 +198,50 @@ GROUP BY 1
 """
 
 
+def summary_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 summary statistics (the reference's ``df.summary()`` /
+    ``describe()``, ``Second Experiment/GPT 5.py:141-142``) computed in ONE
+    grouped pass with order-independent moments: decimal-exact sum and
+    sum-of-squares, stddev derived in double by the same expression on
+    both engines (bit-identical)."""
+    d = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    n = F.count("value")
+    sx = F.sum(dec).cast("double")
+    sx2 = F.sum(dec * dec).cast("double")
+    return d.groupBy("event_type").agg(
+        n.alias("n_values"),
+        (sx / n).alias("mean_value"),
+        F.sqrt((sx2 - sx * sx / n) / (n - F.lit(1))).alias("std_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+SUMMARY_STATS_ORACLE = """
+WITH s AS (
+    SELECT event_type,
+           count(value) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(value AS DECIMAL(18,2))
+                    * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY event_type
+)
+SELECT event_type,
+       n AS n_values,
+       sx / n AS mean_value,
+       sqrt((sx2 - sx * sx / n) / (n - 1)) AS std_value,
+       min_value,
+       max_value
+FROM s
+"""
+
+
 QUERIES = {
     "null_profile_events": QuerySpec(null_profile_events, NULL_PROFILE_ORACLE, "Q1 one-pass null profile"),
+    "summary_stats_events": QuerySpec(summary_stats_events, SUMMARY_STATS_ORACLE, "A6 one-pass summary statistics"),
     "null_rate_report_events": QuerySpec(null_rate_report_events, NULL_RATE_REPORT_ORACLE, "Q1 tall null-rate report"),
     "duplicate_stats_events": QuerySpec(duplicate_stats_events, DUPLICATE_STATS_ORACLE, "Q2 dup stats"),
     "duplicate_profile_user_day": QuerySpec(duplicate_profile_user_day, DUPLICATE_PROFILE_ORACLE, "Q2 top dup keys"),
