@@ -431,7 +431,69 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 """
 
 
+def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (the §2.5 temporal extension — no reference counterpart):
+    attach to every ``purchase`` event the user's most recent preceding
+    ``click`` (inclusive).  Implemented union+window (operators/asof.py):
+    one shuffle on user_id, no range-join explosion."""
+    from data_pipelines_using_llm_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # unique predecessor per (user, ts): keep the highest event_id
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_event_id"),
+            F.col("value").alias("click_value"),
+        )
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("user_id", "click_ts").orderBy(
+                F.col("click_event_id").desc()
+            )
+        ))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        value_cols=["click_event_id", "click_ts", "click_value"],
+    )
+
+
+PURCHASE_CLICK_ATTRIBUTION_ORACLE = """
+WITH clicks AS (
+    SELECT user_id, ts AS click_ts, event_id AS click_event_id,
+           value AS click_value
+    FROM events
+    WHERE event_type = 'click'
+    QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                               ORDER BY event_id DESC) = 1
+)
+SELECT p.event_id, p.user_id, p.ts,
+       c.click_event_id, c.click_ts, c.click_value
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+"""
+
+
 QUERIES = {
+    "purchase_click_attribution": QuerySpec(
+        purchase_click_attribution,
+        PURCHASE_CLICK_ATTRIBUTION_ORACLE,
+        "as-of join (union+window)",
+    ),
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_ORACLE, "A1/A2 grouped multi-agg"),
     "monthly_sales_gold": QuerySpec(monthly_sales_gold, MONTHLY_SALES_ORACLE, "SE gold monthly rollup"),
     "region_revenue": QuerySpec(region_revenue, REGION_REVENUE_ORACLE, "J1/J2 multi-join rollup"),

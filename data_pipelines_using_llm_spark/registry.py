@@ -28,6 +28,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Imported lazily so `import data_pipelines_using_llm_spark` stays cheap.
     from data_pipelines_using_llm_spark.plans import (
         dedup_queries,
+        llm_queries,
         multimodal_queries,
         pipelines,
         quality_queries,
@@ -45,6 +46,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity_queries,
         text_queries,
         multimodal_queries,
+        llm_queries,
         pipelines,
         stream_queries,
     ):
