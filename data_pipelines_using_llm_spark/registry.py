@@ -34,6 +34,7 @@ def all_queries() -> dict[str, QuerySpec]:
         quality_queries,
         relational,
         similarity_queries,
+        skew_queries,
         text_queries,
     )
     from data_pipelines_using_llm_spark.streaming import stream_queries
@@ -47,6 +48,7 @@ def all_queries() -> dict[str, QuerySpec]:
         text_queries,
         multimodal_queries,
         llm_queries,
+        skew_queries,
         pipelines,
         stream_queries,
     ):

@@ -1,0 +1,125 @@
+"""Property-based tests (hypothesis) for the operators whose correctness
+arguments are subtle: as-of join semantics, salting's semantics
+preservation, and the shingle-hash fold."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_pipelines_using_llm_spark.operators.asof import asof_join
+from data_pipelines_using_llm_spark.operators.dedup import gram_hash_df
+from data_pipelines_using_llm_spark.operators.skew import salted_agg
+from data_pipelines_using_llm_spark.operators.text import HASH_MOD
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_left = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=12
+)
+rows_right = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(-5, 5)),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda r: (r[0], r[1]),  # asof needs a unique predecessor
+)
+
+
+@settings(**SETTINGS)
+@given(left=rows_left, right=rows_right)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid int, k int, ts int"
+    )
+    rdf = spark.createDataFrame(right, "k int, rts int, val int") if right else (
+        spark.createDataFrame([], "k int, rts int, val int")
+    )
+    out = {
+        r["lid"]: r["val"]
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="rts", value_cols=["val"]
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        preds = [(rt, v) for (rk, rt, v) in right if rk == k and rt <= t]
+        expected = max(preds)[1] if preds else None
+        assert out[i] == expected, (i, k, t, preds)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(-100, 100)),
+        min_size=1,
+        max_size=30,
+    ),
+    n_salts=st.integers(1, 7),
+)
+def test_salted_agg_equals_plain_groupby(spark, rows, n_salts):
+    df = spark.createDataFrame(rows, "k int, uid int, x int")
+    salted = {
+        (r["k"]): (r["n"], r["s"])
+        for r in salted_agg(
+            df,
+            key="k",
+            salt_from="uid",
+            partial_aggs=[F.count(F.lit(1)).alias("_n"), F.sum("x").alias("_s")],
+            final_aggs=[F.sum("_n").alias("n"), F.sum("_s").alias("s")],
+            n_salts=n_salts,
+        ).collect()
+    }
+    plain = {
+        (r["k"]): (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def _py_gram_hashes(text: str, n: int = 3) -> list[int]:
+    toks = [t for t in re.split(r"\s+", text.strip()) if t]
+    th = []
+    for w in toks:
+        h = 0
+        for ch in w:
+            h = (h * 31 + ord(ch)) % HASH_MOD
+        th.append(h)
+    if len(th) < n:
+        return []
+    grams = []
+    for i in range(len(th) - n + 1):
+        g = th[i]
+        for j in range(1, n):
+            g = (g * 31 + th[i + j]) % HASH_MOD
+        grams.append(g)
+    seen: list[int] = []
+    for g in grams:  # array_distinct keeps first-seen order; order-free compare anyway
+        if g not in seen:
+            seen.append(g)
+    return seen
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc XY ", min_size=0, max_size=40), min_size=1, max_size=8
+    )
+)
+def test_gram_fold_matches_python_model(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: sorted(r["grams"])
+        for r in gram_hash_df(df, "doc_id", "text").collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == sorted(_py_gram_hashes(t)), (i, t)
