@@ -60,6 +60,33 @@ def main() -> int:
         timings[name] = round(time.perf_counter() - t0, 4)
     total = round(time.perf_counter() - t_all, 4)
 
+    # Per-stage medallion instrumentation — the reference's
+    # fetch/transform/aggregate/write timing shape
+    # (Second Experiment/Claude Opus 4.py:43-52), values recorded this time.
+    import tempfile
+
+    from data_pipelines_using_llm_spark.plans.pipelines import (
+        monthly_event_gold,
+        silver_events,
+    )
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+
+    stages: dict[str, float] = {}
+    t0 = time.perf_counter()
+    load_table(spark, sf_dir, "events").write.format("noop").mode("overwrite").save()
+    stages["fetch"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    silver_events(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    stages["transform"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    gold = monthly_event_gold(spark, sf_dir)
+    gold.write.format("noop").mode("overwrite").save()
+    stages["aggregate"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    with tempfile.TemporaryDirectory() as tmp:
+        gold.write.mode("overwrite").parquet(f"{tmp}/gold")
+    stages["write"] = round(time.perf_counter() - t0, 4)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -68,6 +95,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "stages": stages,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -140,7 +140,55 @@ WHERE o_totalprice IS NOT NULL
 """
 
 
+def columnar_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+S3+S4 end-to-end, driver-checkable: build hourly-style
+    struct-of-arrays JSON payloads from ``events`` IN-PLAN (one payload per
+    user-day, arrays sorted for determinism), then ingest them back through
+    the native ``from_json`` + ``posexplode(arrays_zip(...))`` adapter
+    (sources/columnar_json.py — the distributed replacement for the
+    reference's driver-side pivot, ``First experiment/Claude Opus
+    4.py:53-84``).  The round trip proves the parse path: output rows must
+    equal the source events at the payload's minute granularity."""
+    from data_pipelines_using_llm_spark.sources.columnar_json import (
+        ISO_HOURLY_FORMAT,
+        flatten_hourly,
+    )
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    per_day = (
+        events.groupBy("user_id", F.date_trunc("day", "ts").alias("_day"))
+        .agg(F.array_sort(F.collect_list(F.struct("ts", "value"))).alias("_sa"))
+        .select(
+            "user_id",
+            F.to_json(
+                F.struct(
+                    F.struct(
+                        F.transform(
+                            "_sa", lambda x: F.date_format(x["ts"], ISO_HOURLY_FORMAT)
+                        ).alias("time"),
+                        F.transform("_sa", lambda x: x["value"]).alias("value"),
+                    ).alias("hourly")
+                )
+            ).alias("payload"),
+        )
+    )
+    rows = flatten_hourly(per_day, metrics=["value"], keep_cols=["user_id"])
+    return rows.select("user_id", "event_time", "value")
+
+
+COLUMNAR_JSON_INGEST_ORACLE = """
+SELECT user_id, date_trunc('minute', ts) AS event_time, value
+FROM events
+WHERE ts IS NOT NULL
+"""
+
+
 QUERIES = {
+    "columnar_json_ingest": QuerySpec(
+        columnar_json_ingest,
+        COLUMNAR_JSON_INGEST_ORACLE,
+        "S2-S4 columnar-JSON round trip",
+    ),
     "silver_events": QuerySpec(silver_events, SILVER_EVENTS_ORACLE, "archetype 1: bronze→silver"),
     "monthly_event_gold": QuerySpec(monthly_event_gold, MONTHLY_EVENT_GOLD_ORACLE, "archetype 2: silver→gold"),
     "merged_orders_silver": QuerySpec(merged_orders_silver, MERGED_ORDERS_SILVER_ORACLE, "archetype 3: join silver"),

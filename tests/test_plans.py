@@ -1,0 +1,65 @@
+"""Physical-plan quality gates: the properties that make these queries
+scale are asserted here so a regression (lost pushdown, lost broadcast, an
+accidental cartesian product) fails CI, not a 100 TB run."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from data_pipelines_using_llm_spark.registry import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = all_queries()[name].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_scan_prunes_columns(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    # 7 needed columns of lineitem's 16 — comment must not scan the rest
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema and "l_comment" not in read_schema
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = _plan(spark, "region_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_aggregates_are_partial_before_exchange(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "partial_sum" in plan  # map-side combine present
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "region_revenue",
+        "merged_orders_silver",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "salted_nation_revenue",
+        "purchase_click_attribution",
+    ],
+)
+def test_no_cartesian_products(spark, name):
+    assert "CartesianProduct" not in _plan(spark, name)
+
+
+def test_knn_broadcasts_query_side(spark):
+    plan = _plan(spark, "knn_brute_force")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
