@@ -3,5 +3,6 @@ from data_pipelines_using_llm_spark.sinks.writers import (  # noqa: F401
     compact_table,
     ensure_table,
     idempotent_upsert,
+    write_bucketed,
     write_table,
 )

@@ -147,6 +147,29 @@ def idempotent_upsert(
     os.rename(tmp, path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    n_buckets: int = 32,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog table for co-located joins — the 100 TB strategy
+    the reference never needed: two fact tables bucketed on the join key
+    with the same bucket count sort-merge-join with NO shuffle exchange
+    (tests/test_sinks.py asserts the exchange-free plan).
+
+    Bucketing is the parquet/catalog analogue of Delta's clustering
+    maintenance (K7): pay one shuffle at write time, skip it on every
+    subsequent join/aggregation on the bucket key.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.format("parquet").saveAsTable(table)
+
+
 def compact_table(
     spark: SparkSession,
     path: str,

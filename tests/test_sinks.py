@@ -123,3 +123,40 @@ def test_compact_table(spark, feed, tmp_path):
     n_after = len([f for f in os.listdir(path) if f.startswith("part-")])
     assert n_after < n_before
     assert spark.read.parquet(path).count() == 6
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Co-located bucketed join: both sides bucketed on the key with the
+    same bucket count => sort-merge join with NO exchange in the plan."""
+    import contextlib
+    import io
+
+    from data_pipelines_using_llm_spark.sinks import write_bucketed
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(orders, "t_orders_b", ["o_custkey"], n_buckets=4)
+        write_bucketed(
+            customer.withColumnRenamed("c_custkey", "o_custkey"),
+            "t_customer_b",
+            ["o_custkey"],
+            n_buckets=4,
+        )
+        # force a shuffle join so bucketing (not broadcast) is what's tested
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_orders_b").join(spark.table("t_customer_b"), "o_custkey")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == orders.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_customer_b")
