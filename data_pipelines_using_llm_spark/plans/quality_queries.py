@@ -239,9 +239,34 @@ FROM s
 """
 
 
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type (both engines use the
+    same ``pos = p*(n-1)`` linear interpolation, so doubles agree).  At
+    100 TB swap ``percentile`` for ``percentile_approx`` (t-digest sketch,
+    single pass, mergeable partials) — same plan shape, bounded error."""
+    d = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return d.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+
+
+VALUE_PERCENTILES_ORACLE = """
+SELECT event_type,
+       quantile_cont(value, 0.5)  AS p50,
+       quantile_cont(value, 0.9)  AS p90,
+       quantile_cont(value, 0.99) AS p99
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "null_profile_events": QuerySpec(null_profile_events, NULL_PROFILE_ORACLE, "Q1 one-pass null profile"),
     "summary_stats_events": QuerySpec(summary_stats_events, SUMMARY_STATS_ORACLE, "A6 one-pass summary statistics"),
+    "value_percentiles": QuerySpec(value_percentiles, VALUE_PERCENTILES_ORACLE, "exact percentiles (approx at scale)"),
     "null_rate_report_events": QuerySpec(null_rate_report_events, NULL_RATE_REPORT_ORACLE, "Q1 tall null-rate report"),
     "duplicate_stats_events": QuerySpec(duplicate_stats_events, DUPLICATE_STATS_ORACLE, "Q2 dup stats"),
     "duplicate_profile_user_day": QuerySpec(duplicate_profile_user_day, DUPLICATE_PROFILE_ORACLE, "Q2 top dup keys"),

@@ -488,7 +488,38 @@ ASOF LEFT JOIN clicks c
 """
 
 
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() window extension (§2.7 — the reference's only window fn is
+    row_number): inter-event gap in seconds per user, the base signal for
+    sessionization and anomaly detection."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_seconds"),
+    )
+
+
+USER_EVENT_GAPS_ORACLE = """
+SELECT user_id, event_id, ts,
+       epoch(date_trunc('second', ts))
+       - epoch(date_trunc('second',
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
+           AS gap_seconds
+FROM events
+WHERE ts IS NOT NULL
+"""
+
+
 QUERIES = {
+    "user_event_gaps": QuerySpec(
+        user_event_gaps, USER_EVENT_GAPS_ORACLE, "lag window: inter-event gaps"
+    ),
     "purchase_click_attribution": QuerySpec(
         purchase_click_attribution,
         PURCHASE_CLICK_ATTRIBUTION_ORACLE,
