@@ -183,7 +183,36 @@ WHERE ts IS NOT NULL
 """
 
 
+def silver_events_lenient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's LENIENT cleaning variant (keep rows with ANY metric
+    present — ``First experiment/Claude Sonnet 4.py:325-341`` — plus
+    full-row DISTINCT dedup, D5 ``:329-341``), as opposed to
+    silver_events' strict drop-any-null policy."""
+    from data_pipelines_using_llm_spark.operators.cleaning import (
+        dedup_full_row,
+        keep_if_any_present,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    kept = keep_if_any_present(events, ["value", "props"])
+    return dedup_full_row(
+        kept.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+
+
+SILVER_EVENTS_LENIENT_ORACLE = """
+SELECT DISTINCT event_id, ts, user_id, event_type, value, props
+FROM events
+WHERE value IS NOT NULL OR props IS NOT NULL
+"""
+
+
 QUERIES = {
+    "silver_events_lenient": QuerySpec(
+        silver_events_lenient,
+        SILVER_EVENTS_LENIENT_ORACLE,
+        "lenient clean policy + full-row dedup",
+    ),
     "columnar_json_ingest": QuerySpec(
         columnar_json_ingest,
         COLUMNAR_JSON_INGEST_ORACLE,

@@ -147,6 +147,19 @@ def idempotent_upsert(
     os.rename(tmp, path)
 
 
+def register_view(
+    spark: SparkSession, name: str, df: DataFrame, global_view: bool = False
+) -> None:
+    """K6 view creation (``CREATE OR REPLACE [TEMP] VIEW`` /
+    ``createOrReplaceTempView``, ``First experiment/Claude Sonnet
+    4.py:330-334,660-678``): persists the QUERY, re-planned per read — the
+    monitoring-view pattern (plans/quality_queries.py holds the bodies)."""
+    if global_view:
+        df.createOrReplaceGlobalTempView(name)
+    else:
+        df.createOrReplaceTempView(name)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
