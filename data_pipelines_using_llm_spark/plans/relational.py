@@ -516,7 +516,59 @@ WHERE ts IS NOT NULL
 """
 
 
+BIG_ORDER_THRESHOLD = 400_000
+
+
+def customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-SEMI join (§2.5 note: join kinds beyond inner come free from
+    ``df.join(how=...)``): customers having at least one order above the
+    threshold.  Semi joins ship only the join key of the right side —
+    at scale the filtered orders' keys are a fraction of the fact table."""
+    customer = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > BIG_ORDER_THRESHOLD
+    )
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+CUSTOMERS_WITH_BIG_ORDERS_ORACLE = f"""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > {BIG_ORDER_THRESHOLD})
+"""
+
+
+def customers_no_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-ANTI join: the complement set (no order above threshold)."""
+    customer = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > BIG_ORDER_THRESHOLD
+    )
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+CUSTOMERS_NO_BIG_ORDERS_ORACLE = f"""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > {BIG_ORDER_THRESHOLD})
+"""
+
+
 QUERIES = {
+    "customers_with_big_orders": QuerySpec(
+        customers_with_big_orders, CUSTOMERS_WITH_BIG_ORDERS_ORACLE, "left-semi join"
+    ),
+    "customers_no_big_orders": QuerySpec(
+        customers_no_big_orders, CUSTOMERS_NO_BIG_ORDERS_ORACLE, "left-anti join"
+    ),
     "user_event_gaps": QuerySpec(
         user_event_gaps, USER_EVENT_GAPS_ORACLE, "lag window: inter-event gaps"
     ),

@@ -47,19 +47,32 @@ def fetch_url_table(
     url_col: str = "url",
     fetcher: Callable[[str], str] | None = None,
     on_error: str = "null",
+    max_retries: int = 0,
 ) -> DataFrame:
     """Scale path: fetch every URL of a table on the executors.
 
     ``mapInPandas`` keeps Arrow batching; each task fetches its partition's
-    URLs sequentially (repartition the input to tune fan-out).  Errors
-    either produce NULL payloads (quality operators surface them) or
-    re-raise (``on_error='raise'``).
+    URLs sequentially (repartition the input to tune fan-out).  Transient
+    errors retry with bounded exponential backoff (``max_retries``); final
+    errors either produce NULL payloads (quality operators surface them)
+    or re-raise (``on_error='raise'``).
     """
     import pandas as pd
 
+    from data_pipelines_using_llm_spark.operators.llm import call_with_retry
+
     if on_error not in ("null", "raise"):
         raise ValueError("on_error must be 'null' or 'raise'")
-    fetch = fetcher or default_fetcher
+    base_fetch = fetcher or default_fetcher
+
+    class _OneShot:
+        def complete(self, prompts: list[str]) -> list[str]:
+            return [base_fetch(u) for u in prompts]
+
+    def fetch(u: str) -> str:
+        if max_retries <= 0:
+            return base_fetch(u)
+        return call_with_retry(_OneShot(), [u], max_retries=max_retries)[0][0]
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in urls.schema.fields]
         + ["payload string"]

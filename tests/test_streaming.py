@@ -88,3 +88,40 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     assert out[base] == (2, 2.0), out
     # the 20:00 window never crossed the watermark -> not emitted in append
     assert base + dt.timedelta(hours=10) not in out
+
+
+def test_streaming_medallion_idempotent_rerun(spark, tmp_path):
+    """Streaming bronze -> silver with exactly-once semantics: foreachBatch
+    feeds the idempotent upsert sink, so replaying the whole stream (fresh
+    checkpoint) leaves silver unchanged — the streaming answer to the
+    reference's double-append hazard (SURVEY.md section 4.3.6)."""
+    from data_pipelines_using_llm_spark.sinks import idempotent_upsert
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+    from data_pipelines_using_llm_spark.streaming.ingest import stream_events
+
+    sf_dir = "/root/testdata/sf0.001"
+    silver = str(tmp_path / "silver")
+
+    def sink(batch_df, _batch_id):
+        idempotent_upsert(
+            spark,
+            batch_df.select("event_id", "ts", "user_id", "event_type", "value"),
+            silver,
+            key=["event_id"],
+        )
+
+    for run in range(2):  # second run replays the same data
+        q = (
+            stream_events(spark, sf_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / f"cp{run}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(300)
+        finally:
+            q.stop()
+
+    expected = load_table(spark, sf_dir, "events").count()
+    assert spark.read.parquet(silver).count() == expected
