@@ -221,67 +221,60 @@ def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    len_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    len_band: int = 60,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs with length-band blocking —
-    the correctness baseline the LSH path approximates.  Jaccard is
-    computed over HASHED shingles (standard shingle hashing: 8-byte longs
-    shuffle and intersect ~4x faster than the gram strings).
-
-    Blocking on overlapping length buckets keeps the join equi-key (each
-    doc lands in 2 buckets of width ``len_band``; pairs are checked once
-    via the bucket-ownership rule), so this stays a hash join, not a
-    cartesian product.  Still quadratic WITHIN a bucket — use the LSH
-    variant when buckets are hot.
+    """EXACT n-gram Jaccard near-dup pairs via prefix filtering — the
+    correctness baseline the LSH path approximates, with zero blocking
+    loss: if J(A,B) >= t, the sorted ``(1-t)|A|+1``-element prefixes of A
+    and B must share an element (the set-similarity-join prefix-filter
+    theorem), so joining on exploded prefix tokens finds every qualifying
+    pair while candidate volume stays proportional to prefix-token
+    collisions, never all-pairs.  Jaccard is computed over HASHED shingles
+    (8-byte longs shuffle and intersect ~4x faster than gram strings).
     """
-    # persist: stop projection collapse from inlining the shingle
+    # persist barriers: stop projection collapse from inlining the shingle
     # expression into both join sides and the jaccard evaluation
     base = (
-        gram_hash_df(df, id_col, text_col, n, extra_cols=(len_col,))
-        .withColumnRenamed(len_col, "doc_len")
+        gram_hash_df(df, id_col, text_col, n)
         .filter(F.size("grams") > 0)
+        .select("doc_id", F.array_sort("grams").alias("grams"))
         .persist()
     )
 
-    # each doc joins buckets floor(len/band) and floor(len/band)+1 so any
-    # pair within `len_band` of each other shares at least one bucket
-    bucketed = base.select(
+    prefix = base.select(
         "doc_id",
-        "doc_len",
-        "grams",
         F.explode(
-            F.array(
-                F.floor(F.col("doc_len") / len_band).cast("long"),
-                F.floor(F.col("doc_len") / len_band).cast("long") + 1,
+            F.expr(
+                f"slice(grams, 1, CAST(floor((1 - {threshold}) * size(grams)) AS INT) + 1)"
             )
-        ).alias("bucket"),
+        ).alias("g"),
     )
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+
+    ga = base.select(F.col("doc_id").alias("doc_id_a"), F.col("grams").alias("grams_a"))
+    gb = base.select(F.col("doc_id").alias("doc_id_b"), F.col("grams").alias("grams_b"))
     pairs = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # bucket-ownership: count each pair once, in the lower doc's bucket
-            & (F.col("a.bucket") == (F.col("a.doc_len") / len_band).cast("long")),
-        )
-        .filter(F.abs(F.col("a.doc_len") - F.col("b.doc_len")) <= len_band)
+        cand.join(ga, "doc_id_a")
+        .join(gb, "doc_id_b")
         # J >= t implies min/max set-size ratio >= t: O(1) guard that skips
         # the O(|A|+|B|) intersection for most candidate pairs
         .filter(
-            (F.size("a.grams") >= threshold * F.size("b.grams"))
-            & (F.size("b.grams") >= threshold * F.size("a.grams"))
+            (F.size("grams_a") >= threshold * F.size("grams_b"))
+            & (F.size("grams_b") >= threshold * F.size("grams_a"))
         )
         .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-            F.size(F.array_intersect("a.grams", "b.grams")).alias("inter"),
-            F.size("a.grams").alias("sa"),
-            F.size("b.grams").alias("sb"),
+            "doc_id_a",
+            "doc_id_b",
+            F.size(F.array_intersect("grams_a", "grams_b")).alias("inter"),
+            F.size("grams_a").alias("sa"),
+            F.size("grams_b").alias("sb"),
         )
         # persist: without this barrier, predicate pushdown rewrites the
         # threshold filter in terms of array_intersect and the jaccard
@@ -291,8 +284,6 @@ def ngram_jaccard_pairs(
     )
     union = F.col("sa") + F.col("sb") - F.col("inter")
     return (
-        # no distinct needed: the bucket-ownership rule yields each pair
-        # exactly once, and skipping it avoids shuffling every scored pair
         pairs.select(
             "doc_id_a",
             "doc_id_b",

@@ -107,31 +107,30 @@ GROUP BY 1
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (length-band blocked)."""
+    """Exact 3-gram Jaccard near-dup pairs (prefix-filtered, lossless)."""
     d = load_table(spark, sf_dir, "documents")
     return DD.ngram_jaccard_pairs(
-        d, "doc_id", "text", "n_chars",
-        n=NGRAM_N, threshold=JACCARD_THRESHOLD, len_band=LEN_BAND,
+        d, "doc_id", "text", n=NGRAM_N, threshold=JACCARD_THRESHOLD
     )
 
 
 DEDUP_NGRAM_JACCARD_ORACLE = f"""
-WITH {_sql_grams_cte(", n_chars AS doc_len")}, nonempty AS (
-    SELECT * FROM base WHERE len(grams) > 0
-), bucketed AS (
-    SELECT doc_id, doc_len, grams, u.bucket
+WITH {_sql_grams_cte()}, nonempty AS (
+    SELECT doc_id, list_sort(grams) AS grams FROM base WHERE len(grams) > 0
+), pref AS (
+    SELECT doc_id, u.g
     FROM nonempty,
-         UNNEST([{_SQL_BUCKET}, {_SQL_BUCKET} + 1]) AS u(bucket)
+         UNNEST(grams[1 : CAST(floor((1 - {JACCARD_THRESHOLD}) * len(grams)) AS INT) + 1])
+             AS u(g)
+), cand AS (
+    SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b
+    FROM pref l JOIN pref r ON l.g = r.g AND l.doc_id < r.doc_id
 )
-SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-       {_SQL_JACCARD} AS jaccard
-FROM bucketed a
-JOIN bucketed b
-  ON a.bucket = b.bucket
- AND a.doc_id < b.doc_id
- AND a.bucket = CAST(floor(a.doc_len / {LEN_BAND}.0) AS BIGINT)
-WHERE abs(a.doc_len - b.doc_len) <= {LEN_BAND}
-  AND {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
+SELECT doc_id_a, doc_id_b, {_SQL_JACCARD} AS jaccard
+FROM cand
+JOIN nonempty a ON a.doc_id = cand.doc_id_a
+JOIN nonempty b ON b.doc_id = cand.doc_id_b
+WHERE {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
 """
 
 
