@@ -26,10 +26,13 @@ HEADLINE = [
     "merged_orders_silver",
     "quality_report_events",
     "monthly_event_gold",
-    # training-data operators: dedup / text / similarity / multimodal
+    "revenue_rollup",
+    # training-data operators: dedup / text / similarity / multimodal / llm
     "dedup_exact_docs",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "llm_summarize_docs",
     "doc_quality_scores",
     "doc_fingerprints",
     "knn_brute_force",

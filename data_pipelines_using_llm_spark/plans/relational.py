@@ -516,6 +516,37 @@ WHERE ts IS NOT NULL
 """
 
 
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (§2.6 extension — the reference has no
+    grouping sets): order revenue at (year, month), (year), and grand
+    total levels in ONE pass; subtotal rows carry NULL group keys and a
+    grouping_id discriminator.  Catalyst expands the grouping sets before
+    the shuffle, so it stays a single aggregation job."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup(
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("revenue"),
+            F.grouping_id().alias("level"),
+        )
+    )
+
+
+REVENUE_ROLLUP_ORACLE = """
+SELECT year(o_orderdate) AS o_year,
+       month(o_orderdate) AS o_month,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       grouping(year(o_orderdate)) * 2 + grouping(month(o_orderdate)) AS level
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+"""
+
+
 BIG_ORDER_THRESHOLD = 400_000
 
 
@@ -563,6 +594,9 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 
 
 QUERIES = {
+    "revenue_rollup": QuerySpec(
+        revenue_rollup, REVENUE_ROLLUP_ORACLE, "ROLLUP grouping-sets totals"
+    ),
     "customers_with_big_orders": QuerySpec(
         customers_with_big_orders, CUSTOMERS_WITH_BIG_ORDERS_ORACLE, "left-semi join"
     ),
