@@ -263,8 +263,33 @@ GROUP BY event_type
 """
 
 
+def sql_bronze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-first entry point (SURVEY.md §3 entry 2): the quality
+    report expressed as a ``spark.sql`` string over registered views —
+    the reference's only query-language frontend is f-string SQL
+    (``First experiment/Claude Sonnet 4.py:229-233,475-497``).  Identical
+    text runs on DuckDB, so the oracle IS the query."""
+    from data_pipelines_using_llm_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, names=("events",))
+    return spark.sql(SQL_BRONZE_STATS)
+
+
+SQL_BRONZE_STATS = """
+SELECT count(*) AS total_records,
+       count(DISTINCT user_id) AS distinct_users,
+       date_trunc('minute', min(ts)) AS min_minute,
+       date_trunc('minute', max(ts)) AS max_minute,
+       count(CASE WHEN value IS NOT NULL THEN 1 END) AS value_present,
+       round(count(CASE WHEN value IS NOT NULL THEN 1 END)
+             * CAST(100 AS DOUBLE) / count(*), 4) AS value_completeness_pct
+FROM events
+"""
+
+
 QUERIES = {
     "null_profile_events": QuerySpec(null_profile_events, NULL_PROFILE_ORACLE, "Q1 one-pass null profile"),
+    "sql_bronze_stats": QuerySpec(sql_bronze_stats, SQL_BRONZE_STATS, "SQL-first entry point (A4)"),
     "summary_stats_events": QuerySpec(summary_stats_events, SUMMARY_STATS_ORACLE, "A6 one-pass summary statistics"),
     "value_percentiles": QuerySpec(value_percentiles, VALUE_PERCENTILES_ORACLE, "exact percentiles (approx at scale)"),
     "null_rate_report_events": QuerySpec(null_rate_report_events, NULL_RATE_REPORT_ORACLE, "Q1 tall null-rate report"),
