@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_pipelines_using_llm_spark.functions.exact import exact_avg, exact_sum
+from data_pipelines_using_llm_spark.functions.exact import exact_avg
 from data_pipelines_using_llm_spark.operators.cleaning import clean
 from data_pipelines_using_llm_spark.registry import QuerySpec
 from data_pipelines_using_llm_spark.sources.tables import load_table
