@@ -516,6 +516,31 @@ WHERE ts IS NOT NULL
 """
 
 
+def props_k_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions (§2.10 — the reference parses ALL JSON in
+    driver Python; here ``get_json_object`` extracts executor-side, fully
+    pushdown/codegen-friendly): per-type stats of the ``props.k`` field."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.count(k).alias("n_with_props"),
+        F.sum(k).alias("sum_k"),
+        (F.sum(k).cast("double") / F.count(k)).alias("avg_k"),
+    )
+
+
+PROPS_K_STATS_ORACLE = """
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_props,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+           / count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (§2.6 extension — the reference has no
     grouping sets): order revenue at (year, month), (year), and grand
@@ -594,6 +619,9 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 
 
 QUERIES = {
+    "props_k_stats": QuerySpec(
+        props_k_stats, PROPS_K_STATS_ORACLE, "JSON field extraction + agg"
+    ),
     "revenue_rollup": QuerySpec(
         revenue_rollup, REVENUE_ROLLUP_ORACLE, "ROLLUP grouping-sets totals"
     ),
