@@ -298,6 +298,83 @@ def knn_ivf(
     )
 
 
+def dist2(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a sequential fold (bit-identical to the
+    oracle's list_reduce, like :func:`dot`)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd's k-means with deterministic seeding (centroids = vectors
+    with the ``k`` lowest ids) and ORDER-INDEPENDENT centroid updates
+    (decimal-exact per-dimension means, see :func:`ivf_centroids`).
+
+    The iterative shape on Spark: each round is (broadcast centroids →
+    argmin assign → decimal mean update), persisted per round so the next
+    round's plan starts from materialized state instead of re-deriving the
+    whole lineage.  At 100 TB: assignments are a map-side broadcast join,
+    updates one shuffle on (cluster, dim) — the canonical distributed
+    k-means step.  Ties in the argmin break to the lowest cluster id, so
+    assignments are deterministic and oracle-checkable.
+    """
+    base = df.select(
+        F.col(id_col).alias("vec_id"), to_double(vec_col).alias("v")
+    ).persist()
+    cents = base.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    for _ in range(iters):
+        assigned = (
+            base.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id", "v", "cid", dist2(F.col("v"), F.col("cv")).alias("d2")
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .persist()
+        )
+        comp = assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+        cents = (
+            comp.groupBy("cid", "pos")
+            .agg(
+                F.sum(F.col("x").cast("decimal(28,10)")).cast("double").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select("cid", "pos", (F.col("s") / F.col("n")).alias("c"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"],
+                ).alias("cv")
+            )
+        )
+    # final assignment against the last updated centroids
+    return (
+        base.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", dist2(F.col("v"), F.col("cv")).alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster_id"),
+            F.round(F.sqrt("d2"), 6).alias("dist"),
+        )
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str,

@@ -205,7 +205,71 @@ WHERE {_sql_dot('va', 'vb')} / (na * nb) >= {PAIR_THRESHOLD}
 """
 
 
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=10, 2 iterations, deterministic seeding) over
+    the embeddings — the iterative-algorithm shape on Spark, with the
+    iterations unrolled into CTEs on the oracle side."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.kmeans_assign(e, "vec_id", "embedding", k=10, iters=2)
+
+
+def _sql_d2(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, "
+        f"list_transform(range(1, {SIM.DIM + 1}), "
+        f"i -> (({a})[i] - ({b})[i]) * (({a})[i] - ({b})[i]))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _kmeans_oracle(k: int = 10, iters: int = 2) -> str:
+    ctes = [
+        f"base AS (SELECT vec_id, {_TO_D.format(col='embedding')} AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < {k})",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"""a{it} AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT vec_id, v, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM (SELECT b.vec_id, b.v, c.cid, {_sql_d2('b.v', 'c.cv')} AS d2
+              FROM base b CROSS JOIN {prev} c)
+    ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""s{it} AS (
+    SELECT cid, t.i AS pos,
+           CAST(sum(CAST(v[t.i] AS DECIMAL(28,10))) AS DOUBLE) AS s,
+           count(*) AS n
+    FROM a{it}, range(1, {SIM.DIM + 1}) t(i)
+    GROUP BY cid, t.i
+)"""
+        )
+        ctes.append(
+            f"c{it} AS (SELECT cid, array_agg(s / n ORDER BY pos) AS cv "
+            f"FROM s{it} GROUP BY cid)"
+        )
+        prev = f"c{it}"
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined},
+scored AS (
+    SELECT b.vec_id, c.cid, {_sql_d2('b.v', 'c.cv')} AS d2
+    FROM base b CROSS JOIN {prev} c
+)
+SELECT vec_id, cid AS cluster_id, round(sqrt(d2), 6) AS dist
+FROM (SELECT vec_id, cid, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "kmeans_clusters": QuerySpec(kmeans_clusters, _kmeans_oracle(), "Lloyd's k-means (2 iters)"),
     "knn_brute_force": QuerySpec(knn_brute_force, KNN_BRUTE_FORCE_ORACLE, "exact cosine top-k"),
     "knn_lsh": QuerySpec(knn_lsh, _knn_lsh_oracle(), "LSH ANN top-k"),
     "knn_ivf": QuerySpec(knn_ivf, _knn_ivf_oracle(), "IVF ANN top-k"),
