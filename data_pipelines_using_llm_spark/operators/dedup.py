@@ -292,6 +292,54 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_id_a",
+    dst: str = "doc_id_b",
+    iters: int = 4,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph — the dedup
+    endgame: every document of a duplicate cluster maps to the cluster's
+    minimum doc_id, so "keep one per component" is a single filter.
+
+    Min-label propagation: each round every vertex takes the minimum label
+    among itself and its neighbors; after ``iters`` rounds labels are
+    correct for components of diameter <= iters (near-dup clusters are
+    tiny cliques/chains — 4 rounds is generous; raise for pathological
+    graphs).  Each round is one shuffle (groupBy vertex); the classic
+    large-scale formulation.  The labels DataFrame is persisted per round
+    so round N+1 starts from materialized state.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = und.select(F.col("a").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    ).persist()
+    for _ in range(iters):
+        neighbor_min = (
+            und.join(labels, und.b == labels.v)
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.v == neighbor_min.a, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component_id"))
+
+
 def simhash_from_grams(grams: Column, bits: int = 20) -> Column:
     """SimHash over a (materialized) shingle-hash column: bit j is set when
     more than half the shingles have bit j set.  ``grams`` MUST be a

@@ -143,13 +143,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_parts() -> tuple[str, str]:
+    """(CTE list, final SELECT) of the MinHash-LSH oracle — split so other
+    oracles (connected components) can embed the pair query as a CTE."""
     band_selects = "\nUNION ALL\n".join(
         f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sigs"
         for b, key in enumerate(_sql_band_keys())
     )
-    return f"""
-WITH {_sql_grams_cte()}, sigs AS (
+    ctes = f"""{_sql_grams_cte()}, sigs AS (
     SELECT * FROM base WHERE len(grams) > 0
 ), banded AS (
 {band_selects}
@@ -158,13 +159,18 @@ WITH {_sql_grams_cte()}, sigs AS (
     FROM banded l JOIN banded r
       ON l.band_id = r.band_id AND l.band_key = r.band_key
      AND l.doc_id < r.doc_id
-)
-SELECT doc_id_a, doc_id_b, {_SQL_JACCARD} AS jaccard
+)"""
+    select = f"""SELECT doc_id_a, doc_id_b, {_SQL_JACCARD} AS jaccard
 FROM cand
 JOIN sigs a ON a.doc_id = cand.doc_id_a
 JOIN sigs b ON b.doc_id = cand.doc_id_b
-WHERE {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
-"""
+WHERE {_SQL_JACCARD} >= {JACCARD_THRESHOLD}"""
+    return ctes, select
+
+
+def _minhash_oracle() -> str:
+    ctes, select = _minhash_parts()
+    return f"\nWITH {ctes}\n{select}\n"
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,8 +230,43 @@ WHERE abs(a.doc_len - b.doc_len) <= {LEN_BAND}
 """
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: connected components over the
+    MinHash-LSH pair graph (min-label propagation, 4 rounds) — every doc
+    in a duplicate cluster maps to the cluster's minimum doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        d, "doc_id", "text", n=NGRAM_N, threshold=JACCARD_THRESHOLD
+    )
+    return DD.connected_components(pairs)
+
+
+def _components_oracle() -> str:
+    ctes, select = _minhash_parts()
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS ({select}),
+und AS (
+    SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+    UNION
+    SELECT doc_id_b, doc_id_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM und
+    UNION
+    SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+verts AS (SELECT DISTINCT a AS v FROM und)
+SELECT verts.v AS doc_id,
+       least(verts.v, coalesce(min(reach.b), verts.v)) AS component_id
+FROM verts LEFT JOIN reach ON reach.a = verts.v
+GROUP BY verts.v
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": QuerySpec(dedup_exact_docs, DEDUP_EXACT_ORACLE, "exact hash-groupBy dedup"),
+    "dedup_components": QuerySpec(dedup_components, _components_oracle(), "near-dup connected components"),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_ORACLE, "3-gram Jaccard near-dup"),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _minhash_oracle(), "MinHash+LSH near-dup"),
     "simhash_signatures": QuerySpec(simhash_signatures, SIMHASH_SIGNATURES_ORACLE, "SimHash signatures"),
