@@ -37,6 +37,8 @@ HEADLINE = [
     "doc_fingerprints",
     "knn_brute_force",
     "knn_lsh",
+    "kmeans_clusters",
+    "dedup_components",
     "media_decode_stats",
     # streaming
     "stream_hourly_counts",
