@@ -303,12 +303,18 @@ def connected_components(
     minimum doc_id, so "keep one per component" is a single filter.
 
     Min-label propagation: each round every vertex takes the minimum label
-    among itself and its neighbors; after ``iters`` rounds labels are
-    correct for components of diameter <= iters (near-dup clusters are
-    tiny cliques/chains — 4 rounds is generous; raise for pathological
-    graphs).  Each round is one shuffle (groupBy vertex); the classic
-    large-scale formulation.  The labels DataFrame is persisted per round
-    so round N+1 starts from materialized state.
+    among itself and its neighbors; labels converge once every component's
+    minimum has propagated (diameter rounds).  Each round is one shuffle
+    (groupBy vertex); the classic large-scale formulation.
+
+    ``iters`` is an UPPER BOUND, not a fixed cost: labels are per-vertex
+    non-increasing, so ``sum(label)`` strictly decreases while anything
+    still changes — one cheap agg per round detects convergence and exits
+    early (near-dup clusters are tiny cliques/chains, so 2-3 real rounds).
+    Each round's labels are cut from their lineage with ``localCheckpoint``
+    — the new plan references the old labels TWICE (via neighbor_min and
+    via the left join), so without truncation the logical plan doubles per
+    round and Catalyst analysis is O(2^iters).
     """
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -318,9 +324,13 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = und.select(F.col("a").alias("v")).distinct().select(
-        "v", F.col("v").alias("label")
-    ).persist()
+    labels = (
+        und.select(F.col("a").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(iters):
         neighbor_min = (
             und.join(labels, und.b == labels.v)
@@ -335,8 +345,13 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    und.unpersist()
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component_id"))
 
 

@@ -109,6 +109,43 @@ def _py_gram_hashes(text: str, n: int = 3) -> list[int]:
 
 @settings(**SETTINGS)
 @given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from data_pipelines_using_llm_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "doc_id_a int, doc_id_b int")
+    # iters=16 upper-bounds any diameter of a 16-vertex graph
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(df, iters=16).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for v in parent}
+    assert got == expected
+
+
+@settings(**SETTINGS)
+@given(
     texts=st.lists(
         st.text(alphabet="abc XY ", min_size=0, max_size=40), min_size=1, max_size=8
     )
