@@ -24,6 +24,9 @@ HEADLINE = [
     "top_events_per_user",
     "latest_event_per_user_type",
     "merged_orders_silver",
+    "shipping_priority",
+    "local_supplier_volume",
+    "user_sessions_batch",
     "quality_report_events",
     "monthly_event_gold",
     "revenue_rollup",

@@ -1,0 +1,396 @@
+"""Deeper analytics query pack: the two classic multi-join decision-support
+shapes the reference's join archetype (J1/J2, ``Third Experiment/Claude
+Opus 4.py:154-179``) grows into at warehouse scale, batch sessionization
+(the batch twin of ``streaming/stream_user_sessions``), distinctive-term
+extraction over ``documents``, and the approximate-distinct scale path.
+
+Scale notes are per-query; the common theme is: broadcast every dimension,
+let the one unavoidable fact-fact shuffle be the only exchange, and keep
+every expression JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipelines_using_llm_spark.functions.exact import dec, exact_sum
+from data_pipelines_using_llm_spark.plans.text_queries import SQL_TOKENS
+from data_pipelines_using_llm_spark.operators import text as TX
+from data_pipelines_using_llm_spark.registry import QuerySpec
+from data_pipelines_using_llm_spark.sources.tables import load_table
+
+_CUTOFF = "1998-06-01"
+SESSION_GAP_MIN = 30
+TOP_TERMS_K = 3
+
+
+def _disc_price():
+    return dec("l_extendedprice", "decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - dec("l_discount", "decimal(3,2)")
+    )
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on BOTH fact sides + a broadcast
+    dimension semi-filter + top-k — the canonical "orders not yet shipped"
+    report.
+
+    Scale: the customer filter broadcasts (one market segment), so the
+    orders fact never shuffles for it; orders⋈lineitem is the single
+    sort-merge exchange, with both scans pruned by pushed-down date
+    predicates; the final top-10 is TakeOrderedAndProject (no global
+    sort materialization).  Tie-break on order_key keeps the LIMIT
+    deterministic across engines.
+    """
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit(_CUTOFF).cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(_CUTOFF).cast("timestamp")
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .select(
+            F.col("l_orderkey").alias("order_key"),
+            F.date_trunc("day", F.col("o_orderdate")).alias("order_date"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("order_key"))
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_ORACLE = f"""
+SELECT l_orderkey AS order_key,
+       date_trunc('day', o_orderdate) AS order_date,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+           AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{_CUTOFF} 00:00:00'
+  AND l_shipdate  > TIMESTAMP '{_CUTOFF} 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, order_key
+LIMIT 10
+"""
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-way join with the two-key co-nationality
+    constraint (customer and supplier in the SAME nation) — the join no
+    single equi-key expresses, so it lands on the composite
+    (suppkey, nationkey) condition.
+
+    Scale: region/nation/supplier/customer all broadcast (dimensions);
+    lineitem⋈orders is again the only true shuffle.  The co-nationality
+    predicate rides on the supplier broadcast join instead of forcing an
+    extra exchange.
+    """
+    region = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey", "n_name")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        # range predicate, not year() == 1997 — a function over the column
+        # defeats parquet predicate pushdown / row-group pruning
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    enriched_orders = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    return (
+        li.join(enriched_orders, li.l_orderkey == enriched_orders.o_orderkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (F.col("c_nationkey") == supp.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_ORACLE = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+           AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def user_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in batch: a new session starts after a
+    >30-minute silence.  lag → flag → running sum is the standard
+    two-window formulation; the batch twin of the streaming
+    ``session_window`` query (``streaming/stream_queries.py``).
+
+    Scale: both windows share the same (user_id × ts) partitioning, so
+    Spark plans ONE exchange + sort and runs both window functions over
+    it; the final groupBy re-uses the user_id clustering.  Event-id
+    tie-break makes ordering total, so the flag column is deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn("session_idx", F.sum(new_session).over(running))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("sum_value"),
+        )
+    )
+
+
+USER_SESSIONS_ORACLE = f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                     > {SESSION_GAP_MIN} * 60 * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+    SELECT user_id, ts, value,
+           CAST(sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS session_idx
+    FROM flagged
+)
+SELECT user_id, session_idx,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM numbered
+GROUP BY user_id, session_idx
+"""
+
+
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive terms per document: top-``TOP_TERMS_K`` tokens by term
+    frequency among terms whose document frequency is <= half the corpus
+    (the TF-IDF ranking with the idf *filter* kept integer-exact instead
+    of a float idf weight — log() differs in the last ulp across libm
+    implementations, integer tf/df comparisons never do).
+
+    Scale: tf and df are both map-side partial aggregates over the
+    exploded token stream; df joins back by term (dict-sized → broadcast
+    under AQE); corpus size N joins as a broadcast one-row aggregate, not
+    a driver-side collect.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        toks.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    ranked = (
+        tf.join(df, "term")
+        .join(F.broadcast(n_docs))
+        .filter(F.col("df") * 2 <= F.col("n_docs"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("tf").desc(), F.col("term")
+                )
+            ),
+        )
+    )
+    return ranked.filter(F.col("rank") <= TOP_TERMS_K).select(
+        "doc_id", "term", "tf", "df", "rank"
+    )
+
+
+def _top_terms_oracle() -> str:
+    toks = SQL_TOKENS.format(col="lower(text)")
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+),
+df AS (
+    SELECT term, count(*) AS df
+    FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, rank FROM (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           row_number() OVER (
+               PARTITION BY tf.doc_id ORDER BY tf.tf DESC, tf.term
+           ) AS rank
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    WHERE df.df * 2 <= n.n_docs
+)
+WHERE rank <= {TOP_TERMS_K}
+"""
+
+
+def approx_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate-distinct scale path: per-event-type user reach via
+    HyperLogLog++ (`approx_count_distinct`, default 5% rsd) next to the
+    exact count the small-scale gate can verify.
+
+    Scale: exact count_distinct(user_id) needs a per-type shuffle of every
+    distinct user; the HLL sketch is a fixed ~1.5 KB per group merged
+    map-side — at 100 TB the sketch is the only viable reach metric, and
+    this query records both so the error is observable.  No DuckDB oracle:
+    HLL implementations differ across engines by design (rows-only check).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count_distinct(F.col("user_id")).alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def user_activity_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): per-user event counts, one column per event
+    type.  The value list is declared, not discovered — an undeclared
+    ``pivot()`` runs an extra distinct job over the fact table first and
+    makes the output schema data-dependent, which breaks both plan reuse
+    and the fixed-schema contract a 100 TB pipeline needs downstream.
+
+    Scale: compiles to a single hash aggregate over user_id (one shuffle);
+    each pivot cell is a map-side conditional count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+USER_ACTIVITY_PIVOT_ORACLE = f"""
+SELECT user_id,
+       {", ".join(
+           f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
+           for t in EVENT_TYPES
+       )}
+FROM events
+GROUP BY user_id
+"""
+
+
+def churned_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (§2.9 — absent from the reference, completing the
+    set-op family next to ``union_splice``): users who purchased in the
+    first half of the observed month but not in the second half.
+
+    ``exceptAll`` on the projected key column; at scale both sides shrink
+    to distinct user_ids before the except's shuffle (aggregate pushdown
+    via the explicit ``distinct()``).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    mid = F.lit("2024-01-16").cast("timestamp")
+    first_half = ev.filter(F.col("ts") < mid).select("user_id").distinct()
+    second_half = ev.filter(F.col("ts") >= mid).select("user_id").distinct()
+    return first_half.exceptAll(second_half)
+
+
+CHURNED_PURCHASERS_ORACLE = """
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-16 00:00:00'
+EXCEPT
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+"""
+
+
+QUERIES = {
+    "shipping_priority": QuerySpec(
+        shipping_priority, SHIPPING_PRIORITY_ORACLE, "Q3-shape fact-fact top-k"
+    ),
+    "local_supplier_volume": QuerySpec(
+        local_supplier_volume,
+        LOCAL_SUPPLIER_VOLUME_ORACLE,
+        "Q5-shape 6-way join, co-nationality",
+    ),
+    "user_sessions_batch": QuerySpec(
+        user_sessions_batch, USER_SESSIONS_ORACLE, "gap-based sessionization"
+    ),
+    "doc_top_terms": QuerySpec(
+        doc_top_terms, _top_terms_oracle(), "distinctive terms (integer-exact TF/DF)"
+    ),
+    "approx_user_reach": QuerySpec(
+        approx_user_reach, None, "HLL sketch reach (scale path; rows-only)"
+    ),
+    "user_activity_pivot": QuerySpec(
+        user_activity_pivot, USER_ACTIVITY_PIVOT_ORACLE, "declared-values pivot"
+    ),
+    "churned_purchasers": QuerySpec(
+        churned_purchasers, CHURNED_PURCHASERS_ORACLE, "set difference (EXCEPT)"
+    ),
+}

@@ -27,6 +27,7 @@ class QuerySpec:
 def all_queries() -> dict[str, QuerySpec]:
     # Imported lazily so `import data_pipelines_using_llm_spark` stays cheap.
     from data_pipelines_using_llm_spark.plans import (
+        analytics,
         dedup_queries,
         llm_queries,
         multimodal_queries,
@@ -42,6 +43,7 @@ def all_queries() -> dict[str, QuerySpec]:
     merged: dict[str, QuerySpec] = {}
     for mod in (
         relational,
+        analytics,
         quality_queries,
         dedup_queries,
         similarity_queries,

@@ -166,3 +166,14 @@ def test_nan_and_null_distinct(spark):
     nans = quality.nan_profile(df, ["x"]).first()
     assert nulls.x_nulls == 1
     assert nans.x_nans == 1
+
+
+def test_approx_user_reach_error_bound(spark):
+    """HLL++ default rsd is 5%; assert the sketch lands within 3x of that
+    against the exact distinct count it's shipped next to."""
+    from data_pipelines_using_llm_spark.plans.analytics import approx_user_reach
+
+    for row in approx_user_reach(spark, "/root/testdata/sf0.001").collect():
+        assert row.exact_users > 0
+        rel_err = abs(row.approx_users - row.exact_users) / row.exact_users
+        assert rel_err <= 0.15, (row.event_type, rel_err)
