@@ -39,6 +39,7 @@ HEADLINE = [
     "doc_quality_scores",
     "doc_fingerprints",
     "knn_brute_force",
+    "knn_arrow",
     "knn_lsh",
     "kmeans_clusters",
     "dedup_components",

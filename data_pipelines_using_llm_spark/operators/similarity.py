@@ -408,3 +408,77 @@ def cosine_pairs(
             "vec_id_a", "vec_id_b", F.round("cos", 6).alias("cosine_sim")
         )
     )
+
+
+def knn_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_mod: int = 100,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Arrow/numpy brute-force cosine top-k — the 100 TB hot path.
+
+    Same semantics as :func:`knn_brute_force`, different engine path: the
+    query block is collected once (tiny: |corpus| / ``query_mod`` rows)
+    and shipped in the task closure; each corpus partition computes one
+    numpy GEMM against it inside ``mapInPandas`` (Arrow batches, no
+    per-element lambda evaluation) and emits only its LOCAL top-k rows per
+    query, so the merge window shuffles |queries| × k × |partitions| rows
+    — never the corpus.
+
+    numpy's pairwise-summed dot differs from the JVM sequential fold in
+    the last ulp, so this variant has no cross-engine hash oracle; the
+    agreement test (tests/test_similarity.py) checks its per-query score
+    sets against :func:`knn_brute_force` at 1e-9.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = (
+        df.filter(F.col(id_col) % query_mod == 0)
+        .select(F.col(id_col).alias("query_id"), to_double(vec_col).alias("qv"))
+        .collect()
+    )
+    q_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+
+    base = df.select(
+        F.col(id_col).alias("vec_id"), to_double(vec_col).alias("v")
+    )
+
+    def part_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            V = np.stack(pdf["v"].to_numpy())
+            cos = (V @ Q.T) / np.outer(np.linalg.norm(V, axis=1), qn)
+            out: dict[str, list] = {"query_id": [], "neighbor_id": [], "cos": []}
+            for qi in range(len(q_ids)):
+                col = cos[:, qi].copy()
+                col[ids == q_ids[qi]] = -np.inf  # self-exclusion
+                top = min(k, len(ids))
+                sel = np.argpartition(-col, top - 1)[:top]
+                out["query_id"].extend([q_ids[qi]] * len(sel))
+                out["neighbor_id"].extend(ids[sel])
+                out["cos"].extend(col[sel])
+            yield pd.DataFrame(out)
+
+    local = base.mapInPandas(
+        part_topk, schema="query_id long, neighbor_id long, cos double"
+    ).filter(F.col("cos") > float("-inf"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )

@@ -369,6 +369,95 @@ WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16 00:00:00'
 """
 
 
+def event_type_daily_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (the 2-D twin of ``revenue_rollup``'s ROLLUP):
+    counts and value sums for every (event_type × day) combination plus
+    both one-way margins and the grand total in ONE aggregation pass —
+    Spark expands the grouping sets before the exchange, so partial
+    aggregation still applies map-side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.date_trunc("day", F.col("ts")))
+        .cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("sum_value"),
+        )
+    )
+
+
+EVENT_TYPE_DAILY_CUBE_ORACLE = """
+SELECT event_type, date_trunc('day', ts) AS day,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, date_trunc('day', ts))
+"""
+
+
+def value_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-function window family beyond row_number (§2.7 has only
+    W1): quartile bucket, percent_rank and cume_dist of event values
+    within each event type.  The order key is (value, event_id) — a total
+    order, so ntile's bucket boundaries and every rank are deterministic
+    and engine-independent (ties broken identically everywhere).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+VALUE_DISTRIBUTION_RANKS_ORACLE = """
+SELECT event_id, event_type, value,
+       ntile(4)       OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist()    OVER w AS cume
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+
+SAMPLE_MOD = 20
+
+
+def sampled_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1-in-``SAMPLE_MOD`` systematic sample (key-modulus,
+    reproducible on any engine — unlike ``df.sample``'s RNG, which can
+    never hash-match an oracle) feeding a per-type profile.  The scale
+    point: the sample predicate is a pushed-down scan filter, so the
+    pipeline reads 5% of rows before any shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % SAMPLE_MOD == 0
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        exact_sum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+SAMPLED_TYPE_PROFILE_ORACLE = f"""
+SELECT event_type,
+       count(*) AS n_sampled,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+WHERE event_id % {SAMPLE_MOD} = 0
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "shipping_priority": QuerySpec(
         shipping_priority, SHIPPING_PRIORITY_ORACLE, "Q3-shape fact-fact top-k"
@@ -392,5 +481,18 @@ QUERIES = {
     ),
     "churned_purchasers": QuerySpec(
         churned_purchasers, CHURNED_PURCHASERS_ORACLE, "set difference (EXCEPT)"
+    ),
+    "event_type_daily_cube": QuerySpec(
+        event_type_daily_cube, EVENT_TYPE_DAILY_CUBE_ORACLE, "CUBE grouping sets"
+    ),
+    "value_distribution_ranks": QuerySpec(
+        value_distribution_ranks,
+        VALUE_DISTRIBUTION_RANKS_ORACLE,
+        "ntile / percent_rank / cume_dist",
+    ),
+    "sampled_type_profile": QuerySpec(
+        sampled_type_profile,
+        SAMPLED_TYPE_PROFILE_ORACLE,
+        "deterministic systematic sample",
     ),
 }

@@ -92,6 +92,17 @@ FROM ranked WHERE rank <= {K}
 """
 
 
+def knn_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy GEMM brute-force top-10 — the 100 TB hot-path variant
+    of ``knn_brute_force`` (local top-k per partition inside mapInPandas,
+    merge window over |queries|×k×|partitions| rows).  numpy's pairwise
+    summation differs from a sequential fold in the last ulp, so no SQL
+    oracle (rows-only check); score-set agreement vs the exact query is
+    asserted in tests/test_similarity.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_arrow(e, "vec_id", "embedding", QUERY_MOD, K)
+
+
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-10 (2 tables × 8 hyperplanes)."""
     e = load_table(spark, sf_dir, "embeddings")
@@ -271,6 +282,7 @@ WHERE rn = 1
 QUERIES = {
     "kmeans_clusters": QuerySpec(kmeans_clusters, _kmeans_oracle(), "Lloyd's k-means (2 iters)"),
     "knn_brute_force": QuerySpec(knn_brute_force, KNN_BRUTE_FORCE_ORACLE, "exact cosine top-k"),
+    "knn_arrow": QuerySpec(knn_arrow, None, "Arrow/numpy GEMM top-k (scale path; rows-only)"),
     "knn_lsh": QuerySpec(knn_lsh, _knn_lsh_oracle(), "LSH ANN top-k"),
     "knn_ivf": QuerySpec(knn_ivf, _knn_ivf_oracle(), "IVF ANN top-k"),
     "embedding_cosine_pairs": QuerySpec(embedding_cosine_pairs, _pairs_oracle(), "cosine near-dup pairs"),

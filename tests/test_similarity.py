@@ -39,3 +39,24 @@ def test_cosine_pairs_nonempty_and_canonical(spark):
     df = SQ.embedding_cosine_pairs(spark, SF_DIR).cache()
     assert df.count() > 0
     assert df.filter(F.col("vec_id_a") >= F.col("vec_id_b")).count() == 0
+
+
+def test_knn_arrow_agrees_with_exact(spark):
+    """The Arrow GEMM path must produce the same per-query score multiset
+    as the JVM sequential-fold exact query (neighbor identity can differ
+    only on exact score ties; scores themselves match to 1e-9)."""
+    exact = SQ.knn_brute_force(spark, SF_DIR).collect()
+    arrow = SQ.knn_arrow(spark, SF_DIR).collect()
+
+    def by_query(rows):
+        out: dict[int, list[float]] = {}
+        for r in rows:
+            out.setdefault(r["query_id"], []).append(r["cosine_sim"])
+        return {q: sorted(v) for q, v in out.items()}
+
+    be, ba = by_query(exact), by_query(arrow)
+    assert be.keys() == ba.keys()
+    for q in be:
+        assert len(be[q]) == len(ba[q])
+        for x, y in zip(be[q], ba[q]):
+            assert abs(x - y) <= 1e-9, (q, x, y)
