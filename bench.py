@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "llm_summarize_docs",
+    "llm_summarize_cached",
     "doc_quality_scores",
     "doc_fingerprints",
     "knn_brute_force",

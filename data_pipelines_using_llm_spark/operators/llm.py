@@ -77,6 +77,24 @@ class FlakyBackend:
         return self._inner.complete(prompts)
 
 
+class NonceBackend:
+    """Test double: StubBackend whose response embeds a unique per-call
+    nonce, so rows sharing a response string provably shared ONE api call
+    (the property :func:`llm_transform_cached` exists to provide)."""
+
+    def __init__(self):
+        import os
+
+        self._pid = os.getpid()
+        self.n = 0
+        self._inner = StubBackend()
+
+    def complete(self, prompts: list[str]) -> list[str]:
+        self.n += 1
+        nonce = f"{self._pid}:{id(self)}:{self.n}"
+        return [f"{nonce}|{r}" for r in self._inner.complete(prompts)]
+
+
 @dataclass
 class RateLimiter:
     """Token bucket: at most ``rate`` calls per second, injectable clock so
@@ -168,3 +186,55 @@ def llm_transform(
             yield flush()
 
     return df.select(id_col, prompt_col).mapInPandas(fn, LLM_RESULT_SCHEMA)
+
+
+def llm_transform_cached(
+    df: DataFrame,
+    id_col: str,
+    prompt_col: str,
+    backend_factory: Callable[[], object] = StubBackend,
+    batch_size: int = 32,
+    rate_per_sec: float = float("inf"),
+    max_retries: int = 3,
+) -> DataFrame:
+    """:func:`llm_transform` with prompt-level request deduplication — the
+    single biggest cost lever in a corpus pipeline: web-scale corpora are
+    full of repeated boilerplate, and an identical prompt must never be
+    paid for twice.
+
+    One representative row per distinct prompt goes through the model
+    call; responses join back to every original row.  The dedup and both
+    joins key on ``sha2(prompt)`` so the shuffle carries a 64-char digest,
+    not arbitrary document text (the prompt string itself stays on the
+    representative rows only).  Collision risk at 256 bits is nil.
+
+    Duplicate rows therefore share the response of ONE api call — the
+    caching test asserts this by marking responses with a per-call nonce.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(prompt_col).alias("_prompt"),
+        F.sha2(F.col(prompt_col).cast("string"), 256).alias("_pkey"),
+    )
+    reps = keyed.groupBy("_pkey").agg(
+        F.min("doc_id").alias("doc_id"), F.min("_prompt").alias("_prompt")
+    )
+    rep_out = llm_transform(
+        reps,
+        "doc_id",
+        "_prompt",
+        backend_factory=backend_factory,
+        batch_size=batch_size,
+        rate_per_sec=rate_per_sec,
+        max_retries=max_retries,
+    )
+    responses = reps.select("_pkey", "doc_id").join(rep_out, "doc_id").drop(
+        "doc_id"
+    )
+    return keyed.join(responses, "_pkey").select(
+        "doc_id",
+        "response",
+        "n_prompt_tokens",
+        "n_response_tokens",
+        "n_api_calls",
+    )

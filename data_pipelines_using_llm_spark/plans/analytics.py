@@ -314,20 +314,23 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 def user_activity_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long → wide): per-user event counts, one column per event
-    type.  The value list is declared, not discovered — an undeclared
-    ``pivot()`` runs an extra distinct job over the fact table first and
-    makes the output schema data-dependent, which breaks both plan reuse
-    and the fixed-schema contract a 100 TB pipeline needs downstream.
+    type, as SINGLE-PASS conditional aggregation.
 
-    Scale: compiles to a single hash aggregate over user_id (one shuffle);
-    each pivot cell is a map-side conditional count.
+    Deliberately not ``df.pivot()``: with undeclared values pivot runs a
+    schema-discovery distinct job over the fact table, and even with
+    declared values Spark plans it as TWO aggregations with an extra
+    exchange between them (verified via explain; the plan gate in
+    tests/test_plans.py asserts this formulation keeps one).  Conditional
+    counts give the identical wide result with one shuffle and map-side
+    combine — and a fixed output schema, which a 100 TB pipeline needs
+    for plan reuse downstream.
     """
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("user_id")
-        .pivot("event_type", EVENT_TYPES)
-        .agg(F.count(F.lit(1)))
-        .na.fill(0, EVENT_TYPES)
+    return ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, F.lit(1))).alias(t)
+            for t in EVENT_TYPES
+        ]
     )
 
 
@@ -477,7 +480,9 @@ QUERIES = {
         approx_user_reach, None, "HLL sketch reach (scale path; rows-only)"
     ),
     "user_activity_pivot": QuerySpec(
-        user_activity_pivot, USER_ACTIVITY_PIVOT_ORACLE, "declared-values pivot"
+        user_activity_pivot,
+        USER_ACTIVITY_PIVOT_ORACLE,
+        "single-pass conditional-agg pivot",
     ),
     "churned_purchasers": QuerySpec(
         churned_purchasers, CHURNED_PURCHASERS_ORACLE, "set difference (EXCEPT)"

@@ -241,10 +241,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.connected_components(pairs)
 
 
-def _components_oracle() -> str:
+def _components_parts() -> tuple[str, str]:
+    """(CTE list incl. RECURSIVE reach, final SELECT) of the
+    connected-components oracle — split so the survivors oracle can embed
+    the assignment as a CTE."""
     ctes, select = _minhash_parts()
-    return f"""
-WITH RECURSIVE {ctes},
+    full_ctes = f"""{ctes},
 pairs AS ({select}),
 und AS (
     SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
@@ -256,17 +258,55 @@ reach(a, b) AS (
     UNION
     SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
 ),
-verts AS (SELECT DISTINCT a AS v FROM und)
-SELECT verts.v AS doc_id,
+verts AS (SELECT DISTINCT a AS v FROM und)"""
+    final = """SELECT verts.v AS doc_id,
        least(verts.v, coalesce(min(reach.b), verts.v)) AS component_id
 FROM verts LEFT JOIN reach ON reach.a = verts.v
-GROUP BY verts.v
+GROUP BY verts.v"""
+    return full_ctes, final
+
+
+def _components_oracle() -> str:
+    ctes, select = _components_parts()
+    return f"\nWITH RECURSIVE {ctes}\n{select}\n"
+
+
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup endgame: the curated corpus after near-dup clustering —
+    every document that is either untouched by the pair graph or its
+    cluster's minimum-id representative.  One anti-ish left join against
+    the (tiny relative to the corpus) component assignment."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        d, "doc_id", "text", n=NGRAM_N, threshold=JACCARD_THRESHOLD
+    )
+    comp = DD.connected_components(pairs)
+    return (
+        d.join(comp, "doc_id", "left")
+        .filter(
+            F.col("component_id").isNull()
+            | (F.col("component_id") == F.col("doc_id"))
+        )
+        .select("doc_id", "n_chars")
+    )
+
+
+def _survivors_oracle() -> str:
+    ctes, select = _components_parts()
+    return f"""
+WITH RECURSIVE {ctes},
+comp AS ({select})
+SELECT d.doc_id, d.n_chars
+FROM documents d
+LEFT JOIN comp ON comp.doc_id = d.doc_id
+WHERE comp.component_id IS NULL OR comp.component_id = d.doc_id
 """
 
 
 QUERIES = {
     "dedup_exact_docs": QuerySpec(dedup_exact_docs, DEDUP_EXACT_ORACLE, "exact hash-groupBy dedup"),
     "dedup_components": QuerySpec(dedup_components, _components_oracle(), "near-dup connected components"),
+    "dedup_survivors": QuerySpec(dedup_survivors, _survivors_oracle(), "keep-one-per-cluster curated corpus"),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_ORACLE, "3-gram Jaccard near-dup"),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _minhash_oracle(), "MinHash+LSH near-dup"),
     "simhash_signatures": QuerySpec(simhash_signatures, SIMHASH_SIGNATURES_ORACLE, "SimHash signatures"),

@@ -35,8 +35,22 @@ FROM toks
 """
 
 
+def llm_summarize_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Request-deduplicated variant: one model call per DISTINCT text,
+    responses joined back by prompt digest.  Identical oracle — the stub
+    response is a pure function of the prompt, so caching must not change
+    any value (which is exactly what makes the gate meaningful)."""
+    d = load_table(spark, sf_dir, "documents")
+    return LLM.llm_transform_cached(d, "doc_id", "text", batch_size=32)
+
+
 QUERIES = {
     "llm_summarize_docs": QuerySpec(
         llm_summarize_docs, LLM_SUMMARIZE_ORACLE, "batched LLM transform (stub)"
+    ),
+    "llm_summarize_cached": QuerySpec(
+        llm_summarize_cached,
+        LLM_SUMMARIZE_ORACLE,
+        "prompt-dedup cached LLM transform",
     ),
 }

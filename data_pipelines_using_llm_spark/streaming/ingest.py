@@ -77,3 +77,46 @@ def run_to_table(
     finally:
         query.stop()
     return spark.table(name)
+
+
+def stream_silver_upsert(
+    spark: SparkSession,
+    sf_dir: str,
+    silver_path: str,
+    checkpoint: str,
+    timeout_sec: int = 300,
+) -> None:
+    """Streaming medallion bronze→silver: each micro-batch lands via the
+    idempotent upsert sink (``sinks/writers.py::idempotent_upsert``), so a
+    replayed batch — Structured Streaming's at-least-once file-sink
+    failure mode, and the reference's double-append hazard
+    (``First experiment/Claude Opus 4.py:129``) — rewrites the same keys
+    instead of duplicating them.
+
+    ``foreachBatch`` is the standard escape hatch for sinks that need
+    merge semantics: the batch DataFrame is a normal DataFrame, so the
+    whole batch-side sink module applies unchanged.  ``checkpoint`` is a
+    caller-owned path: reusing it gives exactly-once (replays skipped at
+    the source); pointing a fresh checkpoint at the same silver exercises
+    the upsert's idempotence (the at-least-once failure mode) — the test
+    does both.
+    """
+    from data_pipelines_using_llm_spark.sinks.writers import idempotent_upsert
+
+    sdf = stream_events(spark, sf_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        idempotent_upsert(spark, batch_df, silver_path, key=["event_id"])
+
+    query = (
+        sdf.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    try:
+        finished = query.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(f"stream_silver_upsert exceeded {timeout_sec}s")
+    finally:
+        query.stop()

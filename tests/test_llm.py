@@ -70,3 +70,33 @@ def test_transform_micro_batching(spark):
     out = LLM.llm_transform(d, "doc_id", "text", batch_size=3)
     assert out.count() == 10
     assert out.filter(F.col("n_response_tokens") > LLM.SUMMARY_TOKENS).count() == 0
+
+
+def test_cached_transform_one_call_per_distinct_prompt(spark):
+    """Each of 3 distinct prompts is duplicated 4x; with batch_size=1 the
+    uncached path would mint 12 nonces, the cached path must mint exactly
+    one nonce per distinct prompt."""
+    rows = [(i, f"prompt number {i % 3} words here") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = LLM.llm_transform_cached(
+        df, "doc_id", "text", backend_factory=LLM.NonceBackend, batch_size=1
+    ).collect()
+    assert len(out) == 12
+    by_prompt: dict[int, set[str]] = {}
+    for r in out:
+        by_prompt.setdefault(r["doc_id"] % 3, set()).add(r["response"])
+    assert all(len(v) == 1 for v in by_prompt.values())
+    assert len({next(iter(v)) for v in by_prompt.values()}) == 3
+
+
+def test_cached_transform_matches_uncached_values(spark):
+    d = load_table(spark, SF_DIR, "documents").limit(50)
+    a = {
+        r["doc_id"]: (r["response"], r["n_prompt_tokens"], r["n_response_tokens"])
+        for r in LLM.llm_transform(d, "doc_id", "text").collect()
+    }
+    b = {
+        r["doc_id"]: (r["response"], r["n_prompt_tokens"], r["n_response_tokens"])
+        for r in LLM.llm_transform_cached(d, "doc_id", "text").collect()
+    }
+    assert a == b

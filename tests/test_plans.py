@@ -63,3 +63,37 @@ def test_no_cartesian_products(spark, name):
 def test_knn_broadcasts_query_side(spark):
     plan = _plan(spark, "knn_brute_force")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_shipping_priority_pushdown_and_topk(spark):
+    plan = _plan(spark, "shipping_priority")
+    assert "GreaterThan(l_shipdate" in plan   # lineitem date filter at the scan
+    assert "LessThan(o_orderdate" in plan     # orders date filter at the scan
+    assert "TakeOrderedAndProject" in plan    # top-10 without a global sort
+    assert "CartesianProduct" not in plan
+
+
+def test_local_supplier_volume_range_pushdown(spark):
+    plan = _plan(spark, "local_supplier_volume")
+    # the 1997 filter must reach the orders scan as a range predicate
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sessionization_single_exchange(spark):
+    """lag-window, running-sum window and final groupBy all share the
+    user_id clustering: exactly one shuffle in the whole plan."""
+    plan = _plan(spark, "user_sessions_batch")
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_sample_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "sampled_type_profile")
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "props" not in read and "ts" not in read  # column pruning holds
+
+
+def test_pivot_is_single_aggregation(spark):
+    plan = _plan(spark, "user_activity_pivot")
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "partial_count" in plan  # map-side combine per pivot cell

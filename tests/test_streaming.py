@@ -91,37 +91,28 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
 
 
 def test_streaming_medallion_idempotent_rerun(spark, tmp_path):
-    """Streaming bronze -> silver with exactly-once semantics: foreachBatch
-    feeds the idempotent upsert sink, so replaying the whole stream (fresh
-    checkpoint) leaves silver unchanged — the streaming answer to the
-    reference's double-append hazard (SURVEY.md section 4.3.6)."""
-    from data_pipelines_using_llm_spark.sinks import idempotent_upsert
+    """Streaming bronze -> silver via ``stream_silver_upsert`` (foreachBatch
+    + idempotent upsert — the streaming answer to the reference's
+    double-append hazard, SURVEY.md section 4.3.6).  A replayed run
+    (fresh checkpoint, same data — the at-least-once failure mode) must
+    leave silver stable; a rerun with the SAME checkpoint must skip the
+    source entirely and also change nothing."""
     from data_pipelines_using_llm_spark.sources.tables import load_table
-    from data_pipelines_using_llm_spark.streaming.ingest import stream_events
+    from data_pipelines_using_llm_spark.streaming.ingest import stream_silver_upsert
 
     sf_dir = "/root/testdata/sf0.001"
     silver = str(tmp_path / "silver")
-
-    def sink(batch_df, _batch_id):
-        idempotent_upsert(
-            spark,
-            batch_df.select("event_id", "ts", "user_id", "event_type", "value"),
-            silver,
-            key=["event_id"],
-        )
-
-    for run in range(2):  # second run replays the same data
-        q = (
-            stream_events(spark, sf_dir)
-            .writeStream.foreachBatch(sink)
-            .option("checkpointLocation", str(tmp_path / f"cp{run}"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            assert q.awaitTermination(300)
-        finally:
-            q.stop()
-
+    stream_silver_upsert(spark, sf_dir, silver, str(tmp_path / "cp1"))
     expected = load_table(spark, sf_dir, "events").count()
+    first = spark.read.parquet(silver)
+    assert first.count() == expected
+    assert first.select("event_id").distinct().count() == expected
+
+    # replay with a fresh checkpoint: same keys arrive again -> upsert
+    stream_silver_upsert(spark, sf_dir, silver, str(tmp_path / "cp2"))
+    second = spark.read.parquet(silver)
+    assert second.count() == expected
+
+    # rerun with an existing checkpoint: source replays nothing
+    stream_silver_upsert(spark, sf_dir, silver, str(tmp_path / "cp1"))
     assert spark.read.parquet(silver).count() == expected
