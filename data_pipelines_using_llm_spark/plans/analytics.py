@@ -461,6 +461,56 @@ GROUP BY event_type
 """
 
 
+Z_THRESHOLD = 2.5
+
+
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event type: rows whose value is more
+    than ``Z_THRESHOLD`` standard deviations from the group mean.  The
+    moments come from one decimal-exact grouped pass (the
+    ``summary_stats_events`` convention — order-independent, so mean/std
+    are bit-identical on both engines) and broadcast back onto the fact
+    stream: the detector is one scan + one tiny broadcast join, no second
+    shuffle of the data.  The filter applies to the ROUNDED z on both
+    sides (cross-engine rule: never compare at an unrounded boundary).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = F.col("value").cast("decimal(18,2)")
+    n = F.count("value")
+    sx = F.sum(d).cast("double")
+    sx2 = F.sum(d * d).cast("double")
+    stats = ev.groupBy("event_type").agg(
+        (sx / n).alias("mean_value"),
+        F.sqrt((sx2 - sx * sx / n) / (n - F.lit(1))).alias("std_value"),
+    )
+    z = F.round(
+        (F.col("value") - F.col("mean_value")) / F.col("std_value"), 6
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > Z_THRESHOLD)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
+VALUE_OUTLIERS_ORACLE = f"""
+WITH s AS (
+    SELECT event_type,
+           count(value) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(value AS DECIMAL(18,2))
+                    * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx2
+    FROM events GROUP BY event_type
+)
+SELECT event_id, event_type, value,
+       round((value - sx / n) / sqrt((sx2 - sx * sx / n) / (n - 1)), 6) AS z
+FROM events JOIN s USING (event_type)
+WHERE abs(round((value - sx / n) / sqrt((sx2 - sx * sx / n) / (n - 1)), 6))
+      > {Z_THRESHOLD}
+"""
+
+
 QUERIES = {
     "shipping_priority": QuerySpec(
         shipping_priority, SHIPPING_PRIORITY_ORACLE, "Q3-shape fact-fact top-k"
@@ -499,5 +549,8 @@ QUERIES = {
         sampled_type_profile,
         SAMPLED_TYPE_PROFILE_ORACLE,
         "deterministic systematic sample",
+    ),
+    "value_outliers": QuerySpec(
+        value_outliers, VALUE_OUTLIERS_ORACLE, "z-score outlier detection"
     ),
 }

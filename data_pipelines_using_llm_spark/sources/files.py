@@ -1,0 +1,72 @@
+"""Generic file-format source adapters (extension — the reference ingests
+only REST JSON, ``First experiment/Claude Opus 4.py:35-43``; a reusable
+engine also lands CSV exports and JSON-lines event dumps).
+
+Every adapter returns a plain DataFrame scan, so Catalyst keeps pushdown /
+pruning where the format supports it.  Format notes that matter at scale:
+
+- **parquet**: splittable, columnar, predicate+projection pushdown — the
+  preferred interchange; ``load_table`` (tables.py) adds nanosecond
+  timestamp handling on top of this adapter.
+- **csv**: splittable only without multiline quoting; a declared schema
+  avoids the full extra inference scan (``inferSchema`` reads the data
+  TWICE); column binding is by position when ``header=False``.
+- **jsonl**: one object per line is splittable; a declared schema again
+  skips the inference pass, and corrupt rows land in
+  ``_corrupt_record`` under PERMISSIVE mode instead of failing the job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV scan with a declared schema (no inference double-scan unless the
+    caller really asks for it by passing ``schema=None``)."""
+    reader = spark.read.option("header", header).option("sep", sep)
+    if schema is None:
+        reader = reader.option("inferSchema", True)
+    else:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    keep_corrupt: bool = True,
+) -> DataFrame:
+    """JSON-lines scan.  With a declared schema, malformed lines become a
+    ``_corrupt_record`` string column (PERMISSIVE) so one bad line in a
+    100 TB drop quarantines instead of killing the job; pass
+    ``keep_corrupt=False`` for DROPMALFORMED."""
+    reader = spark.read
+    if schema is not None:
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        if keep_corrupt:
+            schema = T.StructType(
+                list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+            )
+        reader = reader.schema(schema)
+    mode = "PERMISSIVE" if keep_corrupt else "DROPMALFORMED"
+    return reader.option("mode", mode).json(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    df.write.mode("overwrite").option("header", header).csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)

@@ -167,3 +167,52 @@ def test_fetch_url_table_raise_mode(spark):
 
     with pytest.raises(Exception):
         fetch_url_table(urls, fetcher=fake, on_error="raise").collect()
+
+
+class TestFileFormatAdapters:
+    def test_csv_round_trip_with_declared_schema(self, spark, tmp_path):
+        from data_pipelines_using_llm_spark.sources import files as FS
+        from data_pipelines_using_llm_spark.sources.tables import load_table
+
+        orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+        path = str(tmp_path / "orders_csv")
+        FS.write_csv(orders, path)
+        back = FS.read_csv(spark, path, schema=orders.schema)
+        assert back.count() == orders.count()
+        assert back.schema == orders.schema
+        a = {r["o_orderkey"]: r["o_totalprice"] for r in orders.collect()}
+        b = {r["o_orderkey"]: r["o_totalprice"] for r in back.collect()}
+        assert a == b
+
+    def test_jsonl_round_trip(self, spark, tmp_path):
+        from data_pipelines_using_llm_spark.sources import files as FS
+        from data_pipelines_using_llm_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        path = str(tmp_path / "docs_jsonl")
+        FS.write_jsonl(docs, path)
+        back = FS.read_jsonl(
+            spark, path, schema=docs.schema, keep_corrupt=False
+        )
+        assert back.count() == docs.count()
+        a = {r["doc_id"]: r["text"] for r in docs.collect()}
+        b = {r["doc_id"]: r["text"] for r in back.collect()}
+        assert a == b
+
+    def test_jsonl_corrupt_rows_quarantined(self, spark, tmp_path):
+        from data_pipelines_using_llm_spark.sources import files as FS
+
+        p = tmp_path / "mixed.jsonl"
+        p.write_text(
+            '{"doc_id": 1, "text": "ok"}\n'
+            "THIS IS NOT JSON\n"
+            '{"doc_id": 2, "text": "also ok"}\n'
+        )
+        df = FS.read_jsonl(
+            spark, str(p), schema="doc_id long, text string"
+        ).cache()
+        from pyspark.sql import functions as F
+
+        assert df.count() == 3
+        assert df.filter(F.col(FS.CORRUPT_COL).isNotNull()).count() == 1
+        assert df.filter(F.col("doc_id").isNotNull()).count() == 2
