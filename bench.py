@@ -44,6 +44,8 @@ HEADLINE = [
     "knn_lsh",
     "kmeans_clusters",
     "dedup_components",
+    "dedup_survivors",
+    "value_outliers",
     "media_decode_stats",
     # streaming
     "stream_hourly_counts",
