@@ -63,6 +63,8 @@ def main() -> int:
     # Warm the JVM + parquet footers once so timings measure the queries.
     registry[names[0]].fn(spark, sf_dir).count()
 
+    from data_pipelines_using_llm_spark.operators.caching import release_barriers
+
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
     for name in names:
@@ -70,6 +72,7 @@ def main() -> int:
         df = registry[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        release_barriers()  # free persisted intermediates between queries
     total = round(time.perf_counter() - t_all, 4)
 
     # Per-stage medallion instrumentation — the reference's

@@ -32,10 +32,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from data_pipelines_using_llm_spark.operators.caching import barrier
+
 DIM = 64
 N_TABLES = 2
 N_PLANES = 8  # per table -> 256 buckets per table
 DEFAULT_K = 10
+
+# knn_lsh family: shorter codes + more tables + radius-1 multiprobe.  The
+# driver embeddings are near-orthogonal (top-10 neighbors sit barely above
+# the cosine noise floor), so a recall>=0.9 candidate set necessarily
+# covers a large corpus fraction; these constants hit recall 0.92 at
+# sf0.01 with ~60% of the corpus scanned (measured, see
+# tests/test_similarity.py::test_lsh_recall_vs_exact).
+KNN_TABLES = 8
+KNN_PLANES = 6  # per table -> 64 buckets per table
+#: probe masks: home bucket + every Hamming-1 neighbor (flip one plane bit)
+KNN_PROBE_MASKS: list[int] = [0] + [1 << j for j in range(KNN_PLANES)]
 
 
 def _lcg_ints(seed: int, n: int, lo: int = -16, hi: int = 16) -> list[int]:
@@ -53,6 +66,12 @@ def _lcg_ints(seed: int, n: int, lo: int = -16, hi: int = 16) -> list[int]:
 HYPERPLANES: list[list[list[int]]] = [
     [_lcg_ints(seed=1_000 + t * 100 + j, n=DIM) for j in range(N_PLANES)]
     for t in range(N_TABLES)
+]
+
+#: Hyperplanes for the knn_lsh family (same LCG scheme, 8 tables x 6 planes).
+KNN_HYPERPLANES: list[list[list[int]]] = [
+    [_lcg_ints(seed=1_000 + t * 100 + j, n=DIM) for j in range(KNN_PLANES)]
+    for t in range(KNN_TABLES)
 ]
 
 
@@ -79,14 +98,19 @@ def plane_literal(plane: list[int]) -> Column:
     return F.array(*[F.lit(float(v)) for v in plane])
 
 
-def lsh_bucket(v: Column, table: int) -> Column:
-    """Random-hyperplane bucket id of LSH ``table``: bit j set iff
-    dot(v, H[table][j]) >= 0.  Integer hyperplanes keep the sign exact."""
+def bucket_from_planes(v: Column, planes: list[list[int]]) -> Column:
+    """Random-hyperplane bucket id: bit j set iff dot(v, planes[j]) >= 0.
+    Integer hyperplanes keep the sign exact."""
     bucket = F.lit(0).cast("long")
-    for j, plane in enumerate(HYPERPLANES[table]):
+    for j, plane in enumerate(planes):
         bit = (dot(v, plane_literal(plane)) >= 0).cast("long")
         bucket = bucket + F.shiftleft(bit, j)
     return bucket
+
+
+def lsh_bucket(v: Column, table: int) -> Column:
+    """Bucket id of pair-blocking LSH ``table`` (2 tables x 8 planes)."""
+    return bucket_from_planes(v, HYPERPLANES[table])
 
 
 def normed(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -157,32 +181,134 @@ def _bucketed(base: DataFrame) -> DataFrame:
     ).select("vec_id", "v", "nrm", "tb.tbl", "tb.bucket")
 
 
+def knn_signatures(v: Column) -> Column:
+    """All ``KNN_TABLES`` bucket ids of ``v`` as one ``array<long>``.
+
+    Formulated as a SINGLE nested higher-order function over one literal
+    plane matrix rather than 48 separate aggregate expressions: the
+    arithmetic (sequential-fold dots, exact sign on integer planes) is
+    identical, but the expression tree is ~50x smaller, which cuts plan
+    analysis/codegen from seconds to milliseconds.  ``pow(2, j)`` is exact
+    in doubles for j < 53, so the bit packing matches the oracle's
+    ``1 << j``."""
+    planes = F.array(
+        *[
+            F.array(*[plane_literal(p) for p in KNN_HYPERPLANES[t]])
+            for t in range(KNN_TABLES)
+        ]
+    )
+    return F.transform(
+        planes,
+        lambda planes_t: F.aggregate(
+            F.transform(
+                planes_t,
+                lambda p, j: (dot(v, p) >= 0).cast("long")
+                * F.pow(F.lit(2.0), j).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    )
+
+
 def knn_lsh(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     query_mod: int = 100,
     k: int = DEFAULT_K,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH: candidates = corpus
-    vectors sharing any (table, bucket) with the query, then exact cosine
-    rank among candidates.  The scale path: the join is an equi-join on
-    (table, bucket) — work proportional to bucket collisions, never
-    |queries| × |corpus|."""
-    buck = _bucketed(normed(df, id_col, vec_col))
-    qb = buck.filter(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
-        "tbl",
-        "bucket",
+    """Approximate top-k via multi-probe random-hyperplane LSH
+    (8 tables x 6 planes, probe radius 1): candidates = corpus vectors
+    whose bucket in some table matches the query's bucket with at most one
+    plane bit flipped; exact cosine ranks the candidates.
+
+    Scale shape:
+
+    - the per-vector bucket signature (48 hyperplane dots) is computed
+      ONCE behind a persist barrier — Catalyst's projection collapse
+      would otherwise re-evaluate it for the query side, the corpus side,
+      and the ownership filter (the 50x trap, operators/dedup.py).
+    - candidate generation is an equi-join on (table, bucket) with the
+      probe side broadcast — work proportional to bucket collisions,
+      never |queries| x |corpus|.
+    - duplicate candidates (pairs colliding in several tables/probes) are
+      eliminated WITHOUT a shuffle: both sides carry their full signature
+      array, so each joined row computes the minimal matching
+      (table, probe) combo in closed form and only the owning combo emits
+      the pair (same bucket-ownership trick as simhash blocking).
+    - ``min_parallelism`` redistributes a SMALL input before the
+      CPU-heavy signature step (a single local parquet file arrives as
+      one partition).  Leave ``None`` at scale — a real corpus already
+      has many partitions and the repartition would be a full shuffle.
+    """
+    n_probes = len(KNN_PROBE_MASKS)
+    if min_parallelism is not None:
+        df = df.repartition(min_parallelism)
+    sig = barrier(
+        normed(df, id_col, vec_col).withColumn("bkts", knn_signatures(F.col("v")))
+    )
+    corpus = sig.select(
+        "vec_id",
+        "v",
+        "nrm",
+        "bkts",
+        F.explode(F.array(*[F.lit(t) for t in range(KNN_TABLES)])).alias("tbl"),
+    ).withColumn("bucket", F.element_at("bkts", F.col("tbl") + 1))
+    combos = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                F.lit(m).alias("mask"),
+                F.lit(t * n_probes + pi).alias("combo"),
+            )
+            for t in range(KNN_TABLES)
+            for pi, m in enumerate(KNN_PROBE_MASKS)
+        ]
+    )
+    probes = (
+        sig.filter(F.col("vec_id") % query_mod == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            F.col("bkts").alias("qbkts"),
+            F.explode(combos).alias("c"),
+        )
+        .select(
+            "query_id",
+            "qv",
+            "qnrm",
+            "qbkts",
+            F.col("c.tbl").alias("tbl"),
+            F.element_at("qbkts", F.col("c.tbl") + 1)
+            .bitwiseXOR(F.col("c.mask"))
+            .alias("bucket"),
+            F.col("c.combo").alias("combo"),
+        )
+    )
+    # Minimal matching combo for this (query, candidate) pair — identical on
+    # every joined duplicate of the pair, so `combo == owner` keeps exactly
+    # one row per pair with zero extra shuffles.
+    no_match = KNN_TABLES * n_probes
+    owner = F.least(
+        *[
+            F.when(
+                F.element_at(F.col("qbkts"), t + 1).bitwiseXOR(F.lit(m))
+                == F.element_at(F.col("bkts"), t + 1),
+                F.lit(t * n_probes + pi),
+            ).otherwise(F.lit(no_match))
+            for t in range(KNN_TABLES)
+            for pi, m in enumerate(KNN_PROBE_MASKS)
+        ]
     )
     cand = (
-        F.broadcast(qb)
-        .join(buck, ["tbl", "bucket"])
+        F.broadcast(probes)
+        .join(corpus, ["tbl", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
+        .filter(F.col("combo") == owner)
         .select("query_id", "qv", "qnrm", "vec_id", "v", "nrm")
-        .dropDuplicates(["query_id", "vec_id"])
     )
     scored = cand.select(
         "query_id",
@@ -327,9 +453,9 @@ def kmeans_assign(
     k-means step.  Ties in the argmin break to the lowest cluster id, so
     assignments are deterministic and oracle-checkable.
     """
-    base = df.select(
-        F.col(id_col).alias("vec_id"), to_double(vec_col).alias("v")
-    ).persist()
+    base = barrier(
+        df.select(F.col(id_col).alias("vec_id"), to_double(vec_col).alias("v"))
+    )
     cents = base.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
@@ -343,8 +469,8 @@ def kmeans_assign(
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .drop("rn")
-            .persist()
         )
+        assigned = barrier(assigned)
         comp = assigned.select("cid", F.posexplode("v").alias("pos", "x"))
         cents = (
             comp.groupBy("cid", "pos")
@@ -416,16 +542,26 @@ def knn_arrow(
     vec_col: str,
     query_mod: int = 100,
     k: int = DEFAULT_K,
+    queries: DataFrame | None = None,
+    max_queries: int = 65_536,
 ) -> DataFrame:
     """Arrow/numpy brute-force cosine top-k — the 100 TB hot path.
 
     Same semantics as :func:`knn_brute_force`, different engine path: the
-    query block is collected once (tiny: |corpus| / ``query_mod`` rows)
-    and shipped in the task closure; each corpus partition computes one
-    numpy GEMM against it inside ``mapInPandas`` (Arrow batches, no
-    per-element lambda evaluation) and emits only its LOCAL top-k rows per
-    query, so the merge window shuffles |queries| × k × |partitions| rows
-    — never the corpus.
+    query block is collected once and shipped in the task closure; each
+    corpus partition computes one numpy GEMM against it inside
+    ``mapInPandas`` (Arrow batches, no per-element lambda evaluation) and
+    emits only its LOCAL top-k rows per query, so the merge window
+    shuffles |queries| × k × |partitions| rows — never the corpus.
+
+    The query set is either an explicit ``queries`` DataFrame (the scale
+    API — pass the small query table) or, for convenience, the corpus
+    rows with ``id % query_mod == 0``.  Either way the collect is guarded
+    by ``max_queries`` BEFORE pulling rows to the driver: at 100 TB
+    "corpus / query_mod" is a corpus-sized fraction that must never land
+    on the driver, so an oversized query set fails fast instead of
+    OOM-ing.  The guard probes ``limit(max_queries + 1)`` — a cheap
+    early-out scan, not a full count.
 
     numpy's pairwise-summed dot differs from the JVM sequential fold in
     the last ulp, so this variant has no cross-engine hash oracle; the
@@ -435,11 +571,17 @@ def knn_arrow(
     import numpy as np
     import pandas as pd
 
-    qrows = (
-        df.filter(F.col(id_col) % query_mod == 0)
-        .select(F.col(id_col).alias("query_id"), to_double(vec_col).alias("qv"))
-        .collect()
+    if queries is None:
+        queries = df.filter(F.col(id_col) % query_mod == 0)
+    qsel = queries.select(
+        F.col(id_col).alias("query_id"), to_double(vec_col).alias("qv")
     )
+    if qsel.limit(max_queries + 1).count() > max_queries:
+        raise ValueError(
+            f"knn_arrow query set exceeds max_queries={max_queries}; "
+            "pass an explicit small `queries` DataFrame or raise the cap"
+        )
+    qrows = qsel.collect()
     q_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     Q = np.array([r["qv"] for r in qrows], dtype=np.float64)
     qn = np.linalg.norm(Q, axis=1)

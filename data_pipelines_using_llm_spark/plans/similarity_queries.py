@@ -39,13 +39,17 @@ def _sql_plane(plane: list[int]) -> str:
     return "[" + ", ".join(f"{float(v)}" for v in plane) + "]"
 
 
-def _sql_bucket(v: str, table: int) -> str:
+def _sql_bucket_from(v: str, planes: list[list[int]]) -> str:
     bits = [
         f"(CASE WHEN {_sql_dot(v, _sql_plane(plane))} >= 0 "
         f"THEN CAST(1 AS BIGINT) << {j} ELSE 0 END)"
-        for j, plane in enumerate(SIM.HYPERPLANES[table])
+        for j, plane in enumerate(planes)
     ]
     return " + ".join(bits)
+
+
+def _sql_bucket(v: str, table: int) -> str:
+    return _sql_bucket_from(v, SIM.HYPERPLANES[table])
 
 
 _SQL_BASE = f"""
@@ -104,21 +108,46 @@ def knn_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-10 (2 tables × 8 hyperplanes)."""
+    """Multi-probe LSH approximate top-10 (8 tables × 6 hyperplanes,
+    probe radius 1 — see operators/similarity.py::knn_lsh).  The local
+    table is one parquet file (one partition), so the CPU-heavy signature
+    step is spread across the session's cores."""
     e = load_table(spark, sf_dir, "embeddings")
-    return SIM.knn_lsh(e, "vec_id", "embedding", QUERY_MOD, K)
+    return SIM.knn_lsh(
+        e,
+        "vec_id",
+        "embedding",
+        QUERY_MOD,
+        K,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 def _knn_lsh_oracle() -> str:
+    banded = "\nUNION ALL\n".join(
+        f"SELECT vec_id, v, nrm, {t} AS tbl, "
+        f"{_sql_bucket_from('v', SIM.KNN_HYPERPLANES[t])} AS bucket FROM n"
+        for t in range(SIM.KNN_TABLES)
+    )
+    mask_rows = ", ".join(
+        f"({t}, {m})" for t in range(SIM.KNN_TABLES) for m in SIM.KNN_PROBE_MASKS
+    )
     return f"""
 WITH {_SQL_BASE},
-{_sql_banded()},
-qb AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, tbl, bucket
-       FROM banded WHERE vec_id % {QUERY_MOD} = 0),
+knn_banded AS (
+{banded}
+),
+masks AS (SELECT * FROM (VALUES {mask_rows}) AS t(tbl, mask)),
+qp AS (
+    SELECT b.vec_id AS query_id, b.v AS qv, b.nrm AS qnrm, b.tbl,
+           xor(b.bucket, CAST(m.mask AS BIGINT)) AS bucket
+    FROM knn_banded b JOIN masks m ON m.tbl = b.tbl
+    WHERE b.vec_id % {QUERY_MOD} = 0
+),
 cand AS (
-    SELECT DISTINCT qb.query_id, qb.qv, qb.qnrm, c.vec_id, c.v, c.nrm
-    FROM qb JOIN banded c ON c.tbl = qb.tbl AND c.bucket = qb.bucket
-    WHERE c.vec_id != qb.query_id
+    SELECT DISTINCT qp.query_id, qp.qv, qp.qnrm, c.vec_id, c.v, c.nrm
+    FROM qp JOIN knn_banded c ON c.tbl = qp.tbl AND c.bucket = qp.bucket
+    WHERE c.vec_id != qp.query_id
 ),
 scored AS (
     SELECT query_id, vec_id AS neighbor_id,

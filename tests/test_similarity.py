@@ -41,6 +41,36 @@ def test_cosine_pairs_nonempty_and_canonical(spark):
     assert df.filter(F.col("vec_id_a") >= F.col("vec_id_b")).count() == 0
 
 
+def test_knn_arrow_query_guard(spark):
+    """The driver-side collect of the query block is bounded: an
+    oversized query set raises instead of OOM-ing the driver."""
+    import pytest
+
+    from data_pipelines_using_llm_spark.operators import similarity as SIM
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    with pytest.raises(ValueError, match="max_queries"):
+        SIM.knn_arrow(e, "vec_id", "embedding", query_mod=1, max_queries=3)
+
+
+def test_lsh_recall_vs_exact(spark):
+    """Multi-probe LSH (8 tables x 6 planes, radius 1) must recover at
+    least 90% of the exact top-10 at sf0.01 — the driver embeddings are
+    near-orthogonal, so this is the hard recall case (VERDICT r1 measured
+    38% for the old single-probe 2x8 config)."""
+    sf = "/root/testdata/sf0.01"
+    truth: dict[int, set[int]] = {}
+    got: dict[int, set[int]] = {}
+    for r in SQ.knn_brute_force(spark, sf).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in SQ.knn_lsh(spark, sf).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    recall = hits / sum(len(v) for v in truth.values())
+    assert recall >= 0.9, recall
+
+
 def test_knn_arrow_agrees_with_exact(spark):
     """The Arrow GEMM path must produce the same per-query score multiset
     as the JVM sequential-fold exact query (neighbor identity can differ
