@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_pipelines_using_llm_spark.operators.caching import barrier
 from data_pipelines_using_llm_spark.operators.text import HASH_MOD, char_hash, tokens
 
 # Fixed MinHash family h_i(x) = (a_i * x + b_i) mod HASH_MOD — constants from
@@ -96,11 +97,13 @@ def gram_hash_df(
     gram fold.  The persist barrier makes ``th`` a stored column, so the
     per-gram ``element_at`` lookups are array reads — without it Catalyst
     inlines the token-hash expression into every reference."""
-    th_df = df.select(
-        F.col(id_col).alias("doc_id"),
-        *[F.col(c) for c in extra_cols],
-        F.transform(tokens(text_col), char_hash).alias("th"),
-    ).persist()
+    th_df = barrier(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            *[F.col(c) for c in extra_cols],
+            F.transform(tokens(text_col), char_hash).alias("th"),
+        )
+    )
     return th_df.select(
         "doc_id", *extra_cols, _gram_fold(F.col("th"), n).alias("grams")
     )
@@ -178,12 +181,10 @@ def minhash_lsh_pairs(
     # re-tokenizing and re-hashing each document ~20x — measured 50x
     # slower at sf0.1.  At 100 TB this materialization is the standard
     # "write the signature table" stage of an LSH pipeline.
-    base = (
-        gram_hash_df(df, id_col, text_col, n)
-        .filter(F.size("grams") > 0)
-        .persist()
+    base = barrier(
+        gram_hash_df(df, id_col, text_col, n).filter(F.size("grams") > 0)
     )
-    sigs = base.withColumn("sig", minhash_signature(F.col("grams"))).persist()
+    sigs = barrier(base.withColumn("sig", minhash_signature(F.col("grams"))))
     banded = sigs.select(
         "doc_id", F.explode(lsh_bands(F.col("sig"), n_bands)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
@@ -235,11 +236,10 @@ def ngram_jaccard_pairs(
     """
     # persist barriers: stop projection collapse from inlining the shingle
     # expression into both join sides and the jaccard evaluation
-    base = (
+    base = barrier(
         gram_hash_df(df, id_col, text_col, n)
         .filter(F.size("grams") > 0)
         .select("doc_id", F.array_sort("grams").alias("grams"))
-        .persist()
     )
 
     prefix = base.select(
@@ -276,12 +276,11 @@ def ngram_jaccard_pairs(
             F.size("grams_a").alias("sa"),
             F.size("grams_b").alias("sb"),
         )
-        # persist: without this barrier, predicate pushdown rewrites the
-        # threshold filter in terms of array_intersect and the jaccard
-        # projection references it twice more — 4 intersect evaluations
-        # per pair instead of 1
-        .persist()
     )
+    # barrier: without it, predicate pushdown rewrites the threshold
+    # filter in terms of array_intersect and the jaccard projection
+    # references it twice more — 4 intersect evaluations per pair
+    pairs = barrier(pairs)
     union = F.col("sa") + F.col("sb") - F.col("inter")
     return (
         pairs.select(
@@ -296,7 +295,7 @@ def connected_components(
     edges: DataFrame,
     src: str = "doc_id_a",
     dst: str = "doc_id_b",
-    iters: int = 4,
+    iters: int = 8,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph — the dedup
     endgame: every document of a duplicate cluster maps to the cluster's
@@ -331,6 +330,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(iters):
         neighbor_min = (
             und.join(labels, und.b == labels.v)
@@ -349,9 +349,20 @@ def connected_components(
         )
         new_sum = labels.agg(F.sum("label")).collect()[0][0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
     und.unpersist()
+    if not converged:
+        # The final round still changed labels, so a component with
+        # diameter > iters may be split — that would flow into
+        # dedup_survivors as silently-kept duplicates.  Fail loudly
+        # instead of returning a latent wrong answer.
+        raise RuntimeError(
+            f"connected_components did not converge within iters={iters} "
+            "rounds (labels still changing); raise `iters` — rounds are "
+            "early-exit, so a generous bound only costs work when needed"
+        )
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component_id"))
 
 
@@ -386,7 +397,7 @@ def simhash_df(
     """(doc_id[, extras], sh) with the shingle sets materialized once —
     the persist barrier keeps the ``bits`` aggregates reading a stored
     array instead of re-tokenizing the document per bit."""
-    base = gram_hash_df(df, id_col, text_col, n, extra_cols=extra_cols).persist()
+    base = barrier(gram_hash_df(df, id_col, text_col, n, extra_cols=extra_cols))
     return base.select(
         "doc_id",
         *extra_cols,
@@ -394,6 +405,14 @@ def simhash_df(
         .otherwise(simhash_from_grams(F.col("grams"), bits))
         .alias("sh"),
     )
+
+
+def simhash_segment(sh: Column, s: int, bits: int = 20, n_seg: int = 5) -> Column:
+    """Segment ``s`` of a ``bits``-wide SimHash split into ``n_seg``
+    disjoint bit bands (the last segment absorbs the remainder bits)."""
+    seg_w = bits // n_seg
+    width = seg_w + (bits - seg_w * n_seg if s == n_seg - 1 else 0)
+    return F.shiftright(sh, s * seg_w).bitwiseAND(F.lit((1 << width) - 1))
 
 
 def simhash_pairs(
@@ -406,37 +425,77 @@ def simhash_pairs(
     max_hamming: int = 4,
     len_band: int = 60,
 ) -> DataFrame:
-    """SimHash near-dup pairs: hamming distance ≤ ``max_hamming`` within
-    length-band blocks (same bucketing as :func:`ngram_jaccard_pairs`)."""
+    """SimHash near-dup pairs: ``hamming(sh_a, sh_b) <= max_hamming`` and
+    ``|len_a - len_b| <= len_band`` — the COMPLETE set of qualifying
+    pairs; both predicates are output semantics, blocking is invisible.
+
+    Blocking is pigeonhole bit-banding (the Manku/Google simhash-dedup
+    shape): the signature splits into ``max_hamming + 1`` disjoint
+    segments, and a pair within the hamming radius must agree EXACTLY on
+    at least one segment, so the (segment_id, segment_value) equi-join is
+    lossless.  Bucket sizes follow the content-hash distribution — a
+    skewed document-length histogram cannot create a quadratic bucket
+    (the round-1 length-band blocking both had that failure mode and
+    silently dropped about half of band-boundary-crossing pairs).
+
+    Pairs colliding on several segments are deduplicated WITHOUT a
+    shuffle: both join sides carry the full signature, so the first
+    matching segment "owns" the pair via a closed-form filter.  The
+    DuckDB oracle is deliberately blocking-free (plain all-pairs at
+    sf0.01), so the cross-engine gate verifies the pigeonhole theorem
+    instead of enshrining the blocking.
+
+    At larger scale, widen segments rather than accept n²/2^w buckets:
+    64-bit signatures with 4×16-bit segments is the production shape; the
+    20-bit default here matches the cross-engine hash-arithmetic range.
+    """
+    n_seg = max_hamming + 1
+
+    def seg(sh: Column, s: int) -> Column:
+        return simhash_segment(sh, s, bits, n_seg)
+
     base = simhash_df(
         df, id_col, text_col, n, bits, extra_cols=(len_col,)
     ).withColumnRenamed(len_col, "doc_len")
-    bucketed = base.select(
+    banded = base.select(
         "doc_id",
         "doc_len",
         "sh",
         F.explode(
             F.array(
-                F.floor(F.col("doc_len") / len_band).cast("long"),
-                F.floor(F.col("doc_len") / len_band).cast("long") + 1,
+                *[
+                    F.struct(
+                        F.lit(s).alias("seg_id"), seg(F.col("sh"), s).alias("seg_val")
+                    )
+                    for s in range(n_seg)
+                ]
             )
-        ).alias("bucket"),
+        ).alias("sg"),
+    ).select("doc_id", "doc_len", "sh", "sg.seg_id", "sg.seg_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    first_match = F.least(
+        *[
+            F.when(
+                seg(F.col("a.sh"), s) == seg(F.col("b.sh"), s), F.lit(s)
+            ).otherwise(F.lit(n_seg))
+            for s in range(n_seg)
+        ]
     )
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.bucket") == (F.col("a.doc_len") / len_band).cast("long")),
+            (F.col("a.seg_id") == F.col("b.seg_id"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        # segment-ownership: the first agreeing segment emits the pair
+        .filter(F.col("a.seg_id") == first_match)
         .filter(F.abs(F.col("a.doc_len") - F.col("b.doc_len")) <= len_band)
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
             F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
         )
-        # bucket-ownership rule => pairs are already unique; no distinct
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -20,6 +20,16 @@ SIMHASH_BITS = 20
 SIMHASH_MAX_HAMMING = 4
 LEN_BAND = 60
 
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``documents`` spread across the session's cores: the local table is
+    one small parquet file (one scan partition), and the shingle/signature
+    stage is CPU-bound, so the near-dup queries would otherwise run
+    single-threaded.  At 100 TB the source arrives in thousands of
+    partitions and no such repartition belongs in the operators."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.repartition(spark.sparkContext.defaultParallelism)
+
 # ---- DuckDB snippet builders mirroring operators/dedup.py ----
 
 _SQL_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')"
@@ -108,7 +118,7 @@ GROUP BY 1
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (prefix-filtered, lossless)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return DD.ngram_jaccard_pairs(
         d, "doc_id", "text", n=NGRAM_N, threshold=JACCARD_THRESHOLD
     )
@@ -137,7 +147,7 @@ WHERE {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (16 hashes, 4 bands × 4 rows), verified
     with true Jaccard — the linear-ish scale path for corpus dedup."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return DD.minhash_lsh_pairs(
         d, "doc_id", "text", n=NGRAM_N, threshold=JACCARD_THRESHOLD
     )
@@ -175,7 +185,7 @@ def _minhash_oracle() -> str:
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document SimHash signature (20-bit, over 3-gram shingles)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return DD.simhash_df(d, "doc_id", "text", NGRAM_N, SIMHASH_BITS).select(
         "doc_id", F.col("sh").alias("simhash")
     )
@@ -200,8 +210,11 @@ FROM base
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: hamming ≤ 4 within length bands."""
-    d = load_table(spark, sf_dir, "documents")
+    """SimHash near-dup pairs: hamming ≤ 4 and length delta ≤ 60.  The
+    Spark side blocks with pigeonhole bit-banding; the oracle below is
+    deliberately blocking-free (all-pairs), so the cross-engine gate
+    verifies the blocking is lossless instead of enshrining it."""
+    d = _docs(spark, sf_dir)
     return DD.simhash_pairs(
         d, "doc_id", "text", "n_chars",
         n=NGRAM_N, bits=SIMHASH_BITS,
@@ -214,17 +227,11 @@ WITH {_sql_grams_cte(", n_chars AS doc_len")}, sh AS (
     SELECT doc_id, doc_len,
            CASE WHEN len(grams) = 0 THEN 0 ELSE {_sql_simhash()} END AS sh
     FROM base
-), bucketed AS (
-    SELECT doc_id, doc_len, sh, u.bucket
-    FROM sh, UNNEST([{_SQL_BUCKET}, {_SQL_BUCKET} + 1]) AS u(bucket)
 )
-SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
        CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
-FROM bucketed a
-JOIN bucketed b
-  ON a.bucket = b.bucket
- AND a.doc_id < b.doc_id
- AND a.bucket = CAST(floor(a.doc_len / {LEN_BAND}.0) AS BIGINT)
+FROM sh a
+JOIN sh b ON a.doc_id < b.doc_id
 WHERE abs(a.doc_len - b.doc_len) <= {LEN_BAND}
   AND bit_count(xor(a.sh, b.sh)) <= {SIMHASH_MAX_HAMMING}
 """
@@ -234,7 +241,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assignment: connected components over the
     MinHash-LSH pair graph (min-label propagation, 4 rounds) — every doc
     in a duplicate cluster maps to the cluster's minimum doc_id."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     pairs = DD.minhash_lsh_pairs(
         d, "doc_id", "text", n=NGRAM_N, threshold=JACCARD_THRESHOLD
     )
@@ -276,7 +283,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     every document that is either untouched by the pair graph or its
     cluster's minimum-id representative.  One anti-ish left join against
     the (tiny relative to the corpus) component assignment."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     pairs = DD.minhash_lsh_pairs(
         d, "doc_id", "text", n=NGRAM_N, threshold=JACCARD_THRESHOLD
     )
