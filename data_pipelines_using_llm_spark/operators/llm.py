@@ -32,10 +32,14 @@ from pyspark.sql import functions as F  # noqa: F401  (re-exported for callers)
 
 SUMMARY_TOKENS = 12
 
-LLM_RESULT_SCHEMA = (
-    "doc_id long, response string, n_prompt_tokens int, n_response_tokens int, "
-    "n_api_calls int"
-)
+def llm_result_schema(id_type: str = "long") -> str:
+    return (
+        f"doc_id {id_type}, response string, n_prompt_tokens int, "
+        "n_response_tokens int, n_api_calls int"
+    )
+
+
+LLM_RESULT_SCHEMA = llm_result_schema()
 
 
 def require_llm_backend() -> None:
@@ -143,19 +147,23 @@ def llm_transform(
     batch_size: int = 32,
     rate_per_sec: float = float("inf"),
     max_retries: int = 3,
+    id_type: str = "long",
 ) -> DataFrame:
     """Run an LLM completion over every row, batched per partition.
 
     ``backend_factory`` is called once per partition (clients are not
     picklable and must not be shared across processes).  Emits the
     response plus prompt/response token counts and how many API calls the
-    row's micro-batch needed (1 without retries).
+    row's micro-batch needed (1 without retries).  ``id_type`` lets a
+    caller key rows by something other than a long id (the cached variant
+    passes the prompt digest through as a string key).
     """
+    to_id = int if id_type == "long" else str
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         backend = backend_factory()
         limiter = RateLimiter(rate=rate_per_sec)
-        pending_ids: list[int] = []
+        pending_ids: list = []
         pending_prompts: list[str] = []
 
         def flush() -> pd.DataFrame:
@@ -178,14 +186,14 @@ def llm_transform(
 
         for pdf in batches:
             for doc_id, prompt in zip(pdf[id_col], pdf[prompt_col]):
-                pending_ids.append(int(doc_id))
+                pending_ids.append(to_id(doc_id))
                 pending_prompts.append(str(prompt))
                 if len(pending_ids) >= batch_size:
                     yield flush()
         if pending_ids:
             yield flush()
 
-    return df.select(id_col, prompt_col).mapInPandas(fn, LLM_RESULT_SCHEMA)
+    return df.select(id_col, prompt_col).mapInPandas(fn, llm_result_schema(id_type))
 
 
 def llm_transform_cached(
@@ -203,10 +211,12 @@ def llm_transform_cached(
     paid for twice.
 
     One representative row per distinct prompt goes through the model
-    call; responses join back to every original row.  The dedup and both
-    joins key on ``sha2(prompt)`` so the shuffle carries a 64-char digest,
-    not arbitrary document text (the prompt string itself stays on the
-    representative rows only).  Collision risk at 256 bits is nil.
+    call; responses join back to every original row ON THE PROMPT DIGEST
+    itself (``sha2(prompt)`` travels through the model stage as the row
+    key), so the mapping is exact even when ``id_col`` has duplicate
+    values — no representative-id indirection to mis-join.  The dedup and
+    the join shuffle a 64-char digest, not arbitrary document text; at
+    256 bits collision risk is nil.
 
     Duplicate rows therefore share the response of ONE api call — the
     caching test asserts this by marking responses with a per-call nonce.
@@ -216,21 +226,18 @@ def llm_transform_cached(
         F.col(prompt_col).alias("_prompt"),
         F.sha2(F.col(prompt_col).cast("string"), 256).alias("_pkey"),
     )
-    reps = keyed.groupBy("_pkey").agg(
-        F.min("doc_id").alias("doc_id"), F.min("_prompt").alias("_prompt")
-    )
+    reps = keyed.groupBy("_pkey").agg(F.min("_prompt").alias("_prompt"))
     rep_out = llm_transform(
         reps,
-        "doc_id",
+        "_pkey",
         "_prompt",
         backend_factory=backend_factory,
         batch_size=batch_size,
         rate_per_sec=rate_per_sec,
         max_retries=max_retries,
+        id_type="string",
     )
-    responses = reps.select("_pkey", "doc_id").join(rep_out, "doc_id").drop(
-        "doc_id"
-    )
+    responses = rep_out.withColumnRenamed("doc_id", "_pkey")
     return keyed.join(responses, "_pkey").select(
         "doc_id",
         "response",

@@ -1,8 +1,10 @@
 from data_pipelines_using_llm_spark.sinks.writers import (  # noqa: F401
     align_to_schema,
     compact_table,
+    delta_available,
     ensure_table,
     idempotent_upsert,
+    insert_into_existing,
     register_view,
     write_bucketed,
     write_table,

@@ -105,46 +105,164 @@ def align_to_schema(
     return renamed.select(*out)
 
 
+def delta_available() -> bool:
+    """True when the delta-spark package (and its JVM jars) are importable.
+    The test environment is parquet-only, so every Delta-specific branch
+    below activates only behind this gate and otherwise degrades to the
+    documented parquet emulation."""
+    try:
+        from delta.tables import DeltaTable  # noqa: F401
+    except Exception:
+        return False
+    return True
+
+
+def insert_into_existing(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    allow_missing: bool = False,
+) -> None:
+    """K3: append into a PRE-EXISTING catalog table.
+
+    The reference falls back to ``insertInto`` when ``saveAsTable`` fails
+    (``First experiment/Claude Opus 4.py:136-146,328-338``) — but
+    ``insertInto`` binds POSITIONALLY, so a source whose column order
+    drifted from the target silently writes values into the wrong
+    columns.  This variant closes that hazard: the source is aligned BY
+    NAME to the target schema first (so the positional bind underneath is
+    provably correct), extra source columns always raise, and missing
+    columns raise unless ``allow_missing`` null-pads them.
+    """
+    if not spark.catalog.tableExists(table):
+        raise ValueError(f"table {table!r} does not exist; use write_table/ensure_table")
+    target = spark.table(table).schema
+    target_names = [f.name for f in target.fields]
+    extra = [c for c in df.columns if c not in target_names]
+    if extra:
+        raise ValueError(f"source has columns not in target table {table!r}: {extra}")
+    missing = [n for n in target_names if n not in df.columns]
+    if missing and not allow_missing:
+        raise ValueError(
+            f"source is missing target columns {missing}; pass allow_missing=True "
+            "to null-pad them"
+        )
+    align = align_to_schema(df, target)
+    align.write.insertInto(table, overwrite=False)
+
+
+def _has_data_files(path: str) -> bool:
+    import os
+
+    return os.path.exists(path) and any(
+        n.endswith(".parquet") or n.startswith("part-")
+        for _, _, files in os.walk(path)
+        for n in files
+    )
+
+
+def _swap_in(path: str, tmp: str) -> None:
+    """Replace the table directory with ``tmp`` without a window where the
+    table path is ABSENT: the live dir is renamed aside first, so a crash
+    between steps leaves either the old or the new table at ``path``
+    (never nothing), and the leftover ``__old`` dir is recoverable."""
+    import os
+    import shutil
+
+    old = path.rstrip("/") + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
 def idempotent_upsert(
     spark: SparkSession,
     new_data: DataFrame,
     path: str,
     key: list[str],
     partition_by: list[str] | None = None,
+    max_broadcast_keys: int = 4_000_000,
 ) -> None:
     """§4.3.6: idempotent ingestion — re-running a batch must not
     double-append (the reference's append mode does:
     ``First experiment/Claude Opus 4.py:129`` vs the dedup cleanup it then
     needs at ``:217-236``).
 
-    Without Delta MERGE, emulated as anti-join + union rewrite: existing
-    rows whose key collides with the incoming batch are replaced.  The
-    anti-join broadcasts the (small) incoming key set, so the history scan
-    is shuffle-free; with Delta available this swaps for ``MERGE INTO``
-    with partition-pruned matching.  Writes to a temp location then swaps,
-    so a failed job never truncates history.
-    """
-    import os
-    import shutil
+    Without Delta MERGE, emulated as anti-join + union: existing rows
+    whose key collides with the incoming batch are replaced.  The incoming
+    key set is broadcast only while it is verifiably small (a cheap
+    ``limit`` probe, not a full count); larger batches fall back to a
+    shuffle join rather than OOM-ing the executors.
 
-    exists = os.path.exists(path) and any(
-        n.endswith(".parquet") or n.startswith("part-")
-        for root, _, files in os.walk(path)
-        for n in files
-    )
-    if not exists:
+    Scale shape — the rewrite is PARTITION-SCOPED when ``partition_by``
+    is set: only partitions actually containing incoming rows are read
+    (partition-pruned scan) and rewritten (dynamic partition overwrite);
+    untouched partitions' files are not even opened.  At 100 TB a
+    micro-batch touching one ingestion date rewrites one partition, not
+    the table.  Unpartitioned tables keep the full-rewrite fallback,
+    staged to a temp dir and swapped via rename-aside (the table path is
+    never absent; a crash leaves old or new data, not neither).  With
+    Delta available this whole function swaps for ``MERGE INTO``
+    (ACID, partition-pruned matching, no manual swap).
+    """
+    if delta_available():
+        from delta.tables import DeltaTable
+
+        if DeltaTable.isDeltaTable(spark, path):
+            cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in key)
+            (
+                DeltaTable.forPath(spark, path)
+                .alias("t")
+                .merge(new_data.alias("s"), cond)
+                .whenMatchedUpdateAll()
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+            return
+
+    if not _has_data_files(path):
         write_table(new_data, path, mode="overwrite", partition_by=partition_by)
         return
 
     current = spark.read.parquet(path)
     keys = new_data.select(*key).distinct()
-    kept = current.join(F.broadcast(keys), on=key, how="left_anti")
-    merged = kept.unionByName(new_data.select(*current.columns))
+    small = keys.limit(max_broadcast_keys + 1).count() <= max_broadcast_keys
+    keys = F.broadcast(keys) if small else keys
 
+    if partition_by:
+        # Touched partition values: small by construction (a batch spans
+        # few ingestion dates), so collecting them is a scalar probe.
+        touched = [
+            tuple(r[c] for c in partition_by)
+            for r in new_data.select(*partition_by).distinct().collect()
+        ]
+        pred = None
+        for values in touched:
+            clause = None
+            for c, v in zip(partition_by, values):
+                term = F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+                clause = term if clause is None else (clause & term)
+            pred = clause if pred is None else (pred | clause)
+        if pred is None:  # empty batch: nothing to upsert
+            return
+        scoped = current.filter(pred)  # partition-pruned scan
+        kept = scoped.join(keys, on=key, how="left_anti")
+        merged = kept.unionByName(new_data.select(*scoped.columns))
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            write_table(merged, path, mode="overwrite", partition_by=partition_by)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        return
+
+    kept = current.join(keys, on=key, how="left_anti")
+    merged = kept.unionByName(new_data.select(*current.columns))
     tmp = path.rstrip("/") + "__tmp_upsert"
     write_table(merged, tmp, mode="overwrite", partition_by=partition_by)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    _swap_in(path, tmp)
 
 
 def register_view(
@@ -196,18 +314,34 @@ def compact_table(
     4.py:799-806``, ``Second Experiment/Claude 4 Sonnet.py:536-543``)
     expressed for parquet: coalesce to fewer files and sort within
     partitions by the clustering key so parquet min/max row-group stats
-    give the same data-skipping effect.
+    give the same data-skipping effect.  With delta-spark importable and
+    a Delta target, runs the real ``OPTIMIZE`` (+``ZORDER BY``) instead.
     """
+    import os
+
+    if delta_available():
+        from delta.tables import DeltaTable
+
+        if DeltaTable.isDeltaTable(spark, path):
+            zorder = f" ZORDER BY ({', '.join(zorder_by)})" if zorder_by else ""
+            spark.sql(f"OPTIMIZE delta.`{path}`{zorder}")
+            return
+
+    # Target size from the FILE count (the thing compaction reduces) —
+    # touching the RDD API just to count partitions would drop the plan
+    # out of the Arrow/codegen path.
+    n_files = sum(
+        1
+        for _, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet") or f.startswith("part-")
+    )
     df = spark.read.parquet(path)
-    n = target_partitions or max(1, df.rdd.getNumPartitions() // 4)
+    n = target_partitions or max(1, n_files // 4)
     compacted = df.repartition(n)
     if zorder_by:
         compacted = compacted.sortWithinPartitions(*zorder_by)
 
-    import os
-    import shutil
-
     tmp = path.rstrip("/") + "__tmp_compact"
     write_table(compacted, tmp, mode="overwrite", partition_by=partition_by)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    _swap_in(path, tmp)

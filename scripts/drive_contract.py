@@ -30,9 +30,12 @@ def vhash(pdf):
     recs = sorted(tuple(str(v) for v in r) for r in pdf.itertuples(index=False))
     return hashlib.md5(str(recs).encode()).hexdigest()[:10]
 
+from data_pipelines_using_llm_spark.operators.caching import release_barriers
+
 fails = 0
 for name, fn in sorted(qs.items()):
     spdf = fn(spark, sf).toPandas()
+    release_barriers()
     if name not in osql:
         print(f"  {name}: rows-only, {len(spdf)} rows")
         continue

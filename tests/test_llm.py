@@ -89,6 +89,26 @@ def test_cached_transform_one_call_per_distinct_prompt(spark):
     assert len({next(iter(v)) for v in by_prompt.values()}) == 3
 
 
+def test_cached_transform_with_duplicate_ids(spark):
+    """A non-unique id_col must not multiply rows or cross-wire responses:
+    the response joins back on the prompt digest, not a representative id
+    (ADVICE r1: min(doc_id) representatives collided when ids repeat)."""
+    rows = [
+        (1, "alpha bravo charlie delta"),
+        (1, "echo foxtrot golf hotel"),  # same id, DIFFERENT prompt
+        (2, "alpha bravo charlie delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = LLM.llm_transform_cached(df, "doc_id", "text").collect()
+    assert len(out) == 3  # no row multiplication
+    got = {(r["doc_id"], r["response"]) for r in out}
+    assert got == {
+        (1, "alpha bravo charlie delta"),
+        (1, "echo foxtrot golf hotel"),
+        (2, "alpha bravo charlie delta"),
+    }
+
+
 def test_cached_transform_matches_uncached_values(spark):
     d = load_table(spark, SF_DIR, "documents").limit(50)
     a = {

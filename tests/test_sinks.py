@@ -13,8 +13,10 @@ from pyspark.sql import types as T
 from data_pipelines_using_llm_spark.sinks import (
     align_to_schema,
     compact_table,
+    delta_available,
     ensure_table,
     idempotent_upsert,
+    insert_into_existing,
     write_table,
 )
 
@@ -115,6 +117,67 @@ def test_idempotent_upsert_rerun_stable(spark, feed, tmp_path):
     assert back.filter("event_time = TIMESTAMP'2025-01-01 04:00:00'").first().pm10 == 104.0
 
 
+def test_partition_scoped_upsert_leaves_other_partitions_untouched(
+    spark, feed, tmp_path
+):
+    """Partition-scoped rewrite: an upsert whose batch touches one
+    ingestion_date must leave every other partition's FILES byte-identical
+    (not just row-equal) — proof the rewrite never read-modified-rewrote
+    them."""
+
+    def snapshot(partition_dir):
+        out = {}
+        for root, _, files in os.walk(partition_dir):
+            for f in files:
+                if f.startswith("part-"):
+                    p = os.path.join(root, f)
+                    with open(p, "rb") as fh:
+                        out[p] = fh.read()
+        return out
+
+    path = str(tmp_path / "part_silver")
+    day2 = spark.createDataFrame(
+        [
+            (dt.datetime(2025, 1, 2, h), float(10 + h), dt.date(2025, 1, 2))
+            for h in range(4)
+        ],
+        "event_time timestamp, pm10 double, ingestion_date date",
+    )
+    idempotent_upsert(
+        spark, feed.unionByName(day2), path, key=["event_time"],
+        partition_by=["ingestion_date"],
+    )
+    before = snapshot(path + "/ingestion_date=2025-01-01")
+    assert before  # partition exists
+
+    # batch touching ONLY 2025-01-02: update hour 1, add hours 4-5
+    batch = spark.createDataFrame(
+        [
+            (dt.datetime(2025, 1, 2, h), float(200 + h), dt.date(2025, 1, 2))
+            for h in (1, 4, 5)
+        ],
+        "event_time timestamp, pm10 double, ingestion_date date",
+    )
+    idempotent_upsert(
+        spark, batch, path, key=["event_time"], partition_by=["ingestion_date"]
+    )
+
+    after = snapshot(path + "/ingestion_date=2025-01-01")
+    assert after == before  # byte-identical: untouched partition not rewritten
+
+    back = spark.read.parquet(path)
+    assert back.count() == 6 + 6  # day1: 6, day2: 4 existing + 2 new
+    assert (
+        back.filter("event_time = TIMESTAMP'2025-01-02 01:00:00'").first().pm10
+        == 201.0
+    )
+    # rerun stability still holds for the partitioned path
+    idempotent_upsert(
+        spark, batch, path, key=["event_time"], partition_by=["ingestion_date"]
+    )
+    assert spark.read.parquet(path).count() == 12
+
+
 def test_compact_table(spark, feed, tmp_path):
     path = str(tmp_path / "many_files")
     write_table(feed.repartition(6), path)
@@ -123,6 +186,60 @@ def test_compact_table(spark, feed, tmp_path):
     n_after = len([f for f in os.listdir(path) if f.startswith("part-")])
     assert n_after < n_before
     assert spark.read.parquet(path).count() == 6
+
+
+def test_insert_into_existing_binds_by_name(spark, feed, tmp_path):
+    """K3 with the positional-mis-bind hazard closed: a source whose
+    column ORDER drifted from the target must still land values in the
+    right columns (the reference's raw insertInto would swap them)."""
+    path = str(tmp_path / "k3_table")
+    write_table(feed, path, mode="overwrite")
+    schema = T.StructType(
+        [
+            T.StructField("event_time", T.TimestampType()),
+            T.StructField("pm10", T.DoubleType()),
+            T.StructField("ingestion_date", T.DateType()),
+        ]
+    )
+    ensure_table(spark, "t_k3_test", schema, path)
+    try:
+        shuffled = spark.createDataFrame(
+            [(99.0, dt.date(2025, 2, 1), dt.datetime(2025, 2, 1, 0))],
+            "pm10 double, ingestion_date date, event_time timestamp",
+        )
+        insert_into_existing(spark, shuffled, "t_k3_test")
+        spark.catalog.refreshTable("t_k3_test")
+        row = spark.table("t_k3_test").filter("pm10 = 99.0").first()
+        assert row.event_time == dt.datetime(2025, 2, 1, 0)
+        assert row.ingestion_date == dt.date(2025, 2, 1)
+
+        with pytest.raises(ValueError, match="not in target"):
+            insert_into_existing(
+                spark, shuffled.withColumn("surprise", F.lit(1)), "t_k3_test"
+            )
+        with pytest.raises(ValueError, match="missing target"):
+            insert_into_existing(spark, shuffled.drop("pm10"), "t_k3_test")
+        insert_into_existing(
+            spark, shuffled.drop("pm10"), "t_k3_test", allow_missing=True
+        )
+        spark.catalog.refreshTable("t_k3_test")
+        assert spark.table("t_k3_test").filter("pm10 IS NULL").count() == 1
+        with pytest.raises(ValueError, match="does not exist"):
+            insert_into_existing(spark, shuffled, "t_no_such_table")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_k3_test")
+
+
+@pytest.mark.skipif(not delta_available(), reason="delta-spark not installed")
+def test_delta_merge_upsert(spark, feed, tmp_path):
+    """Real Delta MERGE path (activates only where delta-spark exists)."""
+    path = str(tmp_path / "delta_silver")
+    feed.write.format("delta").save(path)
+    batch = feed.limit(2).withColumn("pm10", F.lit(500.0))
+    idempotent_upsert(spark, batch, path, key=["event_time"])
+    back = spark.read.format("delta").load(path)
+    assert back.count() == 6
+    assert back.filter("pm10 = 500.0").count() == 2
 
 
 def test_bucketed_join_has_no_shuffle(spark):
