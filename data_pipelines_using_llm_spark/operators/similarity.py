@@ -181,22 +181,31 @@ def _bucketed(base: DataFrame) -> DataFrame:
     ).select("vec_id", "v", "nrm", "tb.tbl", "tb.bucket")
 
 
-def knn_signatures(v: Column) -> Column:
+def knn_planes_df(df: DataFrame) -> DataFrame:
+    """The 8x6x64 hyperplane matrix as a ONE-ROW DataFrame.
+
+    Shipping the constant as broadcast DATA instead of a literal
+    expression keeps ~3000 literal nodes out of the plan — analysis and
+    codegen of the signature stage drop from seconds to milliseconds,
+    and the optimizer still sees a single tiny broadcast."""
+    planes = [
+        [[float(v) for v in p] for p in KNN_HYPERPLANES[t]]
+        for t in range(KNN_TABLES)
+    ]
+    return df.sparkSession.createDataFrame(
+        [(planes,)], "planes array<array<array<double>>>"
+    )
+
+
+def knn_signatures(v: Column, planes: Column) -> Column:
     """All ``KNN_TABLES`` bucket ids of ``v`` as one ``array<long>``.
 
-    Formulated as a SINGLE nested higher-order function over one literal
-    plane matrix rather than 48 separate aggregate expressions: the
-    arithmetic (sequential-fold dots, exact sign on integer planes) is
-    identical, but the expression tree is ~50x smaller, which cuts plan
-    analysis/codegen from seconds to milliseconds.  ``pow(2, j)`` is exact
-    in doubles for j < 53, so the bit packing matches the oracle's
+    A single nested higher-order function over the planes column rather
+    than 48 separate aggregate expressions: the arithmetic
+    (sequential-fold dots, exact sign on integer planes) is identical,
+    but the expression tree is ~50x smaller.  ``pow(2, j)`` is exact in
+    doubles for j < 53, so the bit packing matches the oracle's
     ``1 << j``."""
-    planes = F.array(
-        *[
-            F.array(*[plane_literal(p) for p in KNN_HYPERPLANES[t]])
-            for t in range(KNN_TABLES)
-        ]
-    )
     return F.transform(
         planes,
         lambda planes_t: F.aggregate(
@@ -233,21 +242,28 @@ def knn_lsh(
     - candidate generation is an equi-join on (table, bucket) with the
       probe side broadcast — work proportional to bucket collisions,
       never |queries| x |corpus|.
-    - duplicate candidates (pairs colliding in several tables/probes) are
-      eliminated WITHOUT a shuffle: both sides carry their full signature
-      array, so each joined row computes the minimal matching
-      (table, probe) combo in closed form and only the owning combo emits
-      the pair (same bucket-ownership trick as simhash blocking).
+    - duplicate candidates (pairs colliding in several tables) are
+      eliminated WITHOUT a shuffle: a joined row at table t implies
+      ``bit_count(qb[t] XOR xb[t]) <= 1`` (the probe flipped at most one
+      bit), so the FIRST such table owns the pair — an 8-branch
+      closed-form filter, no per-probe bookkeeping (same
+      bucket-ownership trick as simhash blocking).
     - ``min_parallelism`` redistributes a SMALL input before the
       CPU-heavy signature step (a single local parquet file arrives as
       one partition).  Leave ``None`` at scale — a real corpus already
       has many partitions and the repartition would be a full shuffle.
     """
-    n_probes = len(KNN_PROBE_MASKS)
     if min_parallelism is not None:
         df = df.repartition(min_parallelism)
+    src = df.crossJoin(F.broadcast(knn_planes_df(df)))
+    vd = to_double(vec_col)
     sig = barrier(
-        normed(df, id_col, vec_col).withColumn("bkts", knn_signatures(F.col("v")))
+        src.select(
+            F.col(id_col).alias("vec_id"),
+            vd.alias("v"),
+            norm(vd).alias("nrm"),
+            knn_signatures(vd, F.col("planes")).alias("bkts"),
+        )
     )
     corpus = sig.select(
         "vec_id",
@@ -256,15 +272,11 @@ def knn_lsh(
         "bkts",
         F.explode(F.array(*[F.lit(t) for t in range(KNN_TABLES)])).alias("tbl"),
     ).withColumn("bucket", F.element_at("bkts", F.col("tbl") + 1))
-    combos = F.array(
+    probe_list = F.array(
         *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                F.lit(m).alias("mask"),
-                F.lit(t * n_probes + pi).alias("combo"),
-            )
+            F.struct(F.lit(t).alias("tbl"), F.lit(m).alias("mask"))
             for t in range(KNN_TABLES)
-            for pi, m in enumerate(KNN_PROBE_MASKS)
+            for m in KNN_PROBE_MASKS
         ]
     )
     probes = (
@@ -274,7 +286,7 @@ def knn_lsh(
             F.col("v").alias("qv"),
             F.col("nrm").alias("qnrm"),
             F.col("bkts").alias("qbkts"),
-            F.explode(combos).alias("c"),
+            F.explode(probe_list).alias("c"),
         )
         .select(
             "query_id",
@@ -285,29 +297,29 @@ def knn_lsh(
             F.element_at("qbkts", F.col("c.tbl") + 1)
             .bitwiseXOR(F.col("c.mask"))
             .alias("bucket"),
-            F.col("c.combo").alias("combo"),
         )
     )
-    # Minimal matching combo for this (query, candidate) pair — identical on
-    # every joined duplicate of the pair, so `combo == owner` keeps exactly
-    # one row per pair with zero extra shuffles.
-    no_match = KNN_TABLES * n_probes
+    # First table where the pair is within probe radius (hamming <= 1)
+    # owns it — identical on every joined duplicate of the pair, so
+    # `tbl == owner` keeps exactly one row per pair, shuffle-free.
+    def _ham(t: int) -> Column:
+        return F.bit_count(
+            F.element_at(F.col("qbkts"), t + 1).bitwiseXOR(
+                F.element_at(F.col("bkts"), t + 1)
+            )
+        )
+
     owner = F.least(
         *[
-            F.when(
-                F.element_at(F.col("qbkts"), t + 1).bitwiseXOR(F.lit(m))
-                == F.element_at(F.col("bkts"), t + 1),
-                F.lit(t * n_probes + pi),
-            ).otherwise(F.lit(no_match))
+            F.when(_ham(t) <= 1, F.lit(t)).otherwise(F.lit(KNN_TABLES))
             for t in range(KNN_TABLES)
-            for pi, m in enumerate(KNN_PROBE_MASKS)
         ]
     )
     cand = (
         F.broadcast(probes)
         .join(corpus, ["tbl", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .filter(F.col("combo") == owner)
+        .filter(F.col("tbl") == owner)
         .select("query_id", "qv", "qnrm", "vec_id", "v", "nrm")
     )
     scored = cand.select(

@@ -511,7 +511,147 @@ WHERE abs(round((value - sx / n) / sqrt((sx2 - sx * sx / n) / (n - 1)), 6))
 """
 
 
+def nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (no reference counterpart — the J1/J2 join archetype
+    grown to warehouse scale): bilateral trade volume between every
+    (supplier nation, customer nation) pair by ship year.
+
+    Scale: lineitem⋈orders is the single fact-fact shuffle (on the join
+    key both tables would be bucketed by in a real deployment); supplier,
+    customer, and both nation lookups broadcast, so the enriched fact
+    never re-shuffles until the final tiny (25x25xyears) aggregation,
+    which partial-aggregates map-side.  Revenue sums are decimal-exact
+    (functions/exact.py), so the matrix hash-matches DuckDB.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation")
+    supp_nat = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust_nat = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp_nat), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cust_nat), F.col("c_nationkey") == F.col("cn_key"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+NATION_TRADE_MATRIX_ORACLE = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+"""
+
+
+def signup_activation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed RANGE JOIN (interval predicate — nothing in the reference
+    joins on anything but equality): for every signup, how many clicks
+    the same user made within the following hour.
+
+    Scale shape: a naive range join is |signups| x |user clicks|; here
+    both sides get an hour-bucket key (a click at most one hour after a
+    signup lands in the signup's bucket or the next one), so the join is
+    an EQUI-join on (user_id, bucket) with the range predicate as a
+    post-filter — work proportional to real temporal collisions, and
+    each qualifying (signup, click) pair matches in exactly one bucket
+    (the click's own), so no dedup is needed.  Signups with zero clicks
+    survive via the final left join against the per-signup counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("sts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("cts"),
+        F.floor(F.unix_timestamp("ts") / 3600).alias("bucket"),
+    )
+    s_buckets = signups.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.floor(F.unix_timestamp("sts") / 3600),
+                F.floor(F.unix_timestamp("sts") / 3600) + 1,
+            )
+        ),
+    )
+    counts = (
+        s_buckets.join(clicks, ["user_id", "bucket"])
+        .filter(
+            (F.col("cts") > F.col("sts"))
+            & (F.col("cts") <= F.col("sts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("signup_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks_1h"))
+    )
+    return signups.join(counts, "signup_id", "left").select(
+        "signup_id",
+        "user_id",
+        F.coalesce(F.col("n_clicks_1h"), F.lit(0).cast("long")).alias(
+            "n_clicks_1h"
+        ),
+    )
+
+
+SIGNUP_ACTIVATION_ORACLE = """
+WITH s AS (
+    SELECT event_id AS signup_id, user_id, ts AS sts
+    FROM events WHERE event_type = 'signup'
+),
+c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
+j AS (
+    SELECT signup_id, count(*) AS n_clicks_1h
+    FROM s JOIN c
+      ON c.user_id = s.user_id
+     AND c.cts > s.sts
+     AND c.cts <= s.sts + INTERVAL 1 HOUR
+    GROUP BY signup_id
+)
+SELECT s.signup_id, s.user_id, coalesce(j.n_clicks_1h, 0) AS n_clicks_1h
+FROM s LEFT JOIN j USING (signup_id)
+"""
+
+
 QUERIES = {
+    "nation_trade_matrix": QuerySpec(
+        nation_trade_matrix,
+        NATION_TRADE_MATRIX_ORACLE,
+        "Q7-shape bilateral trade rollup",
+    ),
+    "signup_activation": QuerySpec(
+        signup_activation,
+        SIGNUP_ACTIVATION_ORACLE,
+        "bucketed range join (interval predicate)",
+    ),
     "shipping_priority": QuerySpec(
         shipping_priority, SHIPPING_PRIORITY_ORACLE, "Q3-shape fact-fact top-k"
     ),

@@ -265,6 +265,72 @@ def idempotent_upsert(
     _swap_in(path, tmp)
 
 
+def merge_schemas(target: T.StructType, incoming: T.StructType) -> T.StructType:
+    """Union of two schemas by field name — the ``mergeSchema`` semantics
+    (``First experiment/Claude Sonnet 4.py:173``) as an explicit operator.
+    Target fields keep their position and type; genuinely new incoming
+    fields append at the end; a same-name field with a DIFFERENT type
+    raises (silent coercion is how a drifting feed corrupts a table)."""
+    by_name = {f.name: f for f in target.fields}
+    out = list(target.fields)
+    for f in incoming.fields:
+        existing = by_name.get(f.name)
+        if existing is None:
+            out.append(f)
+        elif existing.dataType != f.dataType:
+            raise ValueError(
+                f"schema conflict on {f.name!r}: table has "
+                f"{existing.dataType.simpleString()}, batch has "
+                f"{f.dataType.simpleString()}"
+            )
+    return T.StructType(out)
+
+
+def append_with_evolution(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Append a batch whose schema may have DRIFTED from the table —
+    the merge-two-schemas-on-append path (Delta's ``mergeSchema``,
+    ``Second Experiment/Claude Opus 4.py:311``) for parquet tables.
+
+    The batch is aligned to ``merge_schemas(table, batch)``: columns the
+    batch lacks are null-padded, genuinely new columns land in the new
+    files (parquet files are self-describing — old files are NOT
+    rewritten; at 100 TB that matters), and readers get the union view
+    via :func:`read_evolved`.  Type conflicts raise instead of coercing.
+    With delta-spark present, delegates to the real ``mergeSchema``
+    write option."""
+    if delta_available():
+        from delta.tables import DeltaTable
+
+        if DeltaTable.isDeltaTable(spark, path):
+            writer = df.write.format("delta").mode("append").option(
+                "mergeSchema", "true"
+            )
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.save(path)
+            return
+
+    if not _has_data_files(path):
+        write_table(df, path, mode="append", partition_by=partition_by)
+        return
+    merged = merge_schemas(spark.read.parquet(path).schema, df.schema)
+    write_table(
+        align_to_schema(df, merged), path, mode="append", partition_by=partition_by
+    )
+
+
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a table whose files carry evolved schemas: ``mergeSchema``
+    reconciles parquet footers into the union schema, null-padding files
+    that predate a column."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def register_view(
     spark: SparkSession, name: str, df: DataFrame, global_view: bool = False
 ) -> None:

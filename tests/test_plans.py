@@ -97,3 +97,22 @@ def test_pivot_is_single_aggregation(spark):
     plan = _plan(spark, "user_activity_pivot")
     assert plan.count("Arguments: hashpartitioning") == 1
     assert "partial_count" in plan  # map-side combine per pivot cell
+
+
+def test_nation_trade_matrix_broadcasts_all_dims(spark):
+    """Q7 shape: supplier/customer/nation lookups broadcast; the only
+    shuffle joins are lineitem⋈orders and the final aggregation — at
+    100x the fact tables that is the plan you want."""
+    plan = _plan(spark, "nation_trade_matrix")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan  # map-side combine before the agg exchange
+
+
+def test_signup_activation_is_equi_join(spark):
+    """The interval predicate must ride on an EQUI-join on
+    (user_id, bucket) — a plan with a nested-loop/cartesian range join
+    would be |signups| x |clicks| at scale."""
+    plan = _plan(spark, "signup_activation")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -12,11 +12,14 @@ from pyspark.sql import types as T
 
 from data_pipelines_using_llm_spark.sinks import (
     align_to_schema,
+    append_with_evolution,
     compact_table,
     delta_available,
     ensure_table,
     idempotent_upsert,
     insert_into_existing,
+    merge_schemas,
+    read_evolved,
     write_table,
 )
 
@@ -186,6 +189,51 @@ def test_compact_table(spark, feed, tmp_path):
     n_after = len([f for f in os.listdir(path) if f.startswith("part-")])
     assert n_after < n_before
     assert spark.read.parquet(path).count() == 6
+
+
+def test_append_with_evolution(spark, feed, tmp_path):
+    """Schema drift on append: a later batch with a NEW column appends
+    without rewriting old files; a batch MISSING a column null-pads; a
+    same-name different-type column raises."""
+    path = str(tmp_path / "evolving")
+    write_table(feed, path)
+    files_before = sorted(
+        f for f in os.listdir(path) if f.startswith("part-")
+    )
+
+    evolved = spark.createDataFrame(
+        [(dt.datetime(2025, 1, 2, 0), 7.0, dt.date(2025, 1, 2), "sensor-9")],
+        "event_time timestamp, pm10 double, ingestion_date date, source string",
+    )
+    append_with_evolution(spark, evolved, path)
+    # old files untouched (parquet evolution never rewrites history)
+    assert all(f in os.listdir(path) for f in files_before)
+
+    back = read_evolved(spark, path)
+    assert set(back.columns) == {"event_time", "pm10", "ingestion_date", "source"}
+    assert back.count() == 7
+    assert back.filter("source IS NULL").count() == 6  # pre-evolution rows
+
+    # batch missing pm10: null-padded to the merged schema
+    shrunk = spark.createDataFrame(
+        [(dt.datetime(2025, 1, 3, 0), dt.date(2025, 1, 3), "sensor-9")],
+        "event_time timestamp, ingestion_date date, source string",
+    )
+    append_with_evolution(spark, shrunk, path)
+    assert read_evolved(spark, path).filter("pm10 IS NULL").count() == 1
+
+    # type conflict must raise, not coerce
+    conflict = spark.createDataFrame(
+        [("oops", dt.date(2025, 1, 4))], "pm10 string, ingestion_date date"
+    )
+    with pytest.raises(ValueError, match="schema conflict"):
+        append_with_evolution(spark, conflict, path)
+
+    # merge_schemas is order-stable: target fields keep their positions
+    merged = merge_schemas(feed.schema, evolved.schema)
+    assert [f.name for f in merged.fields][:3] == [
+        "event_time", "pm10", "ingestion_date",
+    ]
 
 
 def test_insert_into_existing_binds_by_name(spark, feed, tmp_path):
