@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_pipelines_using_llm_spark.functions.exact import dec, exact_sum
+from data_pipelines_using_llm_spark.functions.exact import dec, exact_avg, exact_sum
 from data_pipelines_using_llm_spark.plans.text_queries import SQL_TOKENS
 from data_pipelines_using_llm_spark.operators import text as TX
 from data_pipelines_using_llm_spark.registry import QuerySpec
@@ -641,7 +641,62 @@ FROM s LEFT JOIN j USING (signup_id)
 """
 
 
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 flavor (argmin-per-group over a computed metric — the
+    corpus has no correlated-subquery shape at all): for every part, the
+    supplier with the lowest average unit price across its lineitems.
+
+    Scale: one shuffle aggregates (part, supplier) partials map-side;
+    the argmin is a per-part window over the (tiny) aggregate — the
+    classic replacement for Q2's correlated MIN subquery.  Averages are
+    decimal-exact, and the rank tiebreaks on supplier key, so the argmin
+    is deterministic and engine-independent.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_pair = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            exact_avg("l_extendedprice", "decimal(12,2)").alias("avg_price"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("avg_price", "l_suppkey")
+    return (
+        per_pair.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("part_key"),
+            F.col("l_suppkey").alias("best_supp_key"),
+            F.round("avg_price", 4).alias("best_avg_price"),
+            F.col("n_lines").alias("n_lines"),
+        )
+    )
+
+
+CHEAPEST_SUPPLIER_ORACLE = """
+WITH per_pair AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               / count(l_extendedprice) AS avg_price,
+           count(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+)
+SELECT l_partkey AS part_key, l_suppkey AS best_supp_key,
+       round(avg_price, 4) AS best_avg_price, n_lines
+FROM (SELECT *, row_number() OVER (PARTITION BY l_partkey
+                                   ORDER BY avg_price, l_suppkey) AS rn
+      FROM per_pair)
+WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "cheapest_supplier_per_part": QuerySpec(
+        cheapest_supplier_per_part,
+        CHEAPEST_SUPPLIER_ORACLE,
+        "Q2-flavor argmin per group",
+    ),
     "nation_trade_matrix": QuerySpec(
         nation_trade_matrix,
         NATION_TRADE_MATRIX_ORACLE,

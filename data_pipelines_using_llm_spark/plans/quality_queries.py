@@ -263,6 +263,21 @@ GROUP BY event_type
 """
 
 
+def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path made concrete (``value_percentiles``
+    documents it; this runs it): ``percentile_approx`` keeps a bounded
+    sketch per group with mergeable map-side partials — no sorted
+    shuffle of raw values.  Approximate by nature, so rows-only for the
+    driver; the error bound vs the exact query is asserted in
+    tests/test_quality.py."""
+    d = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return d.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 1000).alias("p50"),
+        F.percentile_approx("value", 0.9, 1000).alias("p90"),
+        F.percentile_approx("value", 0.99, 1000).alias("p99"),
+    )
+
+
 def sql_bronze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-first entry point (SURVEY.md §3 entry 2): the quality
     report expressed as a ``spark.sql`` string over registered views —
@@ -292,6 +307,7 @@ QUERIES = {
     "sql_bronze_stats": QuerySpec(sql_bronze_stats, SQL_BRONZE_STATS, "SQL-first entry point (A4)"),
     "summary_stats_events": QuerySpec(summary_stats_events, SUMMARY_STATS_ORACLE, "A6 one-pass summary statistics"),
     "value_percentiles": QuerySpec(value_percentiles, VALUE_PERCENTILES_ORACLE, "exact percentiles (approx at scale)"),
+    "value_percentiles_approx": QuerySpec(value_percentiles_approx, None, "t-digest percentile sketch (scale path; rows-only)"),
     "null_rate_report_events": QuerySpec(null_rate_report_events, NULL_RATE_REPORT_ORACLE, "Q1 tall null-rate report"),
     "duplicate_stats_events": QuerySpec(duplicate_stats_events, DUPLICATE_STATS_ORACLE, "Q2 dup stats"),
     "duplicate_profile_user_day": QuerySpec(duplicate_profile_user_day, DUPLICATE_PROFILE_ORACLE, "Q2 top dup keys"),

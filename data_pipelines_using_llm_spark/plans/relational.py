@@ -394,6 +394,47 @@ FROM daily
 """
 
 
+def user_trailing_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based — the semantic sibling
+    ``rolling_daily_revenue``'s ROWS frame cannot express): per event,
+    how many events and how much value the same user produced in the
+    trailing 10 minutes.  A ROWS frame would be wrong whenever events
+    are irregularly spaced; RANGE bounds the frame by the ORDER-BY value
+    itself, so gaps and ties are handled identically on both engines
+    (all rows with equal order value enter the frame together).
+
+    Scale: one shuffle on user_id; each user's partition sorts once and
+    the frame is maintained incrementally by the window operator.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_trailing_10m"),
+        F.sum(dec("value", "decimal(18,2)")).over(w).cast("double").alias(
+            "value_trailing_10m"
+        ),
+    )
+
+
+USER_TRAILING_10MIN_ORACLE = """
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS n_trailing_10m,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+           AS value_trailing_10m
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+"""
+
+
 def part_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 ratio-% report shape (``First experiment/Claude Sonnet 4.py:861-867``
     ``AVG(CASE WHEN…)*100``): revenue share of PROMO-like part types —
@@ -651,5 +692,6 @@ QUERIES = {
     "union_splice": QuerySpec(union_splice, UNION_SPLICE_ORACLE, "§2.9 unionByName"),
     "customer_order_stats": QuerySpec(customer_order_stats, CUSTOMER_ORDER_STATS_ORACLE, "J1+A1 enrich+agg"),
     "rolling_daily_revenue": QuerySpec(rolling_daily_revenue, ROLLING_DAILY_REVENUE_ORACLE, "rolling window ext"),
+    "user_trailing_10min": QuerySpec(user_trailing_10min, USER_TRAILING_10MIN_ORACLE, "RANGE window frame (value-based)"),
     "part_type_share": QuerySpec(part_type_share, PART_TYPE_SHARE_ORACLE, "A4 conditional ratio report"),
 }

@@ -160,7 +160,66 @@ FROM documents
 """
 
 
+BIGRAM_TOP_K = 20
+
+
+def doc_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram frequency table: the top-20 word bigrams by
+    document frequency — the vocabulary/boilerplate census a corpus
+    pipeline runs before dedup threshold tuning.
+
+    Scale: one explode + one groupBy (map-side partial counts — only
+    distinct bigrams shuffle); top-k via orderBy+limit compiles to
+    TakeOrderedAndProject.  Ties break on the bigram string, so the
+    LIMIT is deterministic across engines.  Per-document de-duplication
+    (``array_distinct``) makes the count a document frequency, which is
+    boilerplate-robust (a bigram repeated 1000x in one doc counts once).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    bigrams = F.array_distinct(
+        F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("bigram"))
+        .limit(BIGRAM_TOP_K)
+    )
+
+
+def _bigram_oracle() -> str:
+    toks = SQL_TOKENS.format(col="text")
+    return f"""
+WITH tok AS (SELECT doc_id, {toks} AS t FROM documents),
+bg AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(t) >= 2
+                THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+                ELSE [] END) AS bigrams
+    FROM tok
+)
+SELECT u.bigram, count(*) AS doc_freq
+FROM bg, UNNEST(bigrams) AS u(bigram)
+GROUP BY u.bigram
+ORDER BY doc_freq DESC, u.bigram
+LIMIT {BIGRAM_TOP_K}
+"""
+
+
 QUERIES = {
+    "doc_bigram_freq": QuerySpec(
+        doc_bigram_freq, _bigram_oracle(), "corpus bigram document-frequency census"
+    ),
     "doc_token_stats": QuerySpec(doc_token_stats, DOC_TOKEN_STATS_ORACLE, "token counting"),
     "doc_quality_scores": QuerySpec(doc_quality_scores, DOC_QUALITY_ORACLE, "quality scoring"),
     "doc_language_id": QuerySpec(doc_language_id, DOC_LANGUAGE_ID_ORACLE, "language ID"),

@@ -248,7 +248,55 @@ GROUP BY user_id
 """
 
 
+#: event_type -> engagement weight (exact one-decimal fixed-point values,
+#: shared verbatim with the oracle's VALUES list)
+EVENT_WEIGHTS: list[tuple[str, str]] = [
+    ("purchase", "10.0"),
+    ("signup", "5.0"),
+    ("click", "1.0"),
+    ("view", "0.5"),
+    ("error", "0.0"),
+]
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join (the enrichment shape none of the window
+    queries cover): each micro-batch of the event stream joins a static
+    dimension (event-type engagement weights), then rolls up a weighted
+    engagement score per user.
+
+    Scale shape: the static side is broadcast once and reused by every
+    micro-batch — no stream-side shuffle for the join; the aggregation
+    state is one row per user.  Weights are one-decimal fixed-point so
+    the engagement sum is decimal-exact against the oracle."""
+    weights = spark.createDataFrame(
+        [(t, w) for t, w in EVENT_WEIGHTS], "event_type string, weight string"
+    ).select("event_type", F.col("weight").cast("decimal(4,1)").alias("weight"))
+    sdf = stream_events(spark, sf_dir)
+    agg = (
+        sdf.join(F.broadcast(weights), "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("weight").cast("double").alias("engagement"),
+        )
+    )
+    return run_to_table(agg, spark, "dpls_stream_static_enrich", "complete")
+
+
+STREAM_STATIC_ENRICH_ORACLE = f"""
+WITH w(event_type, weight) AS (
+    VALUES {", ".join(f"('{t}', {v})" for t, v in EVENT_WEIGHTS)}
+)
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(weight AS DECIMAL(4,1))) AS DOUBLE) AS engagement
+FROM events JOIN w USING (event_type)
+GROUP BY user_id
+"""
+
+
 QUERIES = {
+    "stream_static_enrich": QuerySpec(stream_static_enrich, STREAM_STATIC_ENRICH_ORACLE, "stream-static broadcast join"),
     "stream_hourly_counts": QuerySpec(stream_hourly_counts, STREAM_HOURLY_COUNTS_ORACLE, "tumbling window agg"),
     "stream_sliding_avg": QuerySpec(stream_sliding_avg, STREAM_SLIDING_AVG_ORACLE, "sliding window agg"),
     "stream_user_sessions": QuerySpec(stream_user_sessions, STREAM_USER_SESSIONS_ORACLE, "session windows"),

@@ -116,3 +116,27 @@ def test_signup_activation_is_equi_join(spark):
     plan = _plan(spark, "signup_activation")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_cartesian_product_in_any_registered_query(spark):
+    """Sweep EVERY oracle-backed query plan for the quadratic disaster:
+    a non-broadcast CartesianProduct anywhere means some join lost its
+    keys or its broadcast hint.  (Broadcast nested-loop joins against
+    deliberately tiny sides — centroids, hyperplanes, query vectors —
+    are fine and excluded by construction.)  Streaming queries execute
+    their job on invocation, so they are covered by their own tests
+    rather than re-run here."""
+    from data_pipelines_using_llm_spark.operators.caching import release_barriers
+
+    offenders = []
+    for name, spec in all_queries().items():
+        if name.startswith("stream_"):
+            continue
+        df = spec.fn(spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        if "CartesianProduct" in buf.getvalue():
+            offenders.append(name)
+        release_barriers()
+    assert not offenders, offenders

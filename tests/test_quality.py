@@ -177,3 +177,42 @@ def test_approx_user_reach_error_bound(spark):
         assert row.exact_users > 0
         rel_err = abs(row.approx_users - row.exact_users) / row.exact_users
         assert rel_err <= 0.15, (row.event_type, rel_err)
+
+
+def test_value_percentiles_approx_error_bound(spark):
+    """percentile_approx guarantees RANK error (<= 1/accuracy), not value
+    error, and returns actual data values — so the right assertion is a
+    rank band: each sketch percentile must lie within the exact
+    [p-2%, p+2%] quantile band of its group."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_using_llm_spark.plans.quality_queries import (
+        value_percentiles_approx,
+    )
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    approx = {r.event_type: r for r in value_percentiles_approx(spark, sf).collect()}
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    bands = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            *[
+                F.expr(f"percentile(value, {q})").alias(name)
+                for name, q in (
+                    ("p50_lo", 0.48), ("p50_hi", 0.52),
+                    ("p90_lo", 0.88), ("p90_hi", 0.92),
+                    ("p99_lo", 0.97), ("p99_hi", 1.0),
+                )
+            ]
+        )
+        .collect()
+    }
+    assert approx.keys() == bands.keys()
+    for et, row in approx.items():
+        b = bands[et]
+        for p in ("p50", "p90", "p99"):
+            a = getattr(row, p)
+            lo, hi = getattr(b, f"{p}_lo"), getattr(b, f"{p}_hi")
+            assert lo <= a <= hi, (et, p, a, lo, hi)
