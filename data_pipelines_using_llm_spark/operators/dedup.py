@@ -185,12 +185,29 @@ def minhash_lsh_pairs(
         gram_hash_df(df, id_col, text_col, n).filter(F.size("grams") > 0)
     )
     sigs = barrier(base.withColumn("sig", minhash_signature(F.col("grams"))))
+    # Per-doc band keys as ONE array column: both join sides carry all
+    # n_bands keys, so a pair colliding in several bands dedups via the
+    # first-matching-band ownership filter — no distinct() shuffle over
+    # the candidate pairs (at 100 TB that shuffle is collision-sized).
+    bands_arr = F.transform(lsh_bands(F.col("sig"), n_bands), lambda b: b["band_key"])
     banded = sigs.select(
-        "doc_id", F.explode(lsh_bands(F.col("sig"), n_bands)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_key")
+        "doc_id",
+        bands_arr.alias("bands"),
+        F.posexplode(bands_arr).alias("band_id", "band_key"),
+    )
 
     left = banded.alias("l")
     right = banded.alias("r")
+    owner = F.least(
+        *[
+            F.when(
+                F.element_at(F.col("l.bands"), b + 1)
+                == F.element_at(F.col("r.bands"), b + 1),
+                F.lit(b),
+            ).otherwise(F.lit(n_bands))
+            for b in range(n_bands)
+        ]
+    )
     cand = (
         left.join(
             right,
@@ -198,10 +215,10 @@ def minhash_lsh_pairs(
             & (F.col("l.band_key") == F.col("r.band_key"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
+        .filter(F.col("l.band_id") == owner)
         .select(
             F.col("l.doc_id").alias("doc_id_a"), F.col("r.doc_id").alias("doc_id_b")
         )
-        .distinct()
     )
 
     ga = sigs.select(F.col("doc_id").alias("doc_id_a"), F.col("grams").alias("grams_a"))

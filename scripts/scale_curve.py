@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Measured scaling curves: run representative plan shapes against 1x /
+4x / 16x in-memory inflations of the sf0.1 fact tables and print one JSON
+line of timings.
+
+Inflation is a self-union with offset keys (no files written, inputs
+derive from the driver's testdata): each copy offsets its join keys by
+``copy * 10**9`` so per-copy join cardinality is preserved — scan volume,
+shuffle volume, and join work all scale linearly with the factor, which is
+exactly what the curve is supposed to reveal.  Dimension tables stay
+fixed, as they would at 100 TB.
+
+Shapes covered:
+- q1-style single-fact aggregation (scan + map-side partials);
+- Q7-style fact-fact join + broadcast dims (the one unavoidable shuffle);
+- brute-force kNN (queries x corpus — deliberately quadratic, the curve
+  shows WHY the LSH/IVF paths exist).
+
+Timings are min-of-2 (see bench.py: shared-host noise).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame, functions as F
+
+SF_DIR = "/root/testdata/sf0.1"
+OFFSET = 10**9
+
+
+def inflate(df: DataFrame, key_cols: list[str], factor: int) -> DataFrame:
+    out = df
+    for copy in range(1, factor):
+        shifted = df
+        for k in key_cols:
+            shifted = shifted.withColumn(k, F.col(k) + copy * OFFSET)
+        out = out.unionByName(shifted)
+    return out
+
+
+def timed(fn, runs: int = 2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> int:
+    from data_pipelines_using_llm_spark.functions.exact import dec, exact_sum
+    from data_pipelines_using_llm_spark.operators import similarity as SIM
+    from data_pipelines_using_llm_spark.session import get_spark
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+
+    spark = get_spark("scale-curve")
+    li0 = load_table(spark, SF_DIR, "lineitem")
+    o0 = load_table(spark, SF_DIR, "orders")
+    supp = load_table(spark, SF_DIR, "supplier")
+    cust = load_table(spark, SF_DIR, "customer")
+    nat = load_table(spark, SF_DIR, "nation")
+    emb0 = load_table(spark, SF_DIR, "embeddings")
+    li0.count()  # warm
+
+    results: dict[str, dict[str, float]] = {}
+    for factor in (1, 4, 16):
+        li = inflate(li0, ["l_orderkey"], factor).repartition(32)
+        orders = inflate(o0, ["o_orderkey"], factor).repartition(32)
+
+        def q1_agg():
+            (
+                li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(
+                    exact_sum("l_quantity").alias("sum_qty"),
+                    F.sum(
+                        dec("l_extendedprice", "decimal(12,2)")
+                        * (F.lit(1).cast("decimal(3,2)") - dec("l_discount", "decimal(3,2)"))
+                    ).cast("double").alias("sum_disc"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .write.format("noop").mode("overwrite").save()
+            )
+
+        def fact_fact_join():
+            sn = nat.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+            (
+                li.join(orders, li.l_orderkey == orders.o_orderkey)
+                .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+                .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+                .groupBy("supp_nation", F.year("l_shipdate").alias("y"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .write.format("noop").mode("overwrite").save()
+            )
+
+        emb = inflate(emb0, ["vec_id"], factor).repartition(32)
+
+        def knn_brute():
+            SIM.knn_brute_force(emb, "vec_id", "embedding", query_mod=1000).write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        results[f"{factor}x"] = {
+            "rows_lineitem": li.count(),
+            "q1_agg": timed(q1_agg),
+            "fact_fact_join": timed(fact_fact_join),
+            "knn_brute_force": timed(knn_brute),
+        }
+
+    print(json.dumps({"metric": "scale_curve", "sf_base": 0.1, "results": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
