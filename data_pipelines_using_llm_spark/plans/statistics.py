@@ -1,0 +1,177 @@
+"""Statistical analysis pack: correlation, trend regression, and higher
+moments over the ``events`` stream table — the "is this metric drifting /
+seasonal / skewed" questions a data-quality platform answers next after
+the reference's mean/min/max summaries (A2/A6, ``Second Experiment/
+GPT 5.py:141-142``).
+
+Cross-engine exactness (SURVEY.md §7.3.2): every statistic is derived
+from order-independent DECIMAL power sums (Σx, Σx², Σx³, Σxy over
+fixed-point values and integer time coordinates), cast to double ONCE,
+with the final double expression textually mirrored in the DuckDB oracle
+— so both engines compute bit-identical results.  Never ``corr()`` /
+``skewness()`` built-ins on doubles: those fold in scan order and differ
+in the last ulp between engines (and between runs on different partition
+counts).
+
+Scale: each query is ONE grouped aggregation pass over events — map-side
+partial decimal sums, |event_type| rows out.  No joins, no second pass;
+the power-sum trick is exactly what makes single-pass moments mergeable
+across 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipelines_using_llm_spark.registry import QuerySpec
+from data_pipelines_using_llm_spark.sources.tables import load_table
+
+TREND_EPOCH = "1995-01-01"
+
+
+def value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between hour-of-day and value per event_type —
+    the "is this metric diurnal" probe.  x (hour) is an exact integer,
+    y (value) is fixed-point: all five power sums are exact, and the
+    correlation is one double expression over them.
+    """
+    d = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = F.hour("ts").cast("long")
+    y = F.col("value").cast("decimal(18,2)")
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(x).cast("double")
+    sy = F.sum(y).cast("double")
+    sxy = F.sum(y * x).cast("double")
+    sx2 = F.sum(x * x).cast("double")
+    sy2 = F.sum(y * y).cast("double")
+    return d.groupBy("event_type").agg(
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy))
+        ).alias("hour_value_corr"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+VALUE_HOUR_CORRELATION_ORACLE = """
+WITH s AS (
+    SELECT event_type,
+           CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(CAST(hour(ts) AS BIGINT)) AS DOUBLE) AS sx,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(hour(ts) AS BIGINT)) AS DOUBLE) AS sxy,
+           CAST(sum(CAST(hour(ts) AS BIGINT) * CAST(hour(ts) AS BIGINT)) AS DOUBLE) AS sx2,
+           CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy2,
+           count(*) AS n_events
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT event_type,
+       (n * sxy - sx * sy)
+       / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)) AS hour_value_corr,
+       n_events
+FROM s
+"""
+
+
+def value_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of value against DAYS since a fixed epoch, per
+    event_type — the single-pass drift detector (regr_slope semantics,
+    stated as exact power sums).  Day index is an exact small integer, so
+    Σx² stays far inside BIGINT even at 100 TB row counts; the slope is
+    value-units per day.
+    """
+    d = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = F.datediff(F.col("ts"), F.lit(TREND_EPOCH).cast("timestamp")).cast("long")
+    y = F.col("value").cast("decimal(18,2)")
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(x).cast("double")
+    sy = F.sum(y).cast("double")
+    sxy = F.sum(y * x).cast("double")
+    sx2 = F.sum(x * x).cast("double")
+    return d.groupBy("event_type").agg(
+        ((n * sxy - sx * sy) / (n * sx2 - sx * sx)).alias("slope_per_day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+VALUE_TREND_SLOPE_ORACLE = f"""
+WITH s AS (
+    SELECT event_type,
+           CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(CAST(datediff('day', TIMESTAMP '{TREND_EPOCH} 00:00:00', ts) AS BIGINT)) AS DOUBLE) AS sx,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(value AS DECIMAL(18,2))
+                    * CAST(datediff('day', TIMESTAMP '{TREND_EPOCH} 00:00:00', ts) AS BIGINT)) AS DOUBLE) AS sxy,
+           CAST(sum(CAST(datediff('day', TIMESTAMP '{TREND_EPOCH} 00:00:00', ts) AS BIGINT)
+                    * CAST(datediff('day', TIMESTAMP '{TREND_EPOCH} 00:00:00', ts) AS BIGINT)) AS DOUBLE) AS sx2,
+           count(*) AS n_events
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT event_type,
+       (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS slope_per_day,
+       n_events
+FROM s
+"""
+
+
+def value_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness per event_type from exact power sums Σx, Σx²,
+    Σx³ — third central moment over variance^1.5, the single-pass
+    "is the tail one-sided" probe.
+
+    Values are < 10^7 with 2 decimals, so DECIMAL(9,2) cubes peak at
+    precision 29 — inside both engines' exact decimal range; the sums
+    stay exact rationals and cast to identical doubles.
+    """
+    d = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = F.col("value").cast("decimal(9,2)")
+    n = F.count(F.lit(1)).cast("double")
+    s1 = F.sum(v).cast("double")
+    s2 = F.sum(v * v).cast("double")
+    s3 = F.sum(v * v * v).cast("double")
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean
+    return d.groupBy("event_type").agg(
+        (m3 / F.pow(m2, F.lit(1.5))).alias("skewness_pop"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+VALUE_SKEWNESS_ORACLE = """
+WITH s AS (
+    SELECT event_type,
+           CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS s1,
+           CAST(sum(CAST(value AS DECIMAL(9,2)) * CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS s2,
+           CAST(sum(CAST(value AS DECIMAL(9,2)) * CAST(value AS DECIMAL(9,2))
+                    * CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS s3,
+           count(*) AS n_events
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT event_type,
+       (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+       / pow(s2 / n - (s1 / n) * (s1 / n), 1.5) AS skewness_pop,
+       n_events
+FROM s
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "value_hour_correlation": QuerySpec(
+        value_hour_correlation,
+        VALUE_HOUR_CORRELATION_ORACLE,
+        "Pearson corr(hour, value) per type from exact power sums",
+    ),
+    "value_trend_slope": QuerySpec(
+        value_trend_slope,
+        VALUE_TREND_SLOPE_ORACLE,
+        "regr_slope of value on day index, single pass, exact sums",
+    ),
+    "value_skewness": QuerySpec(
+        value_skewness,
+        VALUE_SKEWNESS_ORACLE,
+        "population skewness from exact Σx/Σx²/Σx³",
+    ),
+}

@@ -30,6 +30,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Imported lazily so `import data_pipelines_using_llm_spark` stays cheap.
     from data_pipelines_using_llm_spark.plans import (
         analytics,
+        decision_support,
         dedup_queries,
         llm_queries,
         multimodal_queries,
@@ -38,6 +39,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational,
         similarity_queries,
         skew_queries,
+        statistics,
         text_queries,
     )
     from data_pipelines_using_llm_spark.streaming import stream_queries
@@ -46,6 +48,7 @@ def all_queries() -> dict[str, QuerySpec]:
     for mod in (
         relational,
         analytics,
+        decision_support,
         quality_queries,
         dedup_queries,
         similarity_queries,
@@ -53,6 +56,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal_queries,
         llm_queries,
         skew_queries,
+        statistics,
         pipelines,
         stream_queries,
     ):

@@ -140,3 +140,64 @@ def test_no_cartesian_product_in_any_registered_query(spark):
             offenders.append(name)
         release_barriers()
     assert not offenders, offenders
+
+
+def test_order_priority_returns_semi_join_prunes(spark):
+    plan = _plan(spark, "order_priority_returns")
+    assert "LeftSemi" in plan
+    # the semi probe reads ONLY the join key from lineitem
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    probe = [l for l in read_schemas if "l_orderkey" in l]
+    assert probe and all("l_quantity" not in l for l in probe)
+    # quarter predicate reaches the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_large_volume_customers_topk_and_broadcast(spark):
+    plan = _plan(spark, "large_volume_customers")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_small_quantity_revenue_broadcast_only(spark):
+    # both the brand slice and the per-part averages broadcast: the fact
+    # table must never be the build side of a shuffle join
+    plan = _plan(spark, "small_quantity_revenue")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_disjunctive_promo_revenue_envelope_pushdown(spark):
+    plan = _plan(spark, "disjunctive_promo_revenue")
+    # the OR itself cannot push down, but its quantity envelope must
+    assert "GreaterThanOrEqual(l_quantity,1" in plan
+    assert "LessThanOrEqual(l_quantity,40" in plan
+
+
+def test_idle_rich_customers_anti_join_no_shuffled_fact(spark):
+    plan = _plan(spark, "idle_rich_customers")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_returned_item_customers_pushdown_topk(spark):
+    plan = _plan(spark, "returned_item_customers")
+    assert "EqualTo(l_returnflag,R)" in plan      # flag filter at the lineitem scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_nation_market_share_broadcasts_dims(spark):
+    plan = _plan(spark, "nation_market_share")
+    assert plan.count("BroadcastHashJoin") >= 3   # part, supplier+nation, region-nation
+    assert "CartesianProduct" not in plan
+
+
+def test_statistics_single_pass_partials(spark):
+    # one grouped aggregation, map-side partial sums, no joins
+    for name in ("value_hour_correlation", "value_trend_slope", "value_skewness"):
+        plan = _plan(spark, name)
+        assert "partial_sum" in plan, name
+        assert "Join" not in plan, name
