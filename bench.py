@@ -32,7 +32,13 @@ HEADLINE = [
     "revenue_rollup",
     "nation_trade_matrix",
     "signup_activation",
+    "nation_market_share",
+    "returned_item_customers",
+    "customer_order_histogram",
+    "large_volume_customers",
+    "value_trend_slope",
     # training-data operators: dedup / text / similarity / multimodal / llm
+    "training_corpus_prep",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -51,6 +57,7 @@ HEADLINE = [
     "media_decode_stats",
     # streaming
     "stream_hourly_counts",
+    "stream_click_purchase_join",
 ]
 
 

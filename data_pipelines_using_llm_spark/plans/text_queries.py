@@ -216,7 +216,110 @@ LIMIT {BIGRAM_TOP_K}
 """
 
 
+PREP_MIN_QUALITY = 0.7
+PREP_LANG = "en"
+
+
+def training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data prep pipeline as ONE declarative plan:
+    quality-score filter → heuristic language filter → exact dedup on the
+    normalized-text fingerprint (deterministic keep-lowest-doc_id) →
+    per-source corpus accounting (docs kept, total whitespace + BPE-ish
+    tokens, mean quality).
+
+    This is the composition every stage was built for; expressing it as
+    one DataFrame lets Catalyst fuse all per-document expressions
+    (quality features, language argmax, rolling-hash fingerprint) into a
+    single scan stage — the only exchanges are the dedup window's hash
+    partition by fingerprint and the final per-source aggregation.
+
+    Scale: per-doc expressions are embarrassingly parallel; dedup
+    shuffles (fingerprint, doc_id) pairs — at 100 TB that is the same
+    bucketed shape as ``dedup_exact_docs``.  The mean quality is summed
+    as DECIMAL (per-row scores are bit-identical doubles on both
+    engines, so their decimal(5,2) images agree; the decimal sum is then
+    order-independent — SURVEY.md §7.3.2).
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        "text",
+        TX.quality_score("text").alias("q"),
+        TX.language_id("text").alias("detected_lang"),
+    ).filter(
+        (F.col("q") >= PREP_MIN_QUALITY) & (F.col("detected_lang") == PREP_LANG)
+    )
+    deduped = (
+        scored.withColumn("fp", TX.fingerprint("text"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("fp").orderBy(F.col("doc_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count("text").cast("long")).alias("total_tokens"),
+        F.sum(TX.regex_token_count("text").cast("long")).alias("total_bpe_tokens"),
+        (
+            F.sum(F.col("q").cast("decimal(5,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_quality"),
+    )
+
+
+def _prep_oracle() -> str:
+    ntok = f"len({SQL_TOKENS.format(col='text')})"
+    npunct = r"len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))"
+    quality = f"""
+        0.4 * (CASE WHEN {ntok} BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+      + 0.3 * (CASE WHEN {ntok} > 0
+                     AND CAST(length(text) AS DOUBLE) / {ntok} BETWEEN 2.0 AND 12.0
+                    THEN 1.0 ELSE 0.0 END)
+      + 0.3 * (CASE WHEN length(text) = 0
+                     OR CAST({npunct} AS DOUBLE) / length(text) <= 0.2
+                    THEN 1.0 ELSE 0.0 END)"""
+    return f"""
+WITH scored AS (
+    SELECT doc_id, source, text,
+           ({quality}) AS q,
+           {sql_language_id('text')} AS detected_lang
+    FROM documents
+),
+kept AS (
+    SELECT doc_id, source, text, q,
+           {SQL_CHAR_HASH.format(s=_SQL_NORM)} AS fp
+    FROM scored
+    WHERE q >= {PREP_MIN_QUALITY} AND detected_lang = '{PREP_LANG}'
+),
+deduped AS (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM kept
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CAST(len({SQL_TOKENS.format(col='text')}) AS BIGINT)) AS BIGINT)
+           AS total_tokens,
+       CAST(sum(CAST(len(regexp_extract_all(text, '{SQL_BPE_REGEX}')) AS BIGINT)) AS BIGINT)
+           AS total_bpe_tokens,
+       CAST(sum(CAST(q AS DECIMAL(5,2))) AS DOUBLE) / count(*) AS mean_quality
+FROM deduped
+WHERE rn = 1
+GROUP BY source
+"""
+
+
 QUERIES = {
+    "training_corpus_prep": QuerySpec(
+        training_corpus_prep,
+        _prep_oracle(),
+        "flagship prep pipeline: quality→lang→dedup→corpus accounting",
+    ),
     "doc_bigram_freq": QuerySpec(
         doc_bigram_freq, _bigram_oracle(), "corpus bigram document-frequency census"
     ),

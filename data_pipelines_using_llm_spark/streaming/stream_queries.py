@@ -295,8 +295,79 @@ GROUP BY user_id
 """
 
 
+ATTRIB_WINDOW_MIN = 30
+
+
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join: every purchase joined to all clicks by
+    the same user in the preceding 30 minutes (inclusive) — the streaming
+    twin of the batch ``purchase_click_attribution`` as-of join, but with
+    full interval semantics and bilateral watermarks.
+
+    Scale shape: both sides shuffle once on ``user_id``; the watermark +
+    time-bound condition lets Spark EVICT join state older than the
+    interval (unbounded-state stream joins are rejected by the planner),
+    so state per user is 30 minutes of clicks, not the stream's history.
+    On the bounded AvailableNow input the result must equal the batch
+    range join the oracle states.
+    """
+    ev = stream_events(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {ATTRIB_WINDOW_MIN} MINUTES")
+        ),
+        "inner",
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+    )
+    return run_to_table(joined, spark, "dpls_stream_click_purchase", "append")
+
+
+STREAM_CLICK_PURCHASE_ORACLE = f"""
+SELECT p.event_id AS purchase_id,
+       p.user_id AS user_id,
+       p.ts AS purchase_ts,
+       c.event_id AS click_id,
+       c.ts AS click_ts
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL {ATTRIB_WINDOW_MIN} MINUTE
+WHERE p.event_type = 'purchase'
+  AND c.event_type = 'click'
+"""
+
+
 QUERIES = {
     "stream_static_enrich": QuerySpec(stream_static_enrich, STREAM_STATIC_ENRICH_ORACLE, "stream-static broadcast join"),
+    "stream_click_purchase_join": QuerySpec(stream_click_purchase_join, STREAM_CLICK_PURCHASE_ORACLE, "stream-stream interval join"),
     "stream_hourly_counts": QuerySpec(stream_hourly_counts, STREAM_HOURLY_COUNTS_ORACLE, "tumbling window agg"),
     "stream_sliding_avg": QuerySpec(stream_sliding_avg, STREAM_SLIDING_AVG_ORACLE, "sliding window agg"),
     "stream_user_sessions": QuerySpec(stream_user_sessions, STREAM_USER_SESSIONS_ORACLE, "session windows"),
