@@ -64,9 +64,32 @@ def read_jsonl(
     return reader.option("mode", mode).json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the other splittable columnar interchange format.  Like
+    parquet it carries its schema and supports predicate pushdown +
+    column pruning (min/max stripe statistics), so plans over ORC inputs
+    keep the same PushedFilters/ReadSchema properties the parquet gates
+    assert."""
+    return spark.read.orc(path)
+
+
+def read_text(spark: SparkSession, path: str, whole_file: bool = False) -> DataFrame:
+    """Raw text ingestion: one row per line (splittable), or one row per
+    FILE with ``whole_file=True`` (``wholetext`` — NOT splittable; use
+    only for small-document corpora where line splitting would break
+    document boundaries).  NOTE: ``wholetext`` must go through the
+    ``text()`` kwarg — a generic ``.option("wholetext", ...)`` is
+    silently ignored by the text source."""
+    return spark.read.text(path, wholetext=whole_file)
+
+
 def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
     df.write.mode("overwrite").option("header", header).csv(path)
 
 
 def write_jsonl(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)

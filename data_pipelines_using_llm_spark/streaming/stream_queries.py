@@ -310,7 +310,24 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     so state per user is 30 minutes of clicks, not the stream's history.
     On the bounded AvailableNow input the result must equal the batch
     range join the oracle states.
+
+    State-partition sizing: a stream-stream join materializes one state
+    store PER shuffle partition PER side; the partition count is pinned
+    at first start from ``spark.sql.shuffle.partitions``.  Join state
+    here is bounded (30 min × active users), so fewer, larger state
+    partitions beat many tiny ones — we pin 8 for this query and restore
+    the session default after (on a real cluster, size to
+    state-bytes/partition, not to the batch-shuffle default).
     """
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _stream_click_purchase_join(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
     purchases = (
         ev.filter(F.col("event_type") == "purchase")

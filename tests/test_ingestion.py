@@ -216,3 +216,42 @@ class TestFileFormatAdapters:
         assert df.count() == 3
         assert df.filter(F.col(FS.CORRUPT_COL).isNotNull()).count() == 1
         assert df.filter(F.col("doc_id").isNotNull()).count() == 2
+
+    def test_orc_round_trip_with_pushdown(self, spark, tmp_path):
+        import contextlib
+        import io
+
+        from pyspark.sql import functions as F
+
+        from data_pipelines_using_llm_spark.sources import files as FS
+        from data_pipelines_using_llm_spark.sources.tables import load_table
+
+        orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+        path = str(tmp_path / "orders_orc")
+        FS.write_orc(orders, path)
+        back = FS.read_orc(spark, path)
+        assert back.count() == orders.count()
+        assert back.schema == orders.schema
+        # predicate pushdown + column pruning survive the format switch
+        q = back.filter(F.col("o_totalprice") > 100000).select("o_orderkey")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.explain("formatted")
+        plan = buf.getvalue()
+        assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in plan
+        read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+        assert "o_orderdate" not in read_schema
+
+    def test_text_line_and_wholefile(self, spark, tmp_path):
+        from data_pipelines_using_llm_spark.sources import files as FS
+
+        p = tmp_path / "docs"
+        p.mkdir()
+        (p / "a.txt").write_text("line one\nline two\n")
+        (p / "b.txt").write_text("single doc body\n")
+        lines = FS.read_text(spark, str(p))
+        assert lines.count() == 3
+        whole = FS.read_text(spark, str(p), whole_file=True)
+        assert whole.count() == 2
+        bodies = {r["value"] for r in whole.collect()}
+        assert "line one\nline two\n" in bodies

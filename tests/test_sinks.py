@@ -325,3 +325,26 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
+def test_partition_pruning_in_plan(spark, feed, tmp_path):
+    """The partition-key filter must land in PartitionFilters (directory
+    pruning before any IO), not PushedFilters (row-group stats) — at
+    100 TB this is scan-a-day vs scan-a-decade."""
+    import contextlib
+    import io
+
+    path = str(tmp_path / "bronze")
+    write_table(feed, path, partition_by=["ingestion_date"])
+    write_table(
+        feed.withColumn("ingestion_date", F.lit(dt.date(2025, 1, 2))),
+        path,
+        partition_by=["ingestion_date"],
+    )
+    q = spark.read.parquet(path).filter("ingestion_date = DATE'2025-01-02'")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "ingestion_date" in pf_line and "2025-01-02" in pf_line
