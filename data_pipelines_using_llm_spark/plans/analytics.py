@@ -691,7 +691,152 @@ WHERE rn = 1
 """
 
 
+def user_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via the BUILT-IN ``session_window`` merging
+    aggregation — the declarative twin of ``user_sessions_batch``'s
+    lag→flag→running-sum formulation.
+
+    Scale: session_window compiles to Spark's special merging-session
+    aggregate — ONE shuffle on user_id with in-sort window merging, no
+    second window pass; at 100 TB this halves the sort work of the
+    manual formulation.  Boundary semantics differ from the manual
+    query by design: a gap of EXACTLY the gap duration starts a new
+    session here (windows must strictly overlap to merge), so the
+    oracle mirrors ``>=`` where the manual one uses ``>``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+USER_SESSIONS_NATIVE_ORACLE = f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                     >= {SESSION_GAP_MIN} * 60 * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+    SELECT user_id, ts, value,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_idx
+    FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM numbered
+GROUP BY user_id, session_idx
+"""
+
+
+def event_stats_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (``unpivot``/melt — the inverse of
+    ``user_activity_pivot``): per-type summary stats as (type, stat,
+    value) tidy rows.
+
+    Scale: unpivot is a zero-shuffle projection (each input row emits k
+    output rows in place); the only exchange is the upstream aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    wide = ev.groupBy("event_type").agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("value")).alias(
+            "mean_value"
+        ),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    return wide.unpivot(
+        ids=["event_type"],
+        values=["mean_value", "min_value", "max_value"],
+        variableColumnName="stat",
+        valueColumnName="stat_value",
+    )
+
+
+EVENT_STATS_LONG_ORACLE = """
+WITH wide AS (
+    SELECT event_type,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS mean_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, 'mean_value' AS stat, mean_value AS stat_value FROM wide
+UNION ALL
+SELECT event_type, 'min_value', min_value FROM wide
+UNION ALL
+SELECT event_type, 'max_value', max_value FROM wide
+"""
+
+
+# GROUPING SETS finer than ROLLUP/CUBE (`revenue_rollup` /
+# `event_type_daily_cube`): explicit lattice points, with grouping()
+# disambiguating real NULLs from subtotal rows.  The SQL text runs
+# VERBATIM on both engines — the oracle IS the query.  Scale: one
+# aggregation whose Expand operator emits one row per grouping set —
+# map-side partials still apply per set.
+GROUPING_SETS_SQL = """
+WITH base AS (
+    SELECT r_name, year(o_orderdate) AS order_year,
+           CAST(o_totalprice AS DECIMAL(12,2)) AS price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+)
+SELECT coalesce(r_name, 'ALL') AS region_name,
+       coalesce(CAST(order_year AS STRING), 'ALL') AS order_year,
+       grouping(r_name) AS g_region,
+       grouping(order_year) AS g_year,
+       CAST(sum(price) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM base
+GROUP BY GROUPING SETS ((r_name, order_year), (r_name), ())
+"""
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipelines_using_llm_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, names=("orders", "customer", "nation", "region"))
+    return spark.sql(GROUPING_SETS_SQL)
+
+
 QUERIES = {
+    "user_sessions_native": QuerySpec(
+        user_sessions_native,
+        USER_SESSIONS_NATIVE_ORACLE,
+        "built-in session_window merging aggregation",
+    ),
+    "event_stats_long": QuerySpec(
+        event_stats_long, EVENT_STATS_LONG_ORACLE, "unpivot/melt wide stats to tidy rows"
+    ),
+    "grouping_sets_revenue": QuerySpec(
+        grouping_sets_revenue, GROUPING_SETS_SQL, "explicit GROUPING SETS lattice, verbatim SQL"
+    ),
     "cheapest_supplier_per_part": QuerySpec(
         cheapest_supplier_per_part,
         CHEAPEST_SUPPLIER_ORACLE,

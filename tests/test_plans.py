@@ -201,3 +201,24 @@ def test_statistics_single_pass_partials(spark):
         plan = _plan(spark, name)
         assert "partial_sum" in plan, name
         assert "Join" not in plan, name
+
+
+def test_native_sessions_single_exchange(spark):
+    # the merging-session aggregate sessionizes in ONE user_id shuffle
+    plan = _plan(spark, "user_sessions_native")
+    assert "MergingSessions" in plan
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_unpivot_no_extra_shuffle(spark):
+    # unpivot is a projection (Expand): the aggregate's exchange must be
+    # the only one in the plan
+    plan = _plan(spark, "event_stats_long")
+    assert "Expand" in plan
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_grouping_sets_single_aggregation(spark):
+    plan = _plan(spark, "grouping_sets_revenue")
+    assert "Expand" in plan
+    assert "CartesianProduct" not in plan
