@@ -30,6 +30,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Imported lazily so `import data_pipelines_using_llm_spark` stays cheap.
     from data_pipelines_using_llm_spark.plans import (
         analytics,
+        cdc_queries,
         decision_support,
         dedup_queries,
         llm_queries,
@@ -49,6 +50,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational,
         analytics,
         decision_support,
+        cdc_queries,
         quality_queries,
         dedup_queries,
         similarity_queries,
