@@ -31,7 +31,8 @@ def default_fetcher(url: str, timeout: float = DEFAULT_TIMEOUT_S) -> str:
         url, headers={"User-Agent": "data-pipelines-using-llm-spark/0.1"}
     )
     with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
-        if resp.status >= 400:
+        # non-HTTP schemes (file://) report status None
+        if resp.status is not None and resp.status >= 400:
             raise OSError(f"HTTP {resp.status} for {url}")
         return resp.read().decode("utf-8")
 

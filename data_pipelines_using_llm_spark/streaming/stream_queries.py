@@ -322,12 +322,13 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        return _stream_click_purchase_join(spark, sf_dir)
+        joined = _click_purchase_joined(spark, sf_dir)
+        return run_to_table(joined, spark, "dpls_stream_click_purchase", "append")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
-def _stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _click_purchase_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
@@ -363,7 +364,57 @@ def _stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         "click_ts",
     )
-    return run_to_table(joined, spark, "dpls_stream_click_purchase", "append")
+    return joined
+
+
+ATTRIB_CUTOFF = "2024-01-28 00:00:00"
+
+
+def stream_attributed_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators: the stream-stream interval join feeds a
+    tumbling-window aggregation in the SAME streaming query (multiple
+    stateful operators, append mode) — attributed click counts per hour.
+
+    Bounded-input exactness: append-mode windows only emit once the
+    watermark passes them, and the final watermark on AvailableNow input
+    is min(max event time per side) − 1 h; the fixed CUTOFF filter keeps
+    every emitted window far inside that horizon, so the streaming result
+    equals the batch oracle with the same cutoff — no data-dependent
+    tail-window truncation.
+
+    Scale shape: join state evicts by the interval bound; window state by
+    the watermark; the second shuffle reuses the first's partitioning on
+    nothing — it re-keys by window, which is the unavoidable exchange of
+    any keyed re-aggregation.
+    """
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        joined = _click_purchase_joined(spark, sf_dir)
+        agg = (
+            joined.filter(F.col("purchase_ts") < F.lit(ATTRIB_CUTOFF).cast("timestamp"))
+            .groupBy(F.window("purchase_ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_attributed"))
+            .select(F.col("w.start").alias("window_start"), "n_attributed")
+        )
+        return run_to_table(agg, spark, "dpls_stream_attributed_hourly", "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+STREAM_ATTRIBUTED_HOURLY_ORACLE = f"""
+SELECT date_trunc('hour', p.ts) AS window_start,
+       count(*) AS n_attributed
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL {ATTRIB_WINDOW_MIN} MINUTE
+WHERE p.event_type = 'purchase'
+  AND c.event_type = 'click'
+  AND p.ts < TIMESTAMP '{ATTRIB_CUTOFF}'
+GROUP BY 1
+"""
 
 
 STREAM_CLICK_PURCHASE_ORACLE = f"""
@@ -385,6 +436,7 @@ WHERE p.event_type = 'purchase'
 QUERIES = {
     "stream_static_enrich": QuerySpec(stream_static_enrich, STREAM_STATIC_ENRICH_ORACLE, "stream-static broadcast join"),
     "stream_click_purchase_join": QuerySpec(stream_click_purchase_join, STREAM_CLICK_PURCHASE_ORACLE, "stream-stream interval join"),
+    "stream_attributed_hourly": QuerySpec(stream_attributed_hourly, STREAM_ATTRIBUTED_HOURLY_ORACLE, "chained stateful: join then windowed agg"),
     "stream_hourly_counts": QuerySpec(stream_hourly_counts, STREAM_HOURLY_COUNTS_ORACLE, "tumbling window agg"),
     "stream_sliding_avg": QuerySpec(stream_sliding_avg, STREAM_SLIDING_AVG_ORACLE, "sliding window agg"),
     "stream_user_sessions": QuerySpec(stream_user_sessions, STREAM_USER_SESSIONS_ORACLE, "session windows"),

@@ -255,3 +255,44 @@ class TestFileFormatAdapters:
         assert whole.count() == 2
         bodies = {r["value"] for r in whole.collect()}
         assert "line one\nline two\n" in bodies
+
+
+class TestHttpDataSource:
+    """Python DataSource API surface: spark.read.format('http_api')."""
+
+    def test_reads_file_urls_one_partition_each(self, spark, tmp_path):
+        from data_pipelines_using_llm_spark.sources.http_datasource import (
+            register_http_source,
+        )
+
+        a = tmp_path / "a.json"
+        b = tmp_path / "b.json"
+        a.write_text('{"k": 1}')
+        b.write_text('{"k": 2}')
+        register_http_source(spark)
+        df = (
+            spark.read.format("http_api")
+            .option("urls", f"file://{a} file://{b}")
+            .load()
+        )
+        rows = {r["url"]: r["payload"] for r in df.collect()}
+        assert rows == {f"file://{a}": '{"k": 1}', f"file://{b}": '{"k": 2}'}
+        assert df.filter("error IS NOT NULL").count() == 0
+
+    def test_error_quarantined_as_null_payload(self, spark, tmp_path):
+        from data_pipelines_using_llm_spark.sources.http_datasource import (
+            register_http_source,
+        )
+
+        ok = tmp_path / "ok.json"
+        ok.write_text("fine")
+        register_http_source(spark)
+        df = (
+            spark.read.format("http_api")
+            .option("urls", f"file://{ok},file://{tmp_path}/missing.json")
+            .load()
+        )
+        got = {r["url"]: (r["payload"], r["error"] is not None) for r in df.collect()}
+        assert got[f"file://{ok}"] == ("fine", False)
+        assert got[f"file://{tmp_path}/missing.json"][0] is None
+        assert got[f"file://{tmp_path}/missing.json"][1] is True
