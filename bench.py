@@ -79,17 +79,27 @@ def main() -> int:
     # host conflates the query with whatever else the machine is doing
     # (observed 3x swings between identical runs), while min-of-2 reports
     # reproducible engine cost.  Plans and caches are identical per run.
+    # When even the two runs disagree wildly (>1.5x — noise or first-shape
+    # JVM codegen warmup), ONE extra run breaks the tie; the extra cost is
+    # paid only by the noisy queries.
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
     for name in names:
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(2):
             t0 = time.perf_counter()
             df = registry[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
             release_barriers()
-        timings[name] = round(best, 4)
+        if max(runs) / max(min(runs), 1e-9) > 1.5:
+            t0 = time.perf_counter()
+            registry[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(time.perf_counter() - t0)
+            release_barriers()
+        timings[name] = round(min(runs), 4)
     total = round(sum(timings.values()), 4)
     wall = round(time.perf_counter() - t_all, 4)
 

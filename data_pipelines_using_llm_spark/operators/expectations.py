@@ -1,0 +1,136 @@
+"""Declarative data-quality expectations, evaluated in ONE pass.
+
+Generalizes the reference's ad-hoc quality checks (null counts, range
+guards, health flags — ``Second Experiment/GPT 5.py:141-162``,
+``First experiment/Claude Sonnet 4.py:229-233``) into a rule engine: the
+caller declares rules, the engine compiles every rule into a conditional
+aggregate over ONE scan and returns a per-rule report (violations, rate,
+pass/fail against a threshold).
+
+Scale: N rules cost one table scan regardless of N — each rule is a
+``sum(case when violated then 1 end)`` running inside the same
+whole-stage-codegen'd aggregation (the reference's loop of per-check
+jobs re-scans per check).  ``unique`` rules are the exception (they need
+a grouped count) and are evaluated together in one extra aggregation per
+distinct key set.  The report is |rules| rows.
+
+Rule types (all pure column expressions, so any engine with the same SQL
+semantics produces the identical report — oracle-checkable):
+- ``not_null(col)``
+- ``in_range(col, lo, hi)``       NULLs don't violate (compose not_null)
+- ``in_set(col, values)``
+- ``matches(col, regex)``
+- ``unique(cols)``                violations = rows beyond the first per key
+- ``custom(name, predicate_sql)`` violated when the SQL predicate is FALSE
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    name: str
+    kind: str
+    column: str | None = None
+    params: tuple = field(default=())
+
+
+def not_null(col: str) -> Rule:
+    return Rule(f"not_null_{col}", "not_null", col)
+
+
+def in_range(col: str, lo, hi) -> Rule:
+    return Rule(f"in_range_{col}", "in_range", col, (lo, hi))
+
+
+def in_set(col: str, values: tuple) -> Rule:
+    return Rule(f"in_set_{col}", "in_set", col, tuple(values))
+
+
+def matches(col: str, regex: str) -> Rule:
+    return Rule(f"matches_{col}", "matches", col, (regex,))
+
+
+def unique(*cols: str) -> Rule:
+    return Rule("unique_" + "_".join(cols), "unique", None, tuple(cols))
+
+
+def custom(name: str, predicate_sql: str) -> Rule:
+    """Violated where the predicate is NOT true (false or NULL)."""
+    return Rule(name, "custom", None, (predicate_sql,))
+
+
+def _violation_expr(rule: Rule):
+    c = F.col(rule.column) if rule.column else None
+    if rule.kind == "not_null":
+        return c.isNull()
+    if rule.kind == "in_range":
+        lo, hi = rule.params
+        return c.isNotNull() & ~c.between(lo, hi)
+    if rule.kind == "in_set":
+        return c.isNotNull() & ~c.isin(list(rule.params))
+    if rule.kind == "matches":
+        return c.isNotNull() & ~c.rlike(rule.params[0])
+    if rule.kind == "custom":
+        return ~F.coalesce(F.expr(rule.params[0]), F.lit(False))
+    raise ValueError(f"unknown rule kind {rule.kind}")
+
+
+def expect(
+    df: DataFrame,
+    rules: list[Rule],
+    max_violation_rate: float = 0.0,
+) -> DataFrame:
+    """Evaluate all rules; returns one row per rule:
+    ``(rule, n_rows, n_violations, violation_rate, passed)``.
+
+    ``passed`` compares the rate against ``max_violation_rate`` (0.0 =
+    strict).  Row counts are exact; the rate is an exact-integer ratio
+    computed in double, so the report is engine-portable.
+    """
+    scan_rules = [r for r in rules if r.kind != "unique"]
+    unique_rules = [r for r in rules if r.kind == "unique"]
+
+    reports: list[DataFrame] = []
+    if scan_rules:
+        aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+            F.sum(F.when(_violation_expr(r), 1).otherwise(0)).alias(f"v_{i}")
+            for i, r in enumerate(scan_rules)
+        ]
+        row = df.agg(*aggs)
+        stacked = row.selectExpr(
+            "n_rows",
+            "stack({}, {}) AS (rule, n_violations)".format(
+                len(scan_rules),
+                ", ".join(f"'{r.name}', v_{i}" for i, r in enumerate(scan_rules)),
+            ),
+        )
+        reports.append(stacked.select("rule", "n_rows", "n_violations"))
+
+    for r in unique_rules:
+        # violations = rows beyond the first occurrence of each key
+        per_key = df.groupBy(*[F.col(c) for c in r.params]).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        agg = per_key.agg(
+            F.sum("cnt").alias("n_rows"),
+            (F.sum("cnt") - F.count(F.lit(1))).alias("n_violations"),
+        )
+        reports.append(agg.select(F.lit(r.name).alias("rule"), "n_rows", "n_violations"))
+
+    out = reports[0]
+    for extra in reports[1:]:
+        out = out.unionByName(extra)
+    rate = F.col("n_violations").cast("double") / F.col("n_rows")
+    return out.select(
+        "rule",
+        "n_rows",
+        "n_violations",
+        rate.alias("violation_rate"),
+        (rate <= max_violation_rate).alias("passed"),
+    )

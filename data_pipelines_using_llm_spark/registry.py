@@ -33,6 +33,7 @@ def all_queries() -> dict[str, QuerySpec]:
         cdc_queries,
         decision_support,
         dedup_queries,
+        expectation_queries,
         llm_queries,
         multimodal_queries,
         pipelines,
@@ -51,6 +52,7 @@ def all_queries() -> dict[str, QuerySpec]:
         analytics,
         decision_support,
         cdc_queries,
+        expectation_queries,
         quality_queries,
         dedup_queries,
         similarity_queries,

@@ -222,3 +222,41 @@ def test_grouping_sets_single_aggregation(spark):
     plan = _plan(spark, "grouping_sets_revenue")
     assert "Expand" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """SCALE.md's 'AQE covers moderate skew automatically' claim, executed:
+    a join with one hot key must come out of AQE re-planning with the
+    skewed partition split (SortMergeJoin(skew=true))."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        # enough input partitions that the hot key dwarfs the median
+        "spark.sql.shuffle.partitions": "32",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # ~86% of left rows land on key 0; the rest spread over 1000 keys
+        left = (
+            spark.range(0, 100_000)
+            .withColumn("k", (F.col("id") % 1000) * (F.col("id") % 7 == 0).cast("int"))
+            .withColumn("pad", F.lpad(F.lit("x"), 64, "y"))
+        )
+        right = spark.range(0, 2000).withColumn("k", F.col("id") % 1000)
+        j = left.join(right, "k").select(F.count(F.lit(1)).alias("n"))
+        assert j.collect()[0]["n"] == 200_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
