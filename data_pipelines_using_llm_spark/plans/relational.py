@@ -659,7 +659,113 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 """
 
 
+LOCF_NULL_MOD = 11
+
+
+def user_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (last-observation-carried-forward): per-user sparse
+    metric values filled from the most recent non-null observation — the
+    time-series gap-filling operator (sparsity simulated deterministically
+    by nulling every 11th event so both engines see identical gaps).
+
+    Scale: ``last(ignorenulls=True)`` over a running frame is one window
+    pass — same single (user_id) exchange+sort as any per-user window;
+    no self-join, no per-gap scans.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    sparse = F.when(
+        F.col("event_id") % LOCF_NULL_MOD == 0, F.lit(None)
+    ).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.withColumn("v_sparse", sparse).select(
+        "event_id",
+        "user_id",
+        "v_sparse",
+        F.last("v_sparse", ignorenulls=True).over(w).alias("v_filled"),
+    )
+
+
+USER_VALUE_LOCF_ORACLE = f"""
+WITH sparse AS (
+    SELECT event_id, user_id, ts,
+           CASE WHEN event_id % {LOCF_NULL_MOD} = 0 THEN NULL ELSE value END
+               AS v_sparse
+    FROM events
+)
+SELECT event_id, user_id, v_sparse,
+       last_value(v_sparse IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS v_filled
+FROM sparse
+"""
+
+
+def hourly_trend_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: per-type hourly counts over a COMPLETE
+    hour spine (``sequence`` of hours × distinct types, zero-filled) —
+    the reporting operator that makes "no events that hour" visible as 0
+    instead of a missing row.
+
+    Scale: the spine is |hours|×|types| rows generated from a one-row
+    bounds aggregate — broadcast-sized next to the fact; the only fact
+    shuffle is the (hour, type) count.  The left join keeps spine rows,
+    so downstream window/anomaly math sees a gap-free series.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    )
+    bounds = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    hours = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy("h", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    grid = hours.crossJoin(F.broadcast(types.select(F.col("event_type").alias("t"))))
+    return grid.join(
+        counts,
+        (grid.hour == counts.h) & (grid.t == counts.event_type),
+        "left",
+    ).select(
+        "hour",
+        F.col("t").alias("event_type"),
+        F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+HOURLY_TREND_DENSE_ORACLE = """
+WITH b AS (
+    SELECT min(date_trunc('hour', ts)) AS h0, max(date_trunc('hour', ts)) AS h1
+    FROM events
+),
+hours AS (SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b),
+types AS (SELECT DISTINCT event_type AS t FROM events),
+counts AS (
+    SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS c
+    FROM events GROUP BY 1, 2
+)
+SELECT hour, t AS event_type, CAST(coalesce(c, 0) AS BIGINT) AS n_events
+FROM hours
+CROSS JOIN types
+LEFT JOIN counts ON h = hour AND counts.event_type = t
+"""
+
+
 QUERIES = {
+    "user_value_locf": QuerySpec(
+        user_value_locf, USER_VALUE_LOCF_ORACLE, "forward-fill sparse metric (LOCF)"
+    ),
+    "hourly_trend_dense": QuerySpec(
+        hourly_trend_dense,
+        HOURLY_TREND_DENSE_ORACLE,
+        "zero-filled hourly spine per type (calendar densification)",
+    ),
     "props_k_stats": QuerySpec(
         props_k_stats, PROPS_K_STATS_ORACLE, "JSON field extraction + agg"
     ),
