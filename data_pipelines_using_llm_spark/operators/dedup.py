@@ -516,3 +516,74 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def fuzzy_blocked_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_len: int = 16,
+    max_dist_pct: int = 20,
+    min_len: int = 32,
+) -> DataFrame:
+    """Blocking-key entity resolution: edit-distance near-match restricted
+    to candidates sharing an exact ``block_len``-char prefix — the
+    standard-blocking design of record-linkage systems (one blocking key,
+    full-fidelity comparator inside each block).
+
+    A pair survives when ``levenshtein(a, b) * 100 <=
+    max_dist_pct * greatest(len_a, len_b)`` — a RELATIVE threshold kept in
+    integer arithmetic so both engines compare identically.  An O(1)
+    length guard (edit distance >= length difference) prunes candidates
+    before the O(n*m) comparator runs.
+
+    Scale: the join is a plain equi-join on the blocking key — shuffle
+    partitions by prefix, work proportional to collisions within a block,
+    never all-pairs.  Recall is the documented blocking trade-off: a pair
+    whose edits touch the first ``block_len`` chars lands in different
+    blocks and is missed (multi-pass blocking on a second key is the
+    standard recall lever).  The persist barrier stores the joined
+    candidates so the levenshtein comparator runs ONCE per pair, not
+    re-evaluated per consumer by projection collapse.
+    """
+    keyed = (
+        df.filter(F.length(text_col) >= min_len)
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.substring(text_col, 1, block_len).alias("bk"),
+            F.length(text_col).alias("tlen"),
+        )
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    maxlen = F.greatest(F.col("a.tlen"), F.col("b.tlen"))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        # levenshtein >= |len_a - len_b|: prune before the O(n*m) pass
+        .filter(F.abs(F.col("a.tlen") - F.col("b.tlen")) * 100 <= max_dist_pct * maxlen)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_id_a"),
+            F.col(f"b.{id_col}").alias("doc_id_b"),
+            F.levenshtein(F.col(f"a.{text_col}"), F.col(f"b.{text_col}")).alias(
+                "edit_dist"
+            ),
+            maxlen.alias("maxlen"),
+        )
+    )
+    cand = barrier(cand)
+    return (
+        cand.filter(F.col("edit_dist") * 100 <= max_dist_pct * F.col("maxlen"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "edit_dist",
+            F.round(
+                F.lit(1.0) - F.col("edit_dist").cast("double") / F.col("maxlen").cast("double"),
+                6,
+            ).alias("similarity"),
+        )
+    )

@@ -1,0 +1,277 @@
+"""Behavior-analytics pack: funnel progression, cohort retention,
+event-sequence transitions, and anomaly flagging over the ``events``
+stream table — the product-analytics layer a pipeline platform serves
+after the reference's per-day/per-hour count reports (A5/A7,
+``Second Experiment/GPT 5.py:141-152``).
+
+Cross-engine exactness: stage/retention/transition counts are integers;
+every derived rate is one double expression over exact integer sums,
+rounded to 6 decimals with the formula textually mirrored in the DuckDB
+oracle (anomaly z-scores additionally guard ``var > 0`` identically on
+both sides so neither engine divides by zero).
+
+Scale notes per query are in the docstrings; the common theme is that
+each query is one user-partitioned window pass and/or one grouped
+aggregation — no self-joins, no driver loops, and the chained funnel
+windows share a single (user_id) exchange+sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipelines_using_llm_spark.operators.caching import barrier
+from data_pipelines_using_llm_spark.plans.relational import (
+    HOURLY_TREND_DENSE_ORACLE,
+    hourly_trend_dense,
+)
+from data_pipelines_using_llm_spark.registry import QuerySpec
+from data_pipelines_using_llm_spark.sources.tables import load_table
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+ANOMALY_Z = 2.5
+
+
+def purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked AFTER the first
+    view, then purchased AFTER that click — strict temporal ordering,
+    not mere event co-occurrence (the distinction that makes it a funnel
+    rather than three filters).
+
+    Scale: three chained conditional-min windows over the SAME
+    (user_id) partitioning — one exchange + one sort, reused by all
+    three Window nodes; the final stage is a single global aggregate of
+    per-user booleans.  No joins, no per-stage passes over the fact.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    d = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == FUNNEL_STEPS[0], F.col("ts"))).over(w)
+    )
+    d = d.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == FUNNEL_STEPS[1]) & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    d = d.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == FUNNEL_STEPS[2]) & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    n1 = F.count_distinct(F.when(F.col("t1").isNotNull(), F.col("user_id")))
+    n2 = F.count_distinct(F.when(F.col("t2").isNotNull(), F.col("user_id")))
+    n3 = F.count_distinct(F.when(F.col("t3").isNotNull(), F.col("user_id")))
+    return d.agg(
+        n1.alias("n_viewed"),
+        n2.alias("n_clicked_after_view"),
+        n3.alias("n_purchased_after_click"),
+        F.round(n2.cast("double") / n1.cast("double"), 6).alias("view_to_click_rate"),
+        F.round(n3.cast("double") / n2.cast("double"), 6).alias("click_to_purchase_rate"),
+    )
+
+
+PURCHASE_FUNNEL_ORACLE = f"""
+WITH w1 AS (
+    SELECT user_id, event_type, ts,
+           min(CASE WHEN event_type = '{FUNNEL_STEPS[0]}' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+    FROM events
+),
+w2 AS (
+    SELECT *, min(CASE WHEN event_type = '{FUNNEL_STEPS[1]}' AND ts > t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+    FROM w1
+),
+w3 AS (
+    SELECT *, min(CASE WHEN event_type = '{FUNNEL_STEPS[2]}' AND ts > t2 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+    FROM w2
+)
+SELECT count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS n_viewed,
+       count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS n_clicked_after_view,
+       count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS n_purchased_after_click,
+       round(CAST(count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS DOUBLE)
+             / CAST(count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS DOUBLE), 6)
+           AS view_to_click_rate,
+       round(CAST(count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS DOUBLE)
+             / CAST(count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS DOUBLE), 6)
+           AS click_to_purchase_rate
+FROM w3
+"""
+
+
+def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    counted as active per day-offset since that first day — the
+    engagement-decay report (day-grain because the synthetic corpus
+    spans one month; the week-grain variant is the same plan).
+
+    Scale: one (user_id) window to stamp each event with its user's
+    first day (single exchange), then one grouped count-distinct on
+    (cohort_day, day_no).  Day offset is exact integer epoch math, and
+    cohort_day stays a TIMESTAMP (not DATE) for cross-engine stringify
+    parity.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id")
+    cohort = F.date_trunc("day", F.min("ts").over(w))
+    day = F.date_trunc("day", F.col("ts"))
+    d = ev.select(
+        "user_id",
+        cohort.alias("cohort_day"),
+        ((F.unix_timestamp(day) - F.unix_timestamp(cohort)) / 86400)
+        .cast("long")
+        .alias("day_no"),
+    )
+    return d.groupBy("cohort_day", "day_no").agg(
+        F.count_distinct("user_id").alias("active_users")
+    )
+
+
+COHORT_RETENTION_DAILY_ORACLE = """
+WITH stamped AS (
+    SELECT user_id,
+           date_trunc('day', min(ts) OVER (PARTITION BY user_id)) AS cohort_day,
+           date_trunc('day', ts) AS day
+    FROM events
+)
+SELECT cohort_day,
+       CAST((epoch(day) - epoch(cohort_day)) / 86400 AS BIGINT) AS day_no,
+       count(DISTINCT user_id) AS active_users
+FROM stamped
+GROUP BY 1, 2
+"""
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix: for each (from_type, to_type)
+    pair of consecutive events within a user's timeline, the count and
+    the row-normalized transition rate — the Markov-chain view of user
+    behavior (next-action prediction baseline, bot-loop detection).
+
+    Scale: one ``lead`` window over (user_id, ts, event_id) — the same
+    single exchange+sort as any per-user sequence op — then a grouped
+    count.  The rate denominator reuses the grouped counts via a
+    (from_type) window over the |types|² aggregate, which is
+    broadcast-sized; no second pass over the fact.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = d.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n_transitions"))
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wf).cast("double"),
+            6,
+        ).alias("transition_rate"),
+    )
+
+
+EVENT_TRANSITION_MATRIX_ORACLE = """
+WITH seq AS (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+    FROM events
+),
+counts AS (
+    SELECT from_type, to_type, count(*) AS n_transitions
+    FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       round(CAST(n_transitions AS DOUBLE)
+             / CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+           AS transition_rate
+FROM counts
+"""
+
+
+def hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous hours: z-score of each hour's event count against its
+    type's mean/std over the COMPLETE hour spine (composes
+    ``hourly_trend_dense`` — without densification, quiet hours are
+    invisible and the variance is biased high).
+
+    Scale: the dense series is |hours|×|types| rows — tiny next to the
+    fact — so the per-type moment aggregate and the z-score join are
+    post-aggregation work.  Moments come from exact integer power sums
+    (Σc, Σc²) cast to double once, with the z expression and the
+    ``var > 0`` guard textually mirrored in the oracle; the flag filter
+    compares the ROUNDED z so boundary rows agree bit-for-bit.
+    """
+    # barrier: dense fans out to BOTH the stats aggregate and the z-score
+    # join — without it Catalyst inlines the whole spine+counts subplan
+    # twice, and the fact-table aggregation runs twice per query
+    dense = barrier(hourly_trend_dense(spark, sf_dir))
+    stats = dense.groupBy(F.col("event_type").alias("t")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("n_events").cast("double").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("double").alias("s2"),
+    )
+    j = dense.join(F.broadcast(stats), dense.event_type == stats.t)
+    mean = F.col("s") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    z = F.round((F.col("n_events").cast("double") - mean) / F.sqrt(var), 6)
+    return (
+        j.filter(var > F.lit(0.0))
+        .select("hour", "event_type", "n_events", z.alias("z_score"))
+        .filter(F.abs(F.col("z_score")) >= F.lit(ANOMALY_Z))
+    )
+
+
+HOURLY_ANOMALIES_ORACLE = f"""
+WITH dense AS ({{dense}}),
+stats AS (
+    SELECT event_type AS t,
+           CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(n_events) AS DOUBLE) AS s,
+           CAST(sum(n_events * n_events) AS DOUBLE) AS s2
+    FROM dense GROUP BY 1
+),
+scored AS (
+    SELECT hour, event_type, n_events,
+           round((CAST(n_events AS DOUBLE) - s / n)
+                 / sqrt(s2 / n - (s / n) * (s / n)), 6) AS z_score
+    FROM dense JOIN stats ON event_type = t
+    WHERE s2 / n - (s / n) * (s / n) > 0.0
+)
+SELECT * FROM scored WHERE abs(z_score) >= {ANOMALY_Z}
+"""
+
+
+QUERIES = {
+    "purchase_funnel": QuerySpec(
+        purchase_funnel, PURCHASE_FUNNEL_ORACLE, "ordered view->click->purchase funnel"
+    ),
+    "cohort_retention_daily": QuerySpec(
+        cohort_retention_daily,
+        COHORT_RETENTION_DAILY_ORACLE,
+        "first-activity-day cohort retention matrix",
+    ),
+    "event_transition_matrix": QuerySpec(
+        event_transition_matrix,
+        EVENT_TRANSITION_MATRIX_ORACLE,
+        "first-order event-type transition matrix",
+    ),
+    "hourly_anomalies": QuerySpec(
+        hourly_anomalies,
+        HOURLY_ANOMALIES_ORACLE.format(dense=HOURLY_TREND_DENSE_ORACLE),
+        "z-score anomaly flags on dense hourly series",
+    ),
+}

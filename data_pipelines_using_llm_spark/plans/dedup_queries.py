@@ -310,8 +310,53 @@ WHERE comp.component_id IS NULL OR comp.component_id = d.doc_id
 """
 
 
+FUZZY_BLOCK_LEN = 16
+FUZZY_MAX_DIST_PCT = 20
+FUZZY_MIN_LEN = 32
+
+
+def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-key entity resolution over documents: exact-prefix block,
+    Levenshtein comparator, relative threshold in integer math
+    (operators/dedup.py::fuzzy_blocked_pairs)."""
+    return DD.fuzzy_blocked_pairs(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        block_len=FUZZY_BLOCK_LEN,
+        max_dist_pct=FUZZY_MAX_DIST_PCT,
+        min_len=FUZZY_MIN_LEN,
+    )
+
+
+DEDUP_FUZZY_BLOCKED_ORACLE = f"""
+WITH k AS (
+    SELECT doc_id, text, substr(text, 1, {FUZZY_BLOCK_LEN}) AS bk,
+           length(text) AS tlen
+    FROM documents WHERE length(text) >= {FUZZY_MIN_LEN}
+),
+cand AS (
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           levenshtein(a.text, b.text) AS edit_dist,
+           greatest(a.tlen, b.tlen) AS maxlen
+    FROM k a JOIN k b
+      ON a.bk = b.bk AND a.doc_id < b.doc_id
+    WHERE abs(a.tlen - b.tlen) * 100 <= {FUZZY_MAX_DIST_PCT} * greatest(a.tlen, b.tlen)
+)
+SELECT doc_id_a, doc_id_b, edit_dist,
+       round(1.0 - CAST(edit_dist AS DOUBLE) / CAST(maxlen AS DOUBLE), 6) AS similarity
+FROM cand
+WHERE edit_dist * 100 <= {FUZZY_MAX_DIST_PCT} * maxlen
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": QuerySpec(dedup_exact_docs, DEDUP_EXACT_ORACLE, "exact hash-groupBy dedup"),
+    "dedup_fuzzy_blocked": QuerySpec(
+        dedup_fuzzy_blocked,
+        DEDUP_FUZZY_BLOCKED_ORACLE,
+        "blocking-key Levenshtein entity resolution",
+    ),
     "dedup_components": QuerySpec(dedup_components, _components_oracle(), "near-dup connected components"),
     "dedup_survivors": QuerySpec(dedup_survivors, _survivors_oracle(), "keep-one-per-cluster curated corpus"),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_ORACLE, "3-gram Jaccard near-dup"),

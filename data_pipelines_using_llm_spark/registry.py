@@ -30,6 +30,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Imported lazily so `import data_pipelines_using_llm_spark` stays cheap.
     from data_pipelines_using_llm_spark.plans import (
         analytics,
+        behavior,
         cdc_queries,
         decision_support,
         dedup_queries,
@@ -50,6 +51,7 @@ def all_queries() -> dict[str, QuerySpec]:
     for mod in (
         relational,
         analytics,
+        behavior,
         decision_support,
         cdc_queries,
         expectation_queries,

@@ -260,3 +260,30 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_funnel_single_user_exchange(spark):
+    """Three chained conditional-min funnel windows share ONE (user_id)
+    exchange+sort; a regression that re-partitions per stage triples the
+    shuffle at 100 TB."""
+    plan = _plan(spark, "purchase_funnel")
+    assert plan.count("Arguments: hashpartitioning(user_id") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_blocked_is_keyed_join(spark):
+    """Blocking-key entity resolution must join on the exact prefix key —
+    an all-pairs fallback (cartesian / nested-loop with no equi key) is
+    the quadratic failure mode at corpus scale."""
+    plan = _plan(spark, "dedup_fuzzy_blocked")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_anomalies_dense_series_reused(spark):
+    """The dense hourly series fans out to the stats aggregate AND the
+    z-score join; the persist barrier must keep the spine+counts subplan
+    (and its fact-table aggregation) from being computed twice."""
+    plan = _plan(spark, "hourly_anomalies")
+    assert plan.count("InMemoryTableScan") >= 2
