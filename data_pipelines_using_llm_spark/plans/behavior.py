@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_pipelines_using_llm_spark.functions.exact import dec
 from data_pipelines_using_llm_spark.operators.caching import barrier
 from data_pipelines_using_llm_spark.plans.relational import (
     HOURLY_TREND_DENSE_ORACLE,
@@ -33,18 +34,11 @@ FUNNEL_STEPS = ("view", "click", "purchase")
 ANOMALY_Z = 2.5
 
 
-def purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel: users who viewed, then clicked AFTER the first
-    view, then purchased AFTER that click — strict temporal ordering,
-    not mere event co-occurrence (the distinction that makes it a funnel
-    rather than three filters).
-
-    Scale: three chained conditional-min windows over the SAME
-    (user_id) partitioning — one exchange + one sort, reused by all
-    three Window nodes; the final stage is a single global aggregate of
-    per-user booleans.  No joins, no per-stage passes over the fact.
-    """
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+def _funnel_stamps(ev: DataFrame) -> DataFrame:
+    """Per-event rows stamped with the user's funnel milestones: t1 =
+    first view, t2 = first click AFTER t1, t3 = first purchase AFTER t2 —
+    three chained conditional-min windows over the SAME (user_id)
+    partitioning, so the whole stamping costs one exchange + one sort."""
     w = Window.partitionBy("user_id")
     d = ev.withColumn(
         "t1", F.min(F.when(F.col("event_type") == FUNNEL_STEPS[0], F.col("ts"))).over(w)
@@ -67,6 +61,22 @@ def purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).over(w),
     )
+    return d
+
+
+def purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked AFTER the first
+    view, then purchased AFTER that click — strict temporal ordering,
+    not mere event co-occurrence (the distinction that makes it a funnel
+    rather than three filters).
+
+    Scale: the milestone stamping (``_funnel_stamps``) is one
+    exchange+sort shared by all three Window nodes (plan-gated); the
+    final stage is a single global aggregate of per-user booleans.
+    No joins, no per-stage passes over the fact.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    d = _funnel_stamps(ev)
     n1 = F.count_distinct(F.when(F.col("t1").isNotNull(), F.col("user_id")))
     n2 = F.count_distinct(F.when(F.col("t2").isNotNull(), F.col("user_id")))
     n3 = F.count_distinct(F.when(F.col("t3").isNotNull(), F.col("user_id")))
@@ -255,6 +265,144 @@ SELECT * FROM scored WHERE abs(z_score) >= {ANOMALY_Z}
 """
 
 
+def conversion_latency_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours-to-convert distribution: for users who completed the full
+    ordered funnel, the first-view → first-qualifying-purchase latency,
+    bucketed by hour — the "how long does conversion take" report that
+    sizes attribution windows.
+
+    Scale: reuses the single-exchange funnel stamping, collapses to one
+    row per converted user (the t1/t3 stamps are constant within a
+    user), then a grouped count over hour buckets computed with exact
+    integer epoch math.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    d = _funnel_stamps(ev).filter(F.col("t3").isNotNull())
+    per_user = d.groupBy("user_id").agg(F.min("t1").alias("t1"), F.min("t3").alias("t3"))
+    # floor() stated explicitly on BOTH sides: Spark's long cast truncates
+    # where DuckDB's rounds, and epoch() keeps fractional seconds where
+    # unix_timestamp() drops them — both divergences bite here because the
+    # hour ratio is fractional (unlike the exact-integer day offsets of
+    # cohort_retention_daily)
+    secs = F.unix_timestamp("t3") - F.unix_timestamp("t1")
+    bucket = F.floor(secs / 3600).cast("long")
+    return (
+        per_user.select(bucket.alias("hours_to_convert"))
+        .groupBy("hours_to_convert")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+CONVERSION_LATENCY_HIST_ORACLE = f"""
+WITH w1 AS (
+    SELECT user_id, event_type, ts,
+           min(CASE WHEN event_type = '{FUNNEL_STEPS[0]}' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+    FROM events
+),
+w2 AS (
+    SELECT *, min(CASE WHEN event_type = '{FUNNEL_STEPS[1]}' AND ts > t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+    FROM w1
+),
+w3 AS (
+    SELECT *, min(CASE WHEN event_type = '{FUNNEL_STEPS[2]}' AND ts > t2 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+    FROM w2
+),
+per_user AS (
+    SELECT user_id, min(t1) AS t1, min(t3) AS t3
+    FROM w3 WHERE t3 IS NOT NULL GROUP BY 1
+)
+SELECT CAST(floor((CAST(floor(epoch(t3)) AS BIGINT) - CAST(floor(epoch(t1)) AS BIGINT)) / 3600)
+            AS BIGINT) AS hours_to_convert,
+       count(*) AS n_users
+FROM per_user
+GROUP BY 1
+"""
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation over the orders fact: per-customer Recency
+    (days since last order, against the corpus max date), Frequency
+    (order count), Monetary (decimal-exact spend) quartiled with
+    ``ntile(4)``, reported as counts + average spend per (r,f,m) cell.
+
+    Determinism: ntile's equal-split assignment depends only on row
+    ORDER, so every ordering carries a ``c_custkey`` tiebreak; spend
+    ordering uses the DECIMAL value (exact), and the cell average is
+    derived from the decimal sum.  Both engines implement ntile
+    identically (equal buckets, remainder to the leaders).
+
+    Scale: one grouped aggregation over orders, then three ntile windows
+    over the |customers| aggregate — global-sort windows over an
+    already-reduced table, not the fact; the as-of date is a one-row
+    broadcast.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(dec("o_totalprice")).alias("spend_dec"),
+    )
+    asof = orders.agg(F.max("o_orderdate").alias("asof_ts"))
+    d = per_cust.join(F.broadcast(asof))
+    recency = (
+        (F.unix_timestamp("asof_ts") - F.unix_timestamp("last_order")) / 86400
+    ).cast("long")
+    d = d.select(
+        "o_custkey", "frequency", "spend_dec", recency.alias("recency_days")
+    )
+    r_w = Window.orderBy("recency_days", "o_custkey")
+    f_w = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    m_w = Window.orderBy(F.col("spend_dec").desc(), "o_custkey")
+    scored = d.select(
+        "spend_dec",
+        F.ntile(4).over(r_w).alias("r_score"),
+        F.ntile(4).over(f_w).alias("f_score"),
+        F.ntile(4).over(m_w).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        # round at 6, not 2: a cents-sum / count average CAN land exactly
+        # on a half-cent (Spark rounds the shortest decimal repr, DuckDB
+        # the binary value — they disagree there), but cannot land on a
+        # 1e-6 half-boundary
+        F.round(
+            F.sum("spend_dec").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_spend"),
+    )
+
+
+CUSTOMER_RFM_SEGMENTS_ORACLE = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           max(o_orderdate) AS last_order,
+           count(*) AS frequency,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec
+    FROM orders GROUP BY 1
+),
+mx AS (SELECT max(o_orderdate) AS asof_ts FROM orders),
+d AS (
+    SELECT o_custkey, frequency, spend_dec,
+           CAST((epoch(asof_ts) - epoch(last_order)) / 86400 AS BIGINT) AS recency_days
+    FROM per_cust CROSS JOIN mx
+),
+scored AS (
+    SELECT spend_dec,
+           ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+           ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+           ntile(4) OVER (ORDER BY spend_dec DESC, o_custkey) AS m_score
+    FROM d
+)
+SELECT r_score, f_score, m_score,
+       count(*) AS n_customers,
+       round(CAST(sum(spend_dec) AS DOUBLE) / count(*), 6) AS avg_spend
+FROM scored
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "purchase_funnel": QuerySpec(
         purchase_funnel, PURCHASE_FUNNEL_ORACLE, "ordered view->click->purchase funnel"
@@ -273,5 +421,15 @@ QUERIES = {
         hourly_anomalies,
         HOURLY_ANOMALIES_ORACLE.format(dense=HOURLY_TREND_DENSE_ORACLE),
         "z-score anomaly flags on dense hourly series",
+    ),
+    "conversion_latency_hist": QuerySpec(
+        conversion_latency_hist,
+        CONVERSION_LATENCY_HIST_ORACLE,
+        "hours-to-convert funnel latency histogram",
+    ),
+    "customer_rfm_segments": QuerySpec(
+        customer_rfm_segments,
+        CUSTOMER_RFM_SEGMENTS_ORACLE,
+        "RFM quartile segmentation with deterministic ntile",
     ),
 }

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipelines_using_llm_spark.functions.exact import dec
+from data_pipelines_using_llm_spark.operators.caching import barrier
 from data_pipelines_using_llm_spark.registry import QuerySpec
 from data_pipelines_using_llm_spark.sources.tables import load_table
 
@@ -518,7 +519,121 @@ LIMIT 20
 """
 
 
+Q9_PART_MARK = "red"
+Q15_START, Q15_END = "1996-01-01", "1996-04-01"
+
+
+def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation × order year for parts
+    matching a name mark — the one fact-fact exchange (lineitem⋈orders on
+    orderkey) ringed by three broadcast dimensions.  The testdata schema
+    has no ``partsupp``, so unit cost is the part's retail price (the
+    join/aggregation shape — Q9's point — is unchanged).
+
+    Scale: the ``p_name LIKE`` filter reaches the part scan, and the
+    broadcast part join prunes lineitem BEFORE the orderkey exchange, so
+    the shuffle carries only marked-part lineitems; orders ships just
+    (orderkey, year).  Profit is exact decimal arithmetic summed
+    order-independently, cast to double once (functions/exact.py).
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like(f"%{Q9_PART_MARK}%")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    profit = _disc_price() - dec("p_retailprice", "decimal(12,2)") * dec(
+        "l_quantity", "decimal(12,2)"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+NATION_YEAR_PROFIT_ORACLE = f"""
+SELECT n.n_name AS nation,
+       year(o.o_orderdate) AS o_year,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
+                - CAST(p.p_retailprice AS DECIMAL(12,2))
+                  * CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%{Q9_PART_MARK}%'
+GROUP BY 1, 2
+"""
+
+
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue over one
+    quarter — grouped revenue, a one-row global max, and an equality
+    join-back.  The tie-safe formulation (all argmax rows, no LIMIT 1)
+    and the DECIMAL equality comparison are what make it deterministic
+    enough to hash-match across engines.
+
+    Scale: revenue is one map-side-partial aggregation of the
+    quarter-pruned lineitem scan keyed by suppkey; the max is a one-row
+    broadcast; supplier names arrive by broadcast join.  No fact
+    re-scan, no window over the full aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q15_START))
+        & (F.col("l_shipdate") < F.lit(Q15_END))
+    )
+    # barrier: rev feeds BOTH the global max and the join-back — without
+    # it the quarter-pruned fact aggregation is computed twice
+    rev = barrier(li.groupBy("l_suppkey").agg(F.sum(_disc_price()).alias("rev_dec")))
+    top = rev.agg(F.max("rev_dec").alias("max_rev"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(top), rev.rev_dec == top.max_rev)
+        .join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
+        .select(
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+TOP_REVENUE_SUPPLIER_ORACLE = f"""
+WITH rev AS (
+    SELECT l_suppkey,
+           sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS rev_dec
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q15_START}' AND l_shipdate < TIMESTAMP '{Q15_END}'
+    GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.rev_dec AS DOUBLE) AS total_revenue
+FROM rev r
+JOIN (SELECT max(rev_dec) AS max_rev FROM rev) m ON r.rev_dec = m.max_rev
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "nation_year_profit": QuerySpec(
+        nation_year_profit,
+        NATION_YEAR_PROFIT_ORACLE,
+        "Q9: nation x year profit, one fact-fact exchange + broadcast dims",
+    ),
+    "top_revenue_supplier": QuerySpec(
+        top_revenue_supplier,
+        TOP_REVENUE_SUPPLIER_ORACLE,
+        "Q15: quarter top-revenue supplier, tie-safe argmax join-back",
+    ),
     "order_priority_returns": QuerySpec(
         order_priority_returns,
         ORDER_PRIORITY_RETURNS_ORACLE,

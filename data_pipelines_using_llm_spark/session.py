@@ -59,3 +59,49 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# Runtime bloom-filter join pruning (Catalyst InjectRuntimeFilter).
+#
+# For a selective SHUFFLE join (neither side broadcastable), Spark can
+# build a bloom filter over the creation side's join keys and push a
+# ``might_contain`` predicate into the application side's scan — at
+# 100 TB this prunes most of the fact-table shuffle for selective
+# fact-fact joins (the Q4/Q9-shape joins in plans/decision_support.py).
+#
+# The feature is ON by default (spark.sql.optimizer.runtime.bloomFilter
+# .enabled) but self-gates on size estimates: the application side must
+# scan >= applicationSideScanSizeThreshold (default 10 GB) and the
+# creation side must be <= creationSideThreshold (default 10 MB) — so it
+# activates exactly in the 100 TB regime this repo designs for and stays
+# out of the way at test scale.  ``runtime_filters_forced`` drops the
+# thresholds so CI can assert the plan shape the cluster would run
+# (tests/test_plans.py::test_runtime_bloom_filter_prunes_fact_scan).
+
+from contextlib import contextmanager
+
+_RTF_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+}
+
+
+@contextmanager
+def runtime_filters_forced(spark: SparkSession):
+    """Temporarily force the size gates open so runtime bloom-filter
+    injection is observable on test-scale data; restores prior confs."""
+    old: dict[str, str | None] = {}
+    for k, v in _RTF_CONFS.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

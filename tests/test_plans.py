@@ -287,3 +287,51 @@ def test_anomalies_dense_series_reused(spark):
     (and its fact-table aggregation) from being computed twice."""
     plan = _plan(spark, "hourly_anomalies")
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_nation_year_profit_broadcasts_dims_and_pushes_like(spark):
+    """Q9 shape: the part-name filter must reach the part scan, all three
+    dimensions broadcast, and the only fact-fact exchange is orderkey."""
+    plan = _plan(spark, "nation_year_profit")
+    assert "StringContains(p_name" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_top_revenue_supplier_reuses_aggregate(spark):
+    """Q15 shape: the per-supplier revenue aggregate feeds the global max
+    AND the argmax join-back — the barrier must stop a second
+    fact-scan/aggregation; supplier names arrive by broadcast."""
+    plan = _plan(spark, "top_revenue_supplier")
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "BroadcastHashJoin" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Scale feature: for a selective fact-fact SHUFFLE join, Catalyst
+    injects a bloom-filter ``might_contain`` predicate on the big side's
+    scan (InjectRuntimeFilter).  Self-gated by size estimates in
+    production (>=10GB application side); forced open here so CI pins
+    the 100TB plan shape."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from data_pipelines_using_llm_spark.session import runtime_filters_forced
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+
+    with runtime_filters_forced(spark):
+        li = load_table(spark, SF_DIR, "lineitem")
+        orders = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        assert "might_contain" in buf.getvalue()
