@@ -37,12 +37,20 @@ HEADLINE = [
     "customer_order_histogram",
     "large_volume_customers",
     "value_trend_slope",
+    "nation_year_profit",
+    "top_revenue_supplier",
+    # behavior analytics
+    "purchase_funnel",
+    "cohort_retention_daily",
+    "hourly_anomalies",
+    "customer_rfm_segments",
     # training-data operators: dedup / text / similarity / multimodal / llm
     "training_corpus_prep",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_fuzzy_blocked",
     "llm_summarize_docs",
     "llm_summarize_cached",
     "doc_quality_scores",
