@@ -403,6 +403,75 @@ GROUP BY 1, 2, 3
 """
 
 
+def hourly_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per (hour, event_type) bars — open/close =
+    value of the first/last event (deterministic ``(ts, event_id)``
+    tiebreak), high/low = extrema, plus count and a decimal-exact mean —
+    the metric-downsampling operator that turns a raw event stream into
+    chartable bars.
+
+    Scale: two row_number windows sharing ONE (hour, type) exchange
+    (opposite sort orders; the second sort is partition-local), then the
+    grouped aggregate rides the same clustering — no join, no second
+    pass.  Extrema/firsts are exact; only the mean divides, rounded at 6
+    on both engines.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+            "ts",
+            "event_id",
+            "value",
+        )
+    )
+    w_a = Window.partitionBy("hour", "event_type").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("hour", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = ev.select(
+        "hour",
+        "event_type",
+        "value",
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+    )
+    return r.groupBy("hour", "event_type").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(dec("value")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_value"),
+    )
+
+
+HOURLY_OHLC_BARS_ORACLE = """
+WITH r AS (
+    SELECT date_trunc('hour', ts) AS hour, event_type, value,
+           row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                              ORDER BY ts, event_id) AS rn_a,
+           row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM events WHERE value IS NOT NULL
+)
+SELECT hour, event_type,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       max(value) AS high,
+       min(value) AS low,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+           AS mean_value
+FROM r
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "purchase_funnel": QuerySpec(
         purchase_funnel, PURCHASE_FUNNEL_ORACLE, "ordered view->click->purchase funnel"
@@ -431,5 +500,10 @@ QUERIES = {
         customer_rfm_segments,
         CUSTOMER_RFM_SEGMENTS_ORACLE,
         "RFM quartile segmentation with deterministic ntile",
+    ),
+    "hourly_ohlc_bars": QuerySpec(
+        hourly_ohlc_bars,
+        HOURLY_OHLC_BARS_ORACLE,
+        "OHLC bar downsampling per hour x type",
     ),
 }
