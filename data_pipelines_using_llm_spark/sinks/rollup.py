@@ -15,9 +15,14 @@ scan per refresh; the scalable shape is algebraic-aggregate maintenance:
   so they are always consistent with the merged state.
 
 Replay safety: ``incremental_rollup`` takes an optional ``batch_id`` and
-keeps an applied-batch ledger next to the table; re-applying a batch id is
-a no-op, so at-least-once schedulers (the reference's "re-run the
-notebook" model) cannot double-count a batch.
+keeps an applied-batch ledger INSIDE the table directory (an
+underscore-prefixed subdir, invisible to parquet readers — the same
+convention as ``_SUCCESS``).  The ledger is staged into the tmp snapshot
+BEFORE the swap, so state and ledger move atomically with the same
+rename: a crash leaves either (old state, old ledger) or (new state,
+ledger already containing the batch id) — replay detection can never
+diverge from the data, and at-least-once schedulers (the reference's
+"re-run the notebook" model) cannot double-count a batch.
 """
 
 from __future__ import annotations
@@ -76,6 +81,39 @@ def finalize_rollup(state: DataFrame, sum_cols: list[str]) -> DataFrame:
     )
 
 
+def _ledger_dir(table_dir: str) -> str:
+    # Inside the table directory: underscore-prefixed paths are hidden
+    # from Spark/parquet directory listings (like _SUCCESS), so the
+    # ledger rides along with every snapshot swap.
+    return os.path.join(table_dir.rstrip("/"), _LEDGER_DIR)
+
+
+def _applied(path: str, batch_id: str) -> bool:
+    if os.path.exists(os.path.join(_ledger_dir(path), batch_id)):
+        return True
+    # pre-atomic-ledger layout (ledger beside the table) — still honored
+    # so existing tables don't replay history after an upgrade
+    return os.path.exists(
+        os.path.join(path.rstrip("/") + "_meta", _LEDGER_DIR, batch_id)
+    )
+
+
+def _stage_ledger(path: str, tmp: str, batch_id: str | None) -> None:
+    """Copy the live ledger into the staged snapshot and add ``batch_id``
+    — BEFORE the swap, so the rename moves state+ledger together."""
+    import shutil
+
+    staged = _ledger_dir(tmp)
+    os.makedirs(staged, exist_ok=True)
+    live = _ledger_dir(path)
+    if os.path.isdir(live):
+        for name in os.listdir(live):
+            shutil.copy2(os.path.join(live, name), os.path.join(staged, name))
+    if batch_id is not None:
+        with open(os.path.join(staged, batch_id), "w") as fh:
+            fh.write("applied")
+
+
 def incremental_rollup(
     spark: SparkSession,
     batch: DataFrame,
@@ -89,27 +127,29 @@ def incremental_rollup(
 
     Cost is |batch| + |rollup| (the rollup is group-cardinality-sized —
     tiny relative to the fact table), not |history|.  With ``batch_id``
-    set, an already-applied id is skipped (ledger marker files), making
-    replays no-ops."""
-    ledger = os.path.join(path.rstrip("/") + "_meta", _LEDGER_DIR)
-    if batch_id is not None:
-        marker = os.path.join(ledger, batch_id)
-        if os.path.exists(marker):
-            return
+    set, an already-applied id is skipped; the marker is staged into the
+    snapshot before the swap (see module docstring), so replays are
+    no-ops in EVERY crash window, not just post-marker ones."""
+    if batch_id is not None and _applied(path, batch_id):
+        return
 
     delta = rollup_batch(batch, keys, sum_cols, typ)
+    tmp = path.rstrip("/") + "__tmp_rollup"
     if _has_data_files(path):
         state = merge_rollups(spark.read.parquet(path), delta, keys)
-        tmp = path.rstrip("/") + "__tmp_rollup"
         write_table(state, tmp, mode="overwrite")
+        _stage_ledger(path, tmp, batch_id)
         _swap_in(path, tmp)
     else:
-        write_table(delta, path, mode="overwrite")
+        # First batch: stage + single rename, so even the initial write
+        # can't land data without its marker.
+        import shutil
 
-    if batch_id is not None:
-        os.makedirs(ledger, exist_ok=True)
-        with open(os.path.join(ledger, batch_id), "w") as fh:
-            fh.write("applied")
+        write_table(delta, tmp, mode="overwrite")
+        _stage_ledger(path, tmp, batch_id)
+        if os.path.exists(path):  # dir exists but holds no data files
+            shutil.rmtree(path)
+        os.rename(tmp, path)
 
 
 def read_rollup(

@@ -151,9 +151,33 @@ def insert_into_existing(
     align.write.insertInto(table, overwrite=False)
 
 
+def _recover_interrupted_swap(path: str) -> None:
+    """Heal a table directory left by a crash inside :func:`_swap_in`.
+
+    The swap renames the live dir aside (``<path>__old``) before renaming
+    the staged dir in, so a crash in that window leaves NO live dir and
+    the previous snapshot only at ``__old``.  Without recovery the next
+    ``_has_data_files(path)`` would report "empty table" and a caller
+    would silently rebuild from the new batch alone — history loss.  This
+    probe restores the aside snapshot (the staged tmp dir, if any, is
+    overwritten by the next run); a crash AFTER the swap completed merely
+    leaves a stale ``__old``, which is deleted."""
+    import os
+    import shutil
+
+    old = path.rstrip("/") + "__old"
+    if not os.path.exists(old):
+        return
+    if os.path.exists(path):
+        shutil.rmtree(old)  # swap completed; aside copy is stale
+    else:
+        os.rename(old, path)  # swap interrupted; restore previous snapshot
+
+
 def _has_data_files(path: str) -> bool:
     import os
 
+    _recover_interrupted_swap(path)
     return os.path.exists(path) and any(
         n.endswith(".parquet") or n.startswith("part-")
         for _, _, files in os.walk(path)
@@ -162,10 +186,14 @@ def _has_data_files(path: str) -> bool:
 
 
 def _swap_in(path: str, tmp: str) -> None:
-    """Replace the table directory with ``tmp`` without a window where the
-    table path is ABSENT: the live dir is renamed aside first, so a crash
-    between steps leaves either the old or the new table at ``path``
-    (never nothing), and the leftover ``__old`` dir is recoverable."""
+    """Replace the table directory with ``tmp`` via rename-aside.
+
+    Not atomic: between the two renames the table path is briefly ABSENT
+    (POSIX rename can't exchange two dirs).  Every crash window is
+    recoverable — the previous snapshot survives at ``<path>__old`` until
+    the swap completes, and :func:`_recover_interrupted_swap` (run by
+    ``_has_data_files`` before any read-modify-write) restores it, so no
+    caller ever mistakes an interrupted swap for an empty table."""
     import os
     import shutil
 
