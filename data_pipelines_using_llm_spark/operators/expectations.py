@@ -93,6 +93,12 @@ def expect(
     strict).  Row counts are exact; the rate is an exact-integer ratio
     computed in double, so the report is engine-portable.
     """
+    if not rules:
+        raise ValueError("expect() requires at least one rule")
+    for r in rules:
+        if not r.name or "\n" in r.name:
+            raise ValueError(f"invalid rule name: {r.name!r}")
+
     scan_rules = [r for r in rules if r.kind != "unique"]
     unique_rules = [r for r in rules if r.kind == "unique"]
 
@@ -103,12 +109,16 @@ def expect(
             for i, r in enumerate(scan_rules)
         ]
         row = df.agg(*aggs)
-        stacked = row.selectExpr(
+        # rule names are injected as F.lit columns (never spliced into SQL
+        # text), so quotes or other metacharacters in a custom() name are
+        # inert data rather than a malformed stack() expression
+        stack_args: list = [F.lit(len(scan_rules))]
+        for i, r in enumerate(scan_rules):
+            stack_args.append(F.lit(r.name))
+            stack_args.append(F.col(f"v_{i}"))
+        stacked = row.select(
             "n_rows",
-            "stack({}, {}) AS (rule, n_violations)".format(
-                len(scan_rules),
-                ", ".join(f"'{r.name}', v_{i}" for i, r in enumerate(scan_rules)),
-            ),
+            F.stack(*stack_args).alias("rule", "n_violations"),
         )
         reports.append(stacked.select("rule", "n_rows", "n_violations"))
 
@@ -126,11 +136,18 @@ def expect(
     out = reports[0]
     for extra in reports[1:]:
         out = out.unionByName(extra)
-    rate = F.col("n_violations").cast("double") / F.col("n_rows")
+    # An empty table has zero violations by definition: rate 0.0, passed.
+    # sum() over zero rows is NULL, so counts are coalesced to 0 first
+    # (and 0/0 would otherwise yield NULL rate and NULL passed).
+    n_rows = F.coalesce(F.col("n_rows"), F.lit(0))
+    n_viol = F.coalesce(F.col("n_violations"), F.lit(0))
+    rate = F.when(n_rows == 0, F.lit(0.0)).otherwise(
+        n_viol.cast("double") / n_rows
+    )
     return out.select(
         "rule",
-        "n_rows",
-        "n_violations",
+        n_rows.cast("long").alias("n_rows"),
+        n_viol.cast("long").alias("n_violations"),
         rate.alias("violation_rate"),
         (rate <= max_violation_rate).alias("passed"),
     )

@@ -389,6 +389,25 @@ def write_bucketed(
     maintenance (K7): pay one shuffle at write time, skip it on every
     subsequent join/aggregation on the bucket key.
     """
+    # Self-heal after a killed run: an interrupted write can leave the
+    # managed warehouse directory on disk with no catalog entry, and
+    # saveAsTable then fails with LOCATION_ALREADY_EXISTS even in
+    # overwrite mode (DROP TABLE can't remove a dir the catalog no
+    # longer owns).
+    if mode == "overwrite":
+        spark = df.sparkSession
+        if not spark.catalog.tableExists(table):
+            import os
+            import shutil
+            from urllib.parse import urlparse
+
+            warehouse = urlparse(
+                spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            ).path
+            stale = os.path.join(warehouse, table.split(".")[-1].lower())
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
+
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
     if sort_by:
         writer = writer.sortBy(*sort_by)

@@ -24,34 +24,52 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
-#: events.parquet stores ts as parquet TIMESTAMP(NANOS); the streaming
-#: reader (like sources/tables.py::load_table) reads it as long under the
-#: legacy nanosAsLong conf and truncates to microseconds.
-EVENTS_STREAM_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _events_stream_schema(nanos: bool) -> StructType:
+    """Streaming file sources require a declared schema, so the ``ts``
+    physical type must be probed from the parquet footer (the batch path,
+    ``sources/tables.py::load_table``, adapts the same way): TIMESTAMP
+    (NANOS) files are read as long under the legacy nanosAsLong conf and
+    truncated to microseconds; TIMESTAMP(MICROS) files (isAdjustedToUTC=
+    false) are read with a declared TIMESTAMP (LTZ) schema — watermarks
+    reject TIMESTAMP_NTZ, and with the session timezone pinned to UTC the
+    LTZ values are identical to the file's naive micros.  Hardcoding either
+    assumption silently scales every event time by 1000× when the data's
+    precision differs — watermarks then sit at ~1970 and append-mode
+    stateful queries emit nothing."""
+    ts_type = LongType() if nanos else TimestampType()
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (one file == one batch
     under AvailableNow; in production this is a directory of arriving
     files or a Kafka topic with the same downstream plan)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from data_pipelines_using_llm_spark.sources.tables import _nanos_timestamp_cols
+
+    nanos = "ts" in _nanos_timestamp_cols(f"{sf_dir}/events.parquet")
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     sdf = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(_events_stream_schema(nanos))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf
 
 
 def run_to_table(

@@ -57,6 +57,36 @@ def test_custom_null_predicate_counts_as_violation(spark):
     assert got["v_gt_3"] == (2, 1, False)
 
 
+def test_quoted_rule_name_is_inert_data(spark):
+    # rule names carry into the report as literal columns, never SQL text,
+    # so quotes/metacharacters can't break (or inject into) the query
+    df = spark.createDataFrame([(1,), (2,)], "v long")
+    name = "it's a 100% \"weird\" -- name"
+    got = _report(df, [EX.custom(name, "v > 0"), EX.not_null("v")])
+    assert got[name] == (2, 0, True)
+
+
+def test_empty_rules_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError, match="at least one rule"):
+        EX.expect(df, [])
+
+
+def test_empty_table_passes_all_rules(spark):
+    df = spark.createDataFrame([], "id long, v double")
+    rep = EX.expect(df, [EX.not_null("v"), EX.unique("id")]).collect()
+    assert len(rep) == 2
+    for r in rep:
+        assert (r["n_rows"], r["n_violations"], r["violation_rate"], r["passed"]) == (
+            0,
+            0,
+            0.0,
+            True,
+        )
+
+
 def test_single_scan_for_scalar_rules(spark):
     import contextlib
     import io

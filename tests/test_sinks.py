@@ -327,6 +327,32 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS t_customer_b")
 
 
+def test_write_bucketed_heals_stale_warehouse_dir(spark):
+    """A killed run can leave the managed warehouse directory on disk with
+    no catalog entry; overwrite-mode write_bucketed must clear it instead
+    of failing with LOCATION_ALREADY_EXISTS."""
+    import os
+    from urllib.parse import urlparse
+
+    from data_pipelines_using_llm_spark.sinks import write_bucketed
+
+    table = "t_stale_heal"
+    warehouse = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path
+    stale = os.path.join(warehouse, table)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "junk.parquet"), "w") as fh:
+        fh.write("not parquet")
+    try:
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        write_bucketed(df, table, ["k"], n_buckets=2)
+        assert spark.table(table).count() == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_partition_pruning_in_plan(spark, feed, tmp_path):
     """The partition-key filter must land in PartitionFilters (directory
     pruning before any IO), not PushedFilters (row-group stats) — at
