@@ -21,6 +21,8 @@ All writers take an explicit ``path`` (location-based tables); catalog
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -372,6 +374,59 @@ def register_view(
         df.createOrReplaceTempView(name)
 
 
+def _fs_path(uri: str) -> str:
+    """Filesystem path from a (possibly ``file:``-scheme, possibly
+    percent-encoded) location URI or plain path."""
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(uri)
+    if parsed.scheme in ("", "file"):
+        return unquote(parsed.path) if parsed.scheme == "file" else uri
+    return unquote(parsed.path)
+
+
+def _managed_location(spark: SparkSession, table: str) -> str | None:
+    """Resolve where the metastore WOULD place managed table ``table``:
+    ``<db location>/<name>`` for a qualified name, ``<warehouse>/<name>``
+    for an unqualified one.  ``spark.conf.get("spark.sql.warehouse.dir")``
+    returns the resolved absolute URI, so no cwd-relative fallback is
+    needed.  Returns None when the database location can't be resolved."""
+    db, _, name = table.rpartition(".")
+    if db:
+        try:
+            base = _fs_path(spark.catalog.getDatabase(db).locationUri)
+        except Exception:
+            return None
+    else:
+        base = _fs_path(spark.conf.get("spark.sql.warehouse.dir"))
+    return os.path.join(base, name.lower())
+
+
+def _any_table_owns(spark: SparkSession, table: str, path: str) -> bool:
+    """True if any OTHER catalog table's location resolves to ``path`` —
+    the guard that keeps the self-heal rmtree from deleting live data of
+    an unrelated table (e.g. external tables pointed at the directory)."""
+    db = table.rpartition(".")[0] or spark.catalog.currentDatabase()
+    target = os.path.realpath(path)
+    try:
+        others = spark.catalog.listTables(db)
+    except Exception:
+        return True  # can't prove safety -> don't delete
+    for t in others:
+        try:
+            rows = spark.sql(
+                f"DESCRIBE TABLE EXTENDED `{t.database or db}`.`{t.name}`"
+            ).collect()
+        except Exception:
+            return True
+        for row in rows:
+            if row.col_name == "Location" and os.path.realpath(
+                _fs_path(row.data_type)
+            ) == target:
+                return True
+    return False
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -397,15 +452,14 @@ def write_bucketed(
     if mode == "overwrite":
         spark = df.sparkSession
         if not spark.catalog.tableExists(table):
-            import os
-            import shutil
-            from urllib.parse import urlparse
+            stale = _managed_location(spark, table)
+            if (
+                stale is not None
+                and os.path.isdir(stale)
+                and not _any_table_owns(spark, table, stale)
+            ):
+                import shutil
 
-            warehouse = urlparse(
-                spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-            ).path
-            stale = os.path.join(warehouse, table.split(".")[-1].lower())
-            if os.path.isdir(stale):
                 shutil.rmtree(stale)
 
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
@@ -430,8 +484,6 @@ def compact_table(
     give the same data-skipping effect.  With delta-spark importable and
     a Delta target, runs the real ``OPTIMIZE`` (+``ZORDER BY``) instead.
     """
-    import os
-
     if delta_available():
         from delta.tables import DeltaTable
 

@@ -57,6 +57,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in nanos_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Spark 4 infers parquet micros timestamps without timezone metadata as
+    # TIMESTAMP_NTZ, which strict functions (unix_micros, unix_millis)
+    # reject.  Normalize every NTZ column to TIMESTAMP_LTZ here so no
+    # downstream query can trip on the inference; the session timezone is
+    # pinned UTC (session.py), so the cast is value-preserving.
+    ntz_cols = [
+        f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"
+    ]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -353,6 +353,43 @@ def test_write_bucketed_heals_stale_warehouse_dir(spark):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_write_bucketed_heal_does_not_touch_sibling_table(spark):
+    """Self-heal for a QUALIFIED table must resolve ``<db>.db/<name>``,
+    never ``warehouse/<name>`` — the latter is the live managed directory
+    of the unrelated default-database table of the same name (r3 advice:
+    silent data loss)."""
+    import os
+
+    from data_pipelines_using_llm_spark.sinks import write_bucketed
+    from data_pipelines_using_llm_spark.sinks.writers import _managed_location
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS heal_db")
+    spark.sql("DROP TABLE IF EXISTS default.t_heal_shared")
+    spark.sql("DROP TABLE IF EXISTS heal_db.t_heal_shared")
+    victim = spark.createDataFrame([(1, "keep")], "k long, v string")
+    victim.write.saveAsTable("default.t_heal_shared")
+    victim_dir = _managed_location(spark, "t_heal_shared")
+    assert victim_dir is not None and os.path.isdir(victim_dir)
+    stale = _managed_location(spark, "heal_db.t_heal_shared")
+    assert stale is not None and os.path.realpath(stale) != os.path.realpath(
+        victim_dir
+    )
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "junk"), "w") as fh:
+        fh.write("x")
+    try:
+        df = spark.createDataFrame([(2, "b")], "k long, v string")
+        write_bucketed(df, "heal_db.t_heal_shared", ["k"], n_buckets=2)
+        assert spark.table("heal_db.t_heal_shared").count() == 1
+        # The default-db table of the same name survived untouched.
+        assert spark.table("default.t_heal_shared").collect()[0].v == "keep"
+        assert os.path.isdir(victim_dir)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS heal_db.t_heal_shared")
+        spark.sql("DROP TABLE IF EXISTS default.t_heal_shared")
+        spark.sql("DROP DATABASE IF EXISTS heal_db")
+
+
 def test_partition_pruning_in_plan(spark, feed, tmp_path):
     """The partition-key filter must land in PartitionFilters (directory
     pruning before any IO), not PushedFilters (row-group stats) — at
