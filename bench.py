@@ -58,6 +58,7 @@ HEADLINE = [
     "knn_brute_force",
     "knn_arrow",
     "knn_lsh",
+    "knn_ivf_kmeans",
     "kmeans_clusters",
     "dedup_components",
     "dedup_survivors",

@@ -96,8 +96,17 @@ def expect(
     if not rules:
         raise ValueError("expect() requires at least one rule")
     for r in rules:
+        # names are F.lit data (never SQL text), so metacharacters are
+        # inert; the empty/newline rejection just keeps report rows
+        # printable and one-per-line
         if not r.name or "\n" in r.name:
             raise ValueError(f"invalid rule name: {r.name!r}")
+    names = [r.name for r in rules]
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(
+            f"duplicate rule names make per-rule report rows ambiguous: {dupes}"
+        )
 
     scan_rules = [r for r in rules if r.kind != "unique"]
     unique_rules = [r for r in rules if r.kind == "unique"]

@@ -436,6 +436,53 @@ def knn_ivf(
     )
 
 
+def ivf_scan_stats(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    query_mod: int = 100,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Capacity-planning companion to :func:`knn_ivf`: per query, how many
+    corpus rows the probed cells contain (``scanned_rows``) out of
+    ``corpus_rows`` — the scan fraction that decides whether an IVF config
+    actually beats brute force at scale.  Same probe selection as
+    :func:`knn_ivf`, so the numbers are the real ones."""
+    base = normed(df, id_col, vec_col).join(
+        df.select(F.col(id_col).alias("vec_id"), F.col(cell_col).alias("cell")),
+        "vec_id",
+    )
+    cents = ivf_centroids(base, "cell")
+    sizes = base.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_rows"))
+    queries = base.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cell"))
+    probes = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "cell",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cnrm"))).alias(
+                "ccos"
+            ),
+        )
+        .withColumn("crank", F.row_number().over(wprobe))
+        .filter(F.col("crank") <= nprobe)
+    )
+    total = base.count()
+    return (
+        probes.join(sizes, "cell")
+        .groupBy("query_id")
+        .agg(F.sum("cell_rows").alias("scanned_rows"))
+        .withColumn("corpus_rows", F.lit(total))
+    )
+
+
 def dist2(a: Column, b: Column) -> Column:
     """Squared L2 distance as a sequential fold (bit-identical to the
     oracle's list_reduce, like :func:`dot`)."""

@@ -125,6 +125,53 @@ def quality_features(c: str | Column) -> dict[str, Column]:
     }
 
 
+def nonempty_lines(c: str | Column) -> Column:
+    """Trimmed, non-empty lines of a document as an array column."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.filter(
+        F.transform(F.split(col, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+
+
+def ngram_array(c: str | Column, n: int) -> Column:
+    """Token ``n``-grams joined with single spaces (empty when the document
+    has fewer than ``n`` tokens — NOT ``sequence(1, 0)``, which Spark
+    would expand to a DESCENDING [1, 0])."""
+    t = tokens(c)
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_fraction(arr: Column) -> Column:
+    """Fraction of array elements that repeat an earlier element:
+    ``1 - distinct/total`` (0.0 for empty arrays).  Exact integer counts
+    divided once in double, so both engines agree bit-for-bit."""
+    total = F.size(arr)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(arr)).cast("double") / total,
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_signals(c: str | Column) -> dict[str, Column]:
+    """Gopher-style repetition quality signals: documents dominated by
+    repeated lines or repeated n-grams are boilerplate/spam and poison
+    training data.  All pure column expressions (codegen'd, shuffle-free):
+    the 100 TB cost is the scan."""
+    lines = nonempty_lines(c)
+    return {
+        "n_lines": F.size(lines),
+        "dup_line_ratio": dup_fraction(lines),
+        "dup_2gram_ratio": dup_fraction(ngram_array(c, 2)),
+        "dup_3gram_ratio": dup_fraction(ngram_array(c, 3)),
+    }
+
+
 def quality_score(c: str | Column) -> Column:
     """Composite 0–1 quality score: in-range token count, sane average
     token length, low punctuation density.  Weights are fixed so the

@@ -263,19 +263,119 @@ GROUP BY event_type
 """
 
 
+_PCT_ACCURACY = 1000  # percentile_approx: rank error <= floor(n/accuracy)
+_PCT_TARGETS = {"50": 0.5, "90": 0.9, "99": 0.99}
+
+
 def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB percentile path made concrete (``value_percentiles``
-    documents it; this runs it): ``percentile_approx`` keeps a bounded
-    sketch per group with mergeable map-side partials — no sorted
-    shuffle of raw values.  Approximate by nature, so rows-only for the
-    driver; the error bound vs the exact query is asserted in
-    tests/test_quality.py."""
-    d = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    return d.groupBy("event_type").agg(
-        F.percentile_approx("value", 0.5, 1000).alias("p50"),
-        F.percentile_approx("value", 0.9, 1000).alias("p90"),
-        F.percentile_approx("value", 0.99, 1000).alias("p99"),
+    """The 100 TB percentile path (``percentile_approx`` = mergeable
+    t-digest-style sketch, no sorted shuffle of raw values) — verified
+    through a full cross-engine gate rather than rows-only: both engines
+    emit, per group, the EXACT values at ranks ``floor(p*(n-1))+1-delta``
+    and ``ceil(p*(n-1))+1+delta`` (delta = the sketch's documented rank
+    error ``floor(n/accuracy)`` + 2 slack), and an ``in_band`` flag.  The
+    oracle's flag is the literal expectation (1); Spark's is computed from
+    the sketch — a drifting sketch flips the flag and fails the hash gate.
+
+    The rank-selection scaffolding (row_number per event_type) is the
+    verification harness, not the production path: at 100 TB you run ONLY
+    the sketch aggregation; the band check runs on samples/test SFs.
+    """
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
     )
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        *[
+            F.percentile_approx("value", p, _PCT_ACCURACY).alias(f"a{t}")
+            for t, p in _PCT_TARGETS.items()
+        ],
+    )
+    delta = F.floor(F.col("n_values") / _PCT_ACCURACY) + F.lit(2)
+    bands = stats.withColumn("delta", delta.cast("long"))
+    for t, p in _PCT_TARGETS.items():
+        base = F.col("n_values") - F.lit(1)
+        bands = bands.withColumn(
+            f"lo{t}_rn",
+            F.greatest(F.lit(1).cast("long"), F.floor(F.lit(p) * base) + 1 - F.col("delta")),
+        ).withColumn(
+            f"hi{t}_rn",
+            F.least(F.col("n_values"), F.ceil(F.lit(p) * base) + 1 + F.col("delta")),
+        )
+    stack_parts = ", ".join(
+        f"'{side}{t}', {side}{t}_rn" for t in _PCT_TARGETS for side in ("lo", "hi")
+    )
+    targets = bands.selectExpr(
+        "event_type", f"stack({2 * len(_PCT_TARGETS)}, {stack_parts}) AS (tag, rn)"
+    )
+    ranked = ev.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("value"))
+    )
+    picked = ranked.join(F.broadcast(targets), ["event_type", "rn"])
+    vals = picked.groupBy("event_type").agg(
+        *[
+            F.max(F.when(F.col("tag") == f"{side}{t}", F.col("value"))).alias(
+                f"p{t}_{side}"
+            )
+            for t in _PCT_TARGETS
+            for side in ("lo", "hi")
+        ]
+    )
+    out = stats.join(vals, "event_type")
+    cols = [F.col("event_type"), F.col("n_values")]
+    for t in _PCT_TARGETS:
+        cols += [
+            F.col(f"p{t}_lo"),
+            F.col(f"p{t}_hi"),
+            F.when(
+                F.col(f"a{t}").between(F.col(f"p{t}_lo"), F.col(f"p{t}_hi")), 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias(f"p{t}_in_band"),
+        ]
+    return out.select(*cols)
+
+
+VALUE_PERCENTILES_APPROX_ORACLE = f"""
+WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+stats AS (
+    SELECT event_type, count(*) AS n,
+           CAST(floor(count(*) / {_PCT_ACCURACY}) + 2 AS BIGINT) AS delta
+    FROM ev GROUP BY event_type
+),
+ranked AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+    FROM ev
+),
+bands AS (
+    SELECT event_type, n,
+           greatest(1, CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 - delta)  AS lo50_rn,
+           least(n, CAST(ceil(0.5 * (n - 1)) AS BIGINT) + 1 + delta)      AS hi50_rn,
+           greatest(1, CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1 - delta)  AS lo90_rn,
+           least(n, CAST(ceil(0.9 * (n - 1)) AS BIGINT) + 1 + delta)      AS hi90_rn,
+           greatest(1, CAST(floor(0.99 * (n - 1)) AS BIGINT) + 1 - delta) AS lo99_rn,
+           least(n, CAST(ceil(0.99 * (n - 1)) AS BIGINT) + 1 + delta)     AS hi99_rn
+    FROM stats
+)
+SELECT b.event_type, b.n AS n_values,
+       max(CASE WHEN r.rn = b.lo50_rn THEN r.value END) AS p50_lo,
+       max(CASE WHEN r.rn = b.hi50_rn THEN r.value END) AS p50_hi,
+       CAST(1 AS BIGINT) AS p50_in_band,
+       max(CASE WHEN r.rn = b.lo90_rn THEN r.value END) AS p90_lo,
+       max(CASE WHEN r.rn = b.hi90_rn THEN r.value END) AS p90_hi,
+       CAST(1 AS BIGINT) AS p90_in_band,
+       max(CASE WHEN r.rn = b.lo99_rn THEN r.value END) AS p99_lo,
+       max(CASE WHEN r.rn = b.hi99_rn THEN r.value END) AS p99_hi,
+       CAST(1 AS BIGINT) AS p99_in_band
+FROM bands b JOIN ranked r ON r.event_type = b.event_type
+GROUP BY b.event_type, b.n
+"""
 
 
 def sql_bronze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -307,7 +407,7 @@ QUERIES = {
     "sql_bronze_stats": QuerySpec(sql_bronze_stats, SQL_BRONZE_STATS, "SQL-first entry point (A4)"),
     "summary_stats_events": QuerySpec(summary_stats_events, SUMMARY_STATS_ORACLE, "A6 one-pass summary statistics"),
     "value_percentiles": QuerySpec(value_percentiles, VALUE_PERCENTILES_ORACLE, "exact percentiles (approx at scale)"),
-    "value_percentiles_approx": QuerySpec(value_percentiles_approx, None, "t-digest percentile sketch (scale path; rows-only)"),
+    "value_percentiles_approx": QuerySpec(value_percentiles_approx, VALUE_PERCENTILES_APPROX_ORACLE, "percentile sketch vs exact rank band (cross-engine gate)"),
     "null_rate_report_events": QuerySpec(null_rate_report_events, NULL_RATE_REPORT_ORACLE, "Q1 tall null-rate report"),
     "duplicate_stats_events": QuerySpec(duplicate_stats_events, DUPLICATE_STATS_ORACLE, "Q2 dup stats"),
     "duplicate_profile_user_day": QuerySpec(duplicate_profile_user_day, DUPLICATE_PROFILE_ORACLE, "Q2 top dup keys"),

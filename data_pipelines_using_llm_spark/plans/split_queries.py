@@ -1,0 +1,105 @@
+"""Dataset-split query pack over ``documents`` (SURVEY.md §2 extension:
+reproducible train/val/test machinery for training-data pipelines).
+
+Both queries are pure row-local expressions plus one small aggregation —
+the oracle SQL is generated from the same constants as the Spark
+operators (operators/split.py), so bucket membership is bit-identical
+across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipelines_using_llm_spark.operators.split import (
+    DEFAULT_SALT,
+    LEHMER_M,
+    deterministic_sample,
+    deterministic_split,
+    sql_split_case,
+    sql_split_hash,
+)
+from data_pipelines_using_llm_spark.registry import QuerySpec
+from data_pipelines_using_llm_spark.sources.tables import load_table
+
+HOLDOUT_FRACTION = 0.05
+
+
+def doc_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, split) membership report for the default 80/10/10
+    split: counts plus the within-source share — the balance check a
+    training pipeline runs before shipping a split.  One narrow
+    aggregation; the assignment itself never shuffles."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = deterministic_split(docs, "doc_id")
+    per = assigned.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    # per-source totals via a window over the (tiny) aggregate, not a
+    # second scan+join of the corpus — one pass over documents total
+    w = Window.partitionBy("source")
+    return per.select(
+        "source",
+        "split",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("share"),
+    )
+
+
+DOC_SPLIT_REPORT_ORACLE = f"""
+WITH assigned AS (
+    SELECT source, {sql_split_case('doc_id')} AS split
+    FROM documents
+),
+per AS (
+    SELECT source, split, count(*) AS n_docs
+    FROM assigned GROUP BY source, split
+)
+SELECT source, split, n_docs,
+       round(CAST(n_docs AS DOUBLE)
+             / CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT), 6) AS share
+FROM per
+"""
+
+
+def doc_holdout_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic 5% holdout set as rows — membership is a
+    pure function of doc_id, so the same documents come back on every
+    rerun, any partitioning, any engine (vs ``df.sample``, which does not
+    survive a repartition)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", HOLDOUT_FRACTION).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
+DOC_HOLDOUT_SAMPLE_ORACLE = f"""
+SELECT doc_id, source, lang, n_chars
+FROM documents
+WHERE {sql_split_hash('doc_id')} < {int(HOLDOUT_FRACTION * LEHMER_M)}
+"""
+
+
+QUERIES = {
+    "doc_split_report": QuerySpec(
+        doc_split_report,
+        DOC_SPLIT_REPORT_ORACLE,
+        "deterministic 80/10/10 train/val/test split balance report",
+    ),
+    "doc_holdout_sample": QuerySpec(
+        doc_holdout_sample,
+        DOC_HOLDOUT_SAMPLE_ORACLE,
+        "content-addressed 5% holdout sample",
+    ),
+}
+
+# keep the import surface documented for the curious reader
+__all__ = [
+    "QUERIES",
+    "doc_split_report",
+    "doc_holdout_sample",
+    "DEFAULT_SALT",
+]

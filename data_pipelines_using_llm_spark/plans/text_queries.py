@@ -314,6 +314,65 @@ GROUP BY source
 """
 
 
+SQL_LINES = (
+    "list_filter(list_transform(string_split({col}, chr(10)), x -> trim(x)), "
+    "x -> x != '')"
+)
+
+
+def sql_ngrams(col: str, n: int) -> str:
+    """Token n-grams, mirroring operators/text.py::ngram_array."""
+    toks = SQL_TOKENS.format(col=col)
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(range(1, len({toks}) - {n} + 2), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')) "
+        f"ELSE [] END"
+    )
+
+
+def sql_dup_fraction(arr: str) -> str:
+    """``1 - distinct/total`` over a list expression (0.0 when empty)."""
+    return (
+        f"CASE WHEN len({arr}) > 0 THEN "
+        f"1.0 - CAST(len(list_distinct({arr})) AS DOUBLE) / len({arr}) "
+        f"ELSE 0.0 END"
+    )
+
+
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: fraction of duplicate lines and
+    duplicate 2-/3-grams per document, plus the boilerplate flag a
+    training pipeline would filter on.  Pure column expressions — the
+    100 TB cost is the scan itself."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = TX.repetition_signals("text")
+    return d.select(
+        "doc_id",
+        sig["n_lines"].alias("n_lines"),
+        sig["dup_line_ratio"].alias("dup_line_ratio"),
+        sig["dup_2gram_ratio"].alias("dup_2gram_ratio"),
+        sig["dup_3gram_ratio"].alias("dup_3gram_ratio"),
+        ((sig["dup_line_ratio"] > 0.3) | (sig["dup_3gram_ratio"] > 0.2))
+        .cast("int")
+        .alias("is_repetitive"),
+    )
+
+
+_REP_LINES = SQL_LINES.format(col="text")
+DOC_REPETITION_ORACLE = f"""
+SELECT doc_id,
+       CAST(len({_REP_LINES}) AS INT) AS n_lines,
+       {sql_dup_fraction(_REP_LINES)} AS dup_line_ratio,
+       {sql_dup_fraction(sql_ngrams('text', 2))} AS dup_2gram_ratio,
+       {sql_dup_fraction(sql_ngrams('text', 3))} AS dup_3gram_ratio,
+       CAST(CASE WHEN {sql_dup_fraction(_REP_LINES)} > 0.3
+                   OR {sql_dup_fraction(sql_ngrams('text', 3))} > 0.2
+                 THEN 1 ELSE 0 END AS INT) AS is_repetitive
+FROM documents
+"""
+
+
 QUERIES = {
     "training_corpus_prep": QuerySpec(
         training_corpus_prep,
@@ -328,4 +387,9 @@ QUERIES = {
     "doc_language_id": QuerySpec(doc_language_id, DOC_LANGUAGE_ID_ORACLE, "language ID"),
     "lang_confusion": QuerySpec(lang_confusion, LANG_CONFUSION_ORACLE, "lang ID aggregate"),
     "doc_fingerprints": QuerySpec(doc_fingerprints, DOC_FINGERPRINTS_ORACLE, "rolling-hash fingerprint"),
+    "doc_repetition_signals": QuerySpec(
+        doc_repetition_signals,
+        DOC_REPETITION_ORACLE,
+        "Gopher-style repeated-line / repeated-n-gram boilerplate signals",
+    ),
 }

@@ -42,6 +42,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational,
         similarity_queries,
         skew_queries,
+        split_queries,
         statistics,
         text_queries,
     )
@@ -62,6 +63,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal_queries,
         llm_queries,
         skew_queries,
+        split_queries,
         statistics,
         pipelines,
         stream_queries,

@@ -413,6 +413,10 @@ def _any_table_owns(spark: SparkSession, table: str, path: str) -> bool:
     except Exception:
         return True  # can't prove safety -> don't delete
     for t in others:
+        # listTables also returns session temp views, which have no
+        # storage location (and DESCRIBE on '<db>.<view>' fails)
+        if t.isTemporary:
+            continue
         try:
             rows = spark.sql(
                 f"DESCRIBE TABLE EXTENDED `{t.database or db}`.`{t.name}`"

@@ -53,13 +53,42 @@ def _events_stream_schema(nanos: bool) -> StructType:
     )
 
 
+def _probe_ts_precision(sf_dir: str, glob_pat: str = "events.parquet") -> bool:
+    """True iff the files the stream will read store ``ts`` as
+    TIMESTAMP(NANOS).  Probes EVERY file matching the glob, not just one:
+    the stream reads the whole directory under one static schema, so a
+    directory of arriving files with mixed precision cannot be read
+    correctly (one precision would be silently scaled 1000x) — mixed
+    precision fails loudly instead."""
+    import fnmatch
+    import os
+
+    from data_pipelines_using_llm_spark.sources.tables import _nanos_timestamp_cols
+
+    paths = sorted(
+        os.path.join(sf_dir, f)
+        for f in os.listdir(sf_dir)
+        if fnmatch.fnmatch(f, glob_pat)
+    )
+    flags = {p: "ts" in _nanos_timestamp_cols(p) for p in paths}
+    if len(set(flags.values())) > 1:
+        raise ValueError(
+            "mixed ts precision across stream input files (one static "
+            f"schema cannot read both): {flags}"
+        )
+    return any(flags.values())
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (one file == one batch
     under AvailableNow; in production this is a directory of arriving
-    files or a Kafka topic with the same downstream plan)."""
-    from data_pipelines_using_llm_spark.sources.tables import _nanos_timestamp_cols
+    files or a Kafka topic with the same downstream plan).
 
-    nanos = "ts" in _nanos_timestamp_cols(f"{sf_dir}/events.parquet")
+    The nanosAsLong conf is session-wide by necessity (the streaming scan
+    reads it at execution, not declaration); the batch reader
+    (``sources/tables.py``) sets the same value, so they never conflict.
+    """
+    nanos = _probe_ts_precision(sf_dir)
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     sdf = (

@@ -74,6 +74,16 @@ def test_empty_rules_raises(spark):
         EX.expect(df, [])
 
 
+def test_duplicate_rule_names_raise(spark):
+    # two rules with the same name would make the per-rule report rows
+    # indistinguishable, so expect() rejects them up front
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError, match="duplicate rule names.*v_gt"):
+        EX.expect(df, [EX.custom("v_gt", "v > 0"), EX.custom("v_gt", "v > 1")])
+
+
 def test_empty_table_passes_all_rules(spark):
     df = spark.createDataFrame([], "id long, v double")
     rep = EX.expect(df, [EX.not_null("v"), EX.unique("id")]).collect()

@@ -296,3 +296,61 @@ class TestHttpDataSource:
         assert got[f"file://{ok}"] == ("fine", False)
         assert got[f"file://{tmp_path}/missing.json"][0] is None
         assert got[f"file://{tmp_path}/missing.json"][1] is True
+
+    def test_live_http_end_to_end_local_fixture_server(self, spark):
+        """End-to-end over a REAL http:// transport (in-process stdlib
+        server on 127.0.0.1, no external network): success payloads,
+        HTTP-500 quarantine into the error column, and per-request
+        timeout enforcement — the full S1 surface the file:// tests
+        can't exercise."""
+        import http.server
+        import json
+        import threading
+        import time
+
+        from data_pipelines_using_llm_spark.sources.http_datasource import (
+            register_http_source,
+        )
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                if self.path == "/data.json":
+                    body = json.dumps({"station": "S1", "pm25": 12.5}).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif self.path == "/boom":
+                    self.send_error(500, "server exploded")
+                elif self.path == "/slow":
+                    time.sleep(3)
+                    self.send_response(200)
+                    self.end_headers()
+
+            def log_message(self, *args):  # keep pytest output clean
+                pass
+
+        server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        port = server.server_address[1]
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        try:
+            base = f"http://127.0.0.1:{port}"
+            register_http_source(spark)
+            df = (
+                spark.read.format("http_api")
+                .option("urls", f"{base}/data.json {base}/boom {base}/slow")
+                .option("timeout", "1")
+                .load()
+            )
+            got = {r["url"]: (r["payload"], r["error"]) for r in df.collect()}
+            payload, err = got[f"{base}/data.json"]
+            assert json.loads(payload) == {"station": "S1", "pm25": 12.5}
+            assert err is None
+            payload, err = got[f"{base}/boom"]
+            assert payload is None and "500" in err
+            payload, err = got[f"{base}/slow"]
+            assert payload is None and err is not None  # timed out at 1s
+        finally:
+            server.shutdown()
+            server.server_close()

@@ -79,3 +79,77 @@ def test_rollup_batch_is_partial_aggregate(spark):
     out = rollup_batch(b, ["year", "month"], ["value"])
     assert out.columns == ["year", "month", "n_rows", "sum_value"]
     assert out.count() == 1
+
+
+def test_crash_between_stage_and_swap_recovers(spark, tmp_path, monkeypatch):
+    """Fault injection for the worst crash window: the process dies AFTER
+    the ledger is staged into the tmp snapshot but BEFORE the swap.  The
+    live table must be untouched (no marker, no data change), and a replay
+    of the same batch must apply it exactly once — proving the marker
+    travels with the snapshot, never ahead of it."""
+    from data_pipelines_using_llm_spark.sinks import rollup as R
+
+    path = str(tmp_path / "gold_crash")
+    b0 = _batch(spark, 1, range(0, 6), 1.0)
+    incremental_rollup(
+        spark, b0, path, keys=["year", "month"], sum_cols=["value"], batch_id="b0"
+    )
+    before = {
+        (r["year"], r["month"]): (r["n_rows"], r["sum_value"])
+        for r in read_rollup(spark, path, ["value"]).collect()
+    }
+
+    real_swap = R._swap_in
+
+    def dying_swap(live, tmp):
+        raise OSError("injected kill before swap")
+
+    monkeypatch.setattr(R, "_swap_in", dying_swap)
+    b1 = _batch(spark, 1, range(6, 10), 2.0)
+    import pytest
+
+    with pytest.raises(OSError, match="injected kill"):
+        incremental_rollup(
+            spark, b1, path, keys=["year", "month"], sum_cols=["value"],
+            batch_id="b1",
+        )
+    # live state unchanged, b1 NOT marked applied (marker only in tmp)
+    assert {
+        (r["year"], r["month"]): (r["n_rows"], r["sum_value"])
+        for r in read_rollup(spark, path, ["value"]).collect()
+    } == before
+    assert not R._applied(path, "b1")
+
+    # recovery: replay the batch with the real swap restored
+    monkeypatch.setattr(R, "_swap_in", real_swap)
+    for _ in range(2):  # at-least-once: second replay must be a no-op
+        incremental_rollup(
+            spark, b1, path, keys=["year", "month"], sum_cols=["value"],
+            batch_id="b1",
+        )
+    rows = {
+        (r["year"], r["month"]): (r["n_rows"], r["sum_value"])
+        for r in read_rollup(spark, path, ["value"]).collect()
+    }
+    assert rows[(2025, 1)][0] == 10  # 6 + 4, applied exactly once
+    assert R._applied(path, "b0") and R._applied(path, "b1")
+
+
+def test_crash_after_swap_makes_replay_noop(spark, tmp_path, monkeypatch):
+    """The other crash window: the swap lands but the caller dies before
+    acknowledging.  The marker moved WITH the snapshot, so the replay is
+    a no-op — the batch cannot double-count."""
+    from data_pipelines_using_llm_spark.sinks import rollup as R
+
+    path = str(tmp_path / "gold_crash2")
+    b0 = _batch(spark, 2, range(0, 4), 3.0)
+    incremental_rollup(
+        spark, b0, path, keys=["year", "month"], sum_cols=["value"], batch_id="b0"
+    )
+    # crash-after-swap == state and marker both present; replay:
+    assert R._applied(path, "b0")
+    incremental_rollup(
+        spark, b0, path, keys=["year", "month"], sum_cols=["value"], batch_id="b0"
+    )
+    rows = read_rollup(spark, path, ["value"]).collect()
+    assert len(rows) == 1 and rows[0]["n_rows"] == 4

@@ -90,3 +90,45 @@ def test_knn_arrow_agrees_with_exact(spark):
         assert len(be[q]) == len(ba[q])
         for x, y in zip(be[q], ba[q]):
             assert abs(x - y) <= 1e-9, (q, x, y)
+
+
+def test_ann_recall_scan_tradeoff(spark):
+    """The measured ANN trade-off recorded in SCALE.md, asserted so it
+    can't silently rot: k-means-quantized IVF (nprobe=4) must reach
+    recall@10 >= 0.7 while scanning <= 45% of the corpus — a strictly
+    better cost/recall point than label-cell IVF (measured 0.58 recall at
+    ~40% scan) on the same embeddings."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_using_llm_spark.operators import similarity as SIM
+    from data_pipelines_using_llm_spark.plans.similarity_queries import (
+        IVF_KMEANS_NPROBE,
+        QUERY_MOD,
+    )
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    truth: dict[int, set[int]] = {}
+    for r in SQ.knn_brute_force(spark, sf).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    got: dict[int, set[int]] = {}
+    for r in SQ.knn_ivf_kmeans(spark, sf).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    recall = hits / sum(len(v) for v in truth.values())
+    assert recall >= 0.7, recall
+
+    e = load_table(spark, sf, "embeddings")
+    cells = SIM.kmeans_assign(e, "vec_id", "embedding", k=10, iters=2).select(
+        "vec_id", F.col("cluster_id").alias("kcell")
+    )
+    stats = SIM.ivf_scan_stats(
+        e.join(cells, "vec_id"), "vec_id", "embedding", "kcell",
+        QUERY_MOD, IVF_KMEANS_NPROBE,
+    ).collect()
+    assert stats
+    scan_frac = sum(r["scanned_rows"] for r in stats) / sum(
+        r["corpus_rows"] for r in stats
+    )
+    assert scan_frac <= 0.45, scan_frac

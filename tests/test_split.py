@@ -1,0 +1,101 @@
+"""Deterministic split/sample operators: stability, partition-invariance,
+ratio accuracy (oracle equivalence is covered by test_oracle.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipelines_using_llm_spark.operators.split import (
+    deterministic_sample,
+    deterministic_split,
+)
+
+
+def _ids(spark, n=10_000):
+    return spark.range(n).withColumnRenamed("id", "doc_id")
+
+
+def test_split_partitions_every_row_exactly_once(spark):
+    df = deterministic_split(_ids(spark), "doc_id")
+    assert df.filter(F.col("split").isNull()).count() == 0
+    assert df.count() == 10_000
+    assert set(r["split"] for r in df.select("split").distinct().collect()) == {
+        "train",
+        "val",
+        "test",
+    }
+
+
+def test_split_ratios_close_to_weights(spark):
+    counts = {
+        r["split"]: r["count"]
+        for r in deterministic_split(_ids(spark), "doc_id")
+        .groupBy("split")
+        .count()
+        .collect()
+    }
+    n = sum(counts.values())
+    for name, w in (("train", 0.8), ("val", 0.1), ("test", 0.1)):
+        assert abs(counts[name] / n - w) < 0.02, (name, counts)
+
+
+def test_split_is_invariant_under_repartition(spark):
+    """The property randomSplit does NOT have: assignment must be a pure
+    function of the id, so repartitioning cannot move a row between
+    splits (no val->train leakage on rerun)."""
+    base = _ids(spark)
+    a = {r["doc_id"]: r["split"] for r in deterministic_split(base, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(base.repartition(13), "doc_id").collect()
+    }
+    assert a == b
+
+
+def test_split_changes_with_salt(spark):
+    a = deterministic_split(_ids(spark), "doc_id", salt=17)
+    b = deterministic_split(_ids(spark), "doc_id", salt=18)
+    moved = (
+        a.select("doc_id", F.col("split").alias("sa"))
+        .join(b.select("doc_id", F.col("split").alias("sb")), "doc_id")
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert moved > 1000  # a new salt reshuffles a substantial fraction
+
+
+def test_split_weight_validation(spark):
+    df = _ids(spark, 10)
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        deterministic_split(df, "doc_id", weights=[("a", 0.5), ("b", 0.4)])
+    with pytest.raises(ValueError, match="positive"):
+        deterministic_split(df, "doc_id", weights=[("a", 1.2), ("b", -0.2)])
+    with pytest.raises(ValueError, match="non-empty"):
+        deterministic_split(df, "doc_id", weights=[])
+
+
+def test_sample_is_stable_subset(spark):
+    base = _ids(spark)
+    s1 = {r["doc_id"] for r in deterministic_sample(base, "doc_id", 0.05).collect()}
+    s2 = {
+        r["doc_id"]
+        for r in deterministic_sample(base.repartition(7), "doc_id", 0.05).collect()
+    }
+    assert s1 == s2
+    assert abs(len(s1) / 10_000 - 0.05) < 0.01
+    with pytest.raises(ValueError, match="fraction"):
+        deterministic_sample(base, "doc_id", 1.5)
+
+
+def test_split_assignment_plan_has_no_exchange(spark):
+    """Assignment is a row-local expression: the plan must contain no
+    shuffle — at 100 TB the split costs exactly one scan."""
+    import contextlib
+    import io
+
+    df = deterministic_split(_ids(spark), "doc_id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "Exchange" not in buf.getvalue()

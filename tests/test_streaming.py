@@ -116,3 +116,25 @@ def test_streaming_medallion_idempotent_rerun(spark, tmp_path):
     # rerun with an existing checkpoint: source replays nothing
     stream_silver_upsert(spark, sf_dir, silver, str(tmp_path / "cp1"))
     assert spark.read.parquet(silver).count() == expected
+
+
+def test_mixed_ts_precision_probe_fails_loudly(tmp_path):
+    """A directory where some files store ts as TIMESTAMP(NANOS) and others
+    as TIMESTAMP(MICROS) cannot be read under one static stream schema —
+    the probe must reject it instead of silently scaling one set by 1000x."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from data_pipelines_using_llm_spark.streaming.ingest import _probe_ts_precision
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    for name, unit in [("events_a.parquet", "ns"), ("events_b.parquet", "us")]:
+        tbl = pa.table({"ts": pa.array([t0], type=pa.timestamp(unit))})
+        pq.write_table(tbl, str(tmp_path / name), coerce_timestamps=None)
+
+    # uniform subsets are fine, and report their precision
+    assert _probe_ts_precision(str(tmp_path), "events_a.parquet") is True
+    assert _probe_ts_precision(str(tmp_path), "events_b.parquet") is False
+    with pytest.raises(ValueError, match="mixed ts precision"):
+        _probe_ts_precision(str(tmp_path), "events_*.parquet")
