@@ -106,6 +106,33 @@ def sql_split_case(
     return f"CASE {whens} ELSE '{ths[-1][0]}' END"
 
 
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    k: int,
+    salt: int = DEFAULT_SALT,
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum, chosen by hash rank
+    — the balanced-subset operator (eval sets, per-source quotas) where
+    the hash-threshold sample can't guarantee exact counts.  Deterministic:
+    rank orders by (hash, id), so reruns and repartitions return the same
+    rows.  One shuffle on the stratum key; rank never looks past ``k``
+    rows per group after the sort."""
+    from pyspark.sql.window import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = Window.partitionBy(strata_col).orderBy(
+        split_hash(id_col, salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def deterministic_sample(
     df: DataFrame,
     id_col: str,

@@ -125,6 +125,45 @@ def quality_features(c: str | Column) -> dict[str, Column]:
     }
 
 
+# PII patterns, applied in this order (specific before general so an SSN
+# is tagged [SSN] rather than swallowed by the greedy phone pattern).
+# Kept to context-free regexes on purpose: a 100 TB redaction pass must be
+# a pure column expression (JVM regexp_replace inside codegen), not a
+# Python NER model; model-based PII goes through the llm.py mapInPandas
+# path instead.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+}
+
+
+def redact_pii(c: str | Column, categories: list[str] | None = None) -> Column:
+    """Mask PII spans with ``[CATEGORY]`` placeholders (training corpora
+    must not memorize emails/phones/SSNs/IPs).  Sequential
+    ``regexp_replace`` — one codegen'd expression, no Python in the path.
+
+    No registered oracle query: the synthetic ``documents`` corpus contains
+    no digits or '@' at all, so a corpus-level oracle would be a vacuous
+    no-op; semantics are pinned by fixture tests
+    (tests/test_quality.py::test_redact_pii*) instead.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    for cat in categories or list(PII_PATTERNS):
+        col = F.regexp_replace(col, PII_PATTERNS[cat], f"[{cat.upper()}]")
+    return col
+
+
+def pii_counts(c: str | Column) -> dict[str, Column]:
+    """Per-category PII hit counts (the audit signal next to the
+    redaction; counts run on the ORIGINAL text, before masking)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return {
+        cat: F.regexp_count(col, F.lit(pat)) for cat, pat in PII_PATTERNS.items()
+    }
+
+
 def nonempty_lines(c: str | Column) -> Column:
     """Trimmed, non-empty lines of a document as an array column."""
     col = F.col(c) if isinstance(c, str) else c

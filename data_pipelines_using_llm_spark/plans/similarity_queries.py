@@ -237,10 +237,21 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    from data_pipelines_using_llm_spark.operators.caching import barrier
+
     e = load_table(spark, sf_dir, "embeddings")
-    cells = SIM.kmeans_assign(e, "vec_id", "embedding", k=10, iters=2).select(
-        "vec_id", F.col("cluster_id").alias("kcell")
+    # barrier + eager count: knn_ivf references its input three times
+    # (centroids, queries, scored join) — a lazy persist would still let
+    # the FIRST job compute Lloyd's iteration once per subtree, so the
+    # tiny count() materializes the assignment before the search plan
+    # runs.  At scale this is the standard "write the cluster assignment"
+    # stage between training the quantizer and serving searches.
+    cells = barrier(
+        SIM.kmeans_assign(e, "vec_id", "embedding", k=10, iters=2).select(
+            "vec_id", F.col("cluster_id").alias("kcell")
+        )
     )
+    cells.count()
     return SIM.knn_ivf(
         e.join(cells, "vec_id"), "vec_id", "embedding", "kcell", QUERY_MOD, K,
         IVF_KMEANS_NPROBE,

@@ -19,6 +19,7 @@ from data_pipelines_using_llm_spark.operators.split import (
     deterministic_split,
     sql_split_case,
     sql_split_hash,
+    stratified_sample_exact,
 )
 from data_pipelines_using_llm_spark.registry import QuerySpec
 from data_pipelines_using_llm_spark.sources.tables import load_table
@@ -83,11 +84,40 @@ WHERE {sql_split_hash('doc_id')} < {int(HOLDOUT_FRACTION * LEHMER_M)}
 """
 
 
+STRATUM_K = 10
+
+
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 10 documents per source, picked by hash rank — the
+    balanced eval-subset quota the threshold sample can't guarantee."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample_exact(docs, "source", "doc_id", STRATUM_K).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
+DOC_STRATIFIED_SAMPLE_ORACLE = f"""
+SELECT doc_id, source, lang, n_chars FROM (
+    SELECT doc_id, source, lang, n_chars,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY {sql_split_hash('doc_id')}, doc_id
+           ) AS rk
+    FROM documents
+) WHERE rk <= {STRATUM_K}
+"""
+
+
 QUERIES = {
     "doc_split_report": QuerySpec(
         doc_split_report,
         DOC_SPLIT_REPORT_ORACLE,
         "deterministic 80/10/10 train/val/test split balance report",
+    ),
+    "doc_stratified_sample": QuerySpec(
+        doc_stratified_sample,
+        DOC_STRATIFIED_SAMPLE_ORACLE,
+        "hash-rank exact k-per-stratum sample",
     ),
     "doc_holdout_sample": QuerySpec(
         doc_holdout_sample,

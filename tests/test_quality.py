@@ -228,3 +228,44 @@ def test_repetition_signals_edges(spark):
     # 4 lines, 2 distinct -> 0.5
     assert abs(got[4]["dup_line_ratio"] - 0.5) < 1e-12
     assert got[5]["dup_3gram_ratio"] == 0.0 and got[5]["n_lines"] == 1
+
+
+def test_redact_pii_masks_each_category(spark):
+    from data_pipelines_using_llm_spark.operators.text import pii_counts, redact_pii
+
+    rows = [
+        (1, "mail me at jane.doe+x@example.co.uk please"),
+        (2, "ssn 123-45-6789 on file"),
+        (3, "server at 192.168.10.255 port 80"),
+        (4, "call +1 (555) 123-4567 today"),
+        (5, "clean text with number 42"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            redact_pii("text").alias("red"),
+            *[v.alias(k) for k, v in pii_counts("text").items()],
+        ).collect()
+    }
+    assert "[EMAIL]" in out[1]["red"] and "@" not in out[1]["red"]
+    assert out[1]["email"] == 1
+    assert out[2]["red"] == "ssn [SSN] on file" and out[2]["ssn"] == 1
+    assert out[3]["red"] == "server at [IPV4] port 80" and out[3]["ipv4"] == 1
+    assert "[PHONE]" in out[4]["red"] and out[4]["phone"] == 1
+    # specific category wins: the SSN is not half-eaten by the phone regex
+    assert "[PHONE]" not in out[2]["red"]
+    # clean text untouched (a short number is not a phone)
+    assert out[5]["red"] == rows[4][1]
+    assert all(out[5][c] == 0 for c in ("email", "ssn", "ipv4", "phone"))
+
+
+def test_redact_pii_category_subset(spark):
+    from data_pipelines_using_llm_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "a@b.com and 10.0.0.1")], "id long, text string"
+    )
+    got = df.select(redact_pii("text", ["email"]).alias("r")).first()["r"]
+    assert got == "[EMAIL] and 10.0.0.1"

@@ -99,3 +99,28 @@ def test_split_assignment_plan_has_no_exchange(spark):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_stratified_sample_exact_counts_and_stability(spark):
+    from data_pipelines_using_llm_spark.operators.split import (
+        stratified_sample_exact,
+    )
+
+    df = (
+        spark.range(1000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("src", (F.col("doc_id") % 3).cast("string"))
+    )
+    out = stratified_sample_exact(df, "src", "doc_id", 7)
+    counts = {r["src"]: r["count"] for r in out.groupBy("src").count().collect()}
+    assert counts == {"0": 7, "1": 7, "2": 7}
+    # stable under repartition
+    again = stratified_sample_exact(df.repartition(11), "src", "doc_id", 7)
+    assert {r["doc_id"] for r in out.collect()} == {
+        r["doc_id"] for r in again.collect()
+    }
+    # k larger than a stratum returns the whole stratum, not an error
+    tiny = df.filter(F.col("doc_id") < 4)
+    assert stratified_sample_exact(tiny, "src", "doc_id", 100).count() == 4
+    with pytest.raises(ValueError, match="positive"):
+        stratified_sample_exact(df, "src", "doc_id", 0)
