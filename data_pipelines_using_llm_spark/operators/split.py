@@ -133,6 +133,37 @@ def stratified_sample_exact(
     )
 
 
+def sql_mixture_copies(
+    strata_expr: str,
+    id_expr: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: int = DEFAULT_SALT,
+) -> str:
+    """DuckDB expression for the per-row copy count of
+    :func:`mixture_sample` (same integer thresholds, same hash)."""
+
+    def parts(rate: float) -> tuple[int, int]:
+        n_full = int(rate)
+        return n_full, int((rate - n_full) * LEHMER_M)
+
+    d_full, d_thresh = parts(default_rate)
+    full_whens = " ".join(
+        f"WHEN {strata_expr} = '{s}' THEN {parts(r)[0]}"
+        for s, r in sorted(rates.items())
+    )
+    th_whens = " ".join(
+        f"WHEN {strata_expr} = '{s}' THEN {parts(r)[1]}"
+        for s, r in sorted(rates.items())
+    )
+    full_case = f"CASE {full_whens} ELSE {d_full} END"
+    th_case = f"CASE {th_whens} ELSE {d_thresh} END"
+    return (
+        f"({full_case} + CASE WHEN {sql_split_hash(id_expr, salt)} < {th_case} "
+        f"THEN 1 ELSE 0 END)"
+    )
+
+
 def deterministic_sample(
     df: DataFrame,
     id_col: str,
@@ -145,3 +176,53 @@ def deterministic_sample(
     if not 0.0 < fraction <= 1.0:
         raise ValueError(f"fraction must be in (0, 1], got {fraction}")
     return df.filter(split_hash(id_col, salt) < F.lit(int(fraction * LEHMER_M)))
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: int = DEFAULT_SALT,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Training-mixture resampling: each stratum is replicated at its
+    ``rate`` — rate 2.5 means every row appears twice and a deterministic
+    50% of rows a third time (``epoch`` numbers the copies); rate 0.2
+    keeps a deterministic 20%.  This is the domain up-/down-weighting step
+    of a pretraining data recipe, expressed so membership AND copy count
+    are pure functions of (stratum, id) — rerun-stable, oracle-checkable.
+
+    Scale: a when-chain on the (broadcast-small) rate table plus one
+    ``explode(sequence(...))`` — no shuffle; output size is exactly
+    ``sum(rate_s * |stratum_s|)`` rows.
+    """
+    for s, r in rates.items():
+        if r < 0:
+            raise ValueError(f"rate must be non-negative: {s}={r}")
+    if default_rate < 0:
+        raise ValueError(f"default_rate must be non-negative: {default_rate}")
+
+    def parts(rate: float) -> tuple[int, int]:
+        n_full = int(rate)
+        return n_full, int((rate - n_full) * LEHMER_M)
+
+    sc = F.col(strata_col)
+    d_full, d_thresh = parts(default_rate)
+    n_full: Column = F.lit(d_full)
+    thresh: Column = F.lit(d_thresh)
+    for s, r in sorted(rates.items()):
+        nf, th = parts(r)
+        n_full = F.when(sc == s, F.lit(nf)).otherwise(n_full)
+        thresh = F.when(sc == s, F.lit(th)).otherwise(thresh)
+    copies = (
+        n_full + (split_hash(id_col, salt) < thresh).cast("int")
+    ).alias("_copies")
+    return (
+        df.withColumn("_copies", copies)
+        .filter(F.col("_copies") >= 1)  # sequence(1, 0) would DESCEND
+        .withColumn(epoch_col, F.explode(F.sequence(F.lit(1), F.col("_copies"))))
+        .withColumn(epoch_col, F.col(epoch_col).cast("int"))
+        .drop("_copies")
+    )

@@ -17,6 +17,8 @@ from data_pipelines_using_llm_spark.operators.split import (
     LEHMER_M,
     deterministic_sample,
     deterministic_split,
+    mixture_sample,
+    sql_mixture_copies,
     sql_split_case,
     sql_split_hash,
     stratified_sample_exact,
@@ -108,6 +110,38 @@ SELECT doc_id, source, lang, n_chars FROM (
 """
 
 
+# Pretraining-recipe rates: upsample the three "curated" sources to 2.5
+# epochs, keep the mid sources at 1 epoch, downsample the tail to 20%.
+MIXTURE_RATES: dict[str, float] = {
+    **{f"src{i}": 2.5 for i in range(3)},
+    **{f"src{i}": 0.2 for i in range(10, 20)},
+}
+MIXTURE_DEFAULT = 1.0
+
+
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain up-/down-weighting for a training mixture: per-source
+    replication rates (2.5 epochs for curated sources, 0.2 for the tail),
+    copy membership a pure hash function so the recipe is rerun-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, "source", "doc_id", MIXTURE_RATES, MIXTURE_DEFAULT
+    ).select("doc_id", "source", "epoch")
+
+
+DOC_MIXTURE_SAMPLE_ORACLE = f"""
+SELECT doc_id, source, CAST(epoch AS INT) AS epoch FROM (
+    SELECT doc_id, source, unnest(range(1, copies + 1)) AS epoch
+    FROM (
+        SELECT doc_id, source,
+               {sql_mixture_copies('source', 'doc_id', MIXTURE_RATES, MIXTURE_DEFAULT)}
+                   AS copies
+        FROM documents
+    )
+)
+"""
+
+
 QUERIES = {
     "doc_split_report": QuerySpec(
         doc_split_report,
@@ -123,6 +157,11 @@ QUERIES = {
         doc_holdout_sample,
         DOC_HOLDOUT_SAMPLE_ORACLE,
         "content-addressed 5% holdout sample",
+    ),
+    "doc_mixture_sample": QuerySpec(
+        doc_mixture_sample,
+        DOC_MIXTURE_SAMPLE_ORACLE,
+        "training-mixture per-source epoch resampling",
     ),
 }
 

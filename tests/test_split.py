@@ -124,3 +124,37 @@ def test_stratified_sample_exact_counts_and_stability(spark):
     assert stratified_sample_exact(tiny, "src", "doc_id", 100).count() == 4
     with pytest.raises(ValueError, match="positive"):
         stratified_sample_exact(df, "src", "doc_id", 0)
+
+
+def test_mixture_sample_epochs_and_rates(spark):
+    from data_pipelines_using_llm_spark.operators.split import mixture_sample
+
+    df = (
+        spark.range(3000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("src", (F.col("doc_id") % 3).cast("string"))
+    )  # 1000 rows per stratum
+    out = mixture_sample(
+        df, "src", "doc_id", {"0": 2.5, "1": 0.2, "2": 0.0}, default_rate=1.0
+    )
+    counts = {r["src"]: r["count"] for r in out.groupBy("src").count().collect()}
+    # rate 2.5 -> ~2500 rows (2 or 3 epochs each), rate 0.2 -> ~200, 0 -> gone
+    assert 2300 <= counts["0"] <= 2700, counts
+    assert 150 <= counts["1"] <= 250, counts
+    assert "2" not in counts
+    # epoch numbering dense from 1; max epoch = ceil(rate)
+    eps = out.filter(F.col("src") == "0").groupBy("doc_id").count().collect()
+    assert {r["count"] for r in eps} <= {2, 3}
+    assert out.filter((F.col("src") == "0") & (F.col("epoch") == 1)).count() == 1000
+    # deterministic under repartition
+    a = sorted((r["doc_id"], r["epoch"]) for r in out.collect())
+    b = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in mixture_sample(
+            df.repartition(17), "src", "doc_id",
+            {"0": 2.5, "1": 0.2, "2": 0.0}, default_rate=1.0,
+        ).collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="non-negative"):
+        mixture_sample(df, "src", "doc_id", {"0": -1.0})
