@@ -142,6 +142,41 @@ SELECT doc_id, source, CAST(epoch AS INT) AS epoch FROM (
 """
 
 
+CTX_LEN = 512
+
+
+def doc_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk context packing: documents laid end-to-end
+    per source shard and cut into 512-token windows — each doc's window
+    id, intra-window offset, and boundary-straddle flag.  One sort per
+    shard; see operators/packing.py for the 100 TB sharding argument."""
+    from data_pipelines_using_llm_spark.operators import text as TX
+    from data_pipelines_using_llm_spark.operators.packing import pack_contexts
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        TX.token_count("text").cast("long").alias("n_tokens"),
+    )
+    return pack_contexts(docs, "doc_id", "n_tokens", CTX_LEN, shard_col="source")
+
+
+def _packing_oracle() -> str:
+    from data_pipelines_using_llm_spark.operators.packing import sql_pack_contexts
+    from data_pipelines_using_llm_spark.plans.text_queries import SQL_TOKENS
+
+    return f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           CAST(len({SQL_TOKENS.format(col='text')}) AS BIGINT) AS n_tokens
+    FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       {sql_pack_contexts('doc_id', 'n_tokens', CTX_LEN, 'source')}
+FROM toks
+"""
+
+
 QUERIES = {
     "doc_split_report": QuerySpec(
         doc_split_report,
@@ -162,6 +197,11 @@ QUERIES = {
         doc_mixture_sample,
         DOC_MIXTURE_SAMPLE_ORACLE,
         "training-mixture per-source epoch resampling",
+    ),
+    "doc_context_packing": QuerySpec(
+        doc_context_packing,
+        _packing_oracle(),
+        "concatenate-and-chunk context-window packing (512 tokens/shard)",
     ),
 }
 

@@ -158,3 +158,41 @@ def test_mixture_sample_epochs_and_rates(spark):
     assert a == b
     with pytest.raises(ValueError, match="non-negative"):
         mixture_sample(df, "src", "doc_id", {"0": -1.0})
+
+
+def test_pack_contexts_layout_invariants(spark):
+    """Packing layout: offsets advance by token count mod ctx, window ids
+    are non-decreasing per shard, boundary flag fires iff a document's
+    tokens straddle a window edge, and the layout is repartition-stable."""
+    from data_pipelines_using_llm_spark.operators.packing import pack_contexts
+
+    df = (
+        spark.range(200)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("shard", (F.col("doc_id") % 2).cast("string"))
+        .withColumn("n_tok", (F.col("doc_id") % 37) + 1)
+    )
+    out = pack_contexts(df, "doc_id", "n_tok", 64, shard_col="shard").collect()
+    by_shard: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == {"0", "1"}
+    for rows in by_shard.values():
+        cum = 0
+        prev_pack = 0
+        for r in rows:
+            assert r["pack_id"] == cum // 64
+            assert r["pack_offset"] == cum % 64
+            end = cum + r["n_tok"] - 1
+            assert r["spans_boundary"] == (1 if end // 64 > cum // 64 else 0)
+            assert r["pack_id"] >= prev_pack
+            prev_pack = r["pack_id"]
+            cum += r["n_tok"]
+    again = pack_contexts(
+        df.repartition(9), "doc_id", "n_tok", 64, shard_col="shard"
+    ).collect()
+    assert sorted((r["doc_id"], r["pack_id"], r["pack_offset"]) for r in again) == sorted(
+        (r["doc_id"], r["pack_id"], r["pack_offset"]) for r in out
+    )
+    with pytest.raises(ValueError, match="ctx_len"):
+        pack_contexts(df, "doc_id", "n_tok", 0)
