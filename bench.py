@@ -64,6 +64,8 @@ HEADLINE = [
     "dedup_survivors",
     "value_outliers",
     "media_decode_stats",
+    "doc_mixture_sample",
+    "doc_context_packing",
     # streaming
     "stream_hourly_counts",
     "stream_click_purchase_join",
@@ -204,6 +206,8 @@ def main() -> int:
             "user_sessions_batch",
             "dedup_minhash_lsh",
             "knn_lsh",
+            "knn_ivf_kmeans",
+            "doc_context_packing",
         ]
         for name in probes:
             if name not in registry:
