@@ -225,15 +225,16 @@ FROM ranked WHERE rank <= {K}
 IVF_KMEANS_NPROBE = 4
 
 
-def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with a LEARNED coarse quantizer: k-means cluster ids as the
-    cells instead of the metadata ``label`` column.  Measured at sf0.01
-    (see SCALE.md): k-means cells roughly double recall at equal scan
-    fraction vs label cells (0.76 vs 0.32 recall@10 at ~40% scanned with
-    nprobe=4), because the quantizer adapts to the geometry instead of
-    trusting metadata to correlate with cosine neighborhoods.  This is the
-    recommended IVF configuration; ``knn_ivf`` (label cells) stays as the
-    metadata-partitioned variant.
+def knn_ivf_kmeans_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """TRAIN stage of the k-means IVF index: run Lloyd's iterations and
+    materialize the cell assignment.  Split out so the bench can time
+    quantizer training separately from serving — in production the
+    quantizer is trained once and amortized over every search, so folding
+    its cost into the per-query number overstates the serving path.
+    Returns ``(embeddings, cells)`` where ``cells`` is already
+    materialized behind a persist barrier.
     """
     from pyspark.sql import functions as F
 
@@ -252,10 +253,30 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cells.count()
+    return e, cells
+
+
+def knn_ivf_kmeans_serve(e: DataFrame, cells: DataFrame) -> DataFrame:
+    """SERVE stage: probe the trained cells and score candidates.  The
+    plan shape (broadcast centroids/queries, cell equi-join,
+    nprobe-bounded scan) is the 100x-safe one."""
     return SIM.knn_ivf(
         e.join(cells, "vec_id"), "vec_id", "embedding", "kcell", QUERY_MOD, K,
         IVF_KMEANS_NPROBE,
     )
+
+
+def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a LEARNED coarse quantizer: k-means cluster ids as the
+    cells instead of the metadata ``label`` column.  Measured at sf0.01
+    (see SCALE.md): k-means cells roughly double recall at equal scan
+    fraction vs label cells (0.76 vs 0.32 recall@10 at ~40% scanned with
+    nprobe=4), because the quantizer adapts to the geometry instead of
+    trusting metadata to correlate with cosine neighborhoods.  This is the
+    recommended IVF configuration; ``knn_ivf`` (label cells) stays as the
+    metadata-partitioned variant.
+    """
+    return knn_ivf_kmeans_serve(*knn_ivf_kmeans_train(spark, sf_dir))
 
 
 def _knn_ivf_kmeans_oracle(k: int = 10, iters: int = 2) -> str:
