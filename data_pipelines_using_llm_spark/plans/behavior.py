@@ -334,11 +334,20 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived from the decimal sum.  Both engines implement ntile
     identically (equal buckets, remainder to the leaders).
 
-    Scale: one grouped aggregation over orders, then three ntile windows
-    over the |customers| aggregate — global-sort windows over an
-    already-reduced table, not the fact; the as-of date is a one-row
-    broadcast.
+    Scale: one grouped aggregation over orders, then three EXACT
+    distributed rankings over the |customers| aggregate via
+    ``operators.ranking`` (range-repartition + partition-offset ranks)
+    instead of three unpartitioned ``ntile`` windows — same
+    bit-identical quartiles (the oracle below is still plain ntile),
+    but no single-task global sort anywhere in the plan, so the
+    segmentation survives a customer table 1000x this size.  The as-of
+    date is a one-row broadcast.
     """
+    from data_pipelines_using_llm_spark.operators.ranking import (
+        ntile_from_rank,
+        with_exact_rank,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -353,14 +362,28 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d.select(
         "o_custkey", "frequency", "spend_dec", recency.alias("recency_days")
     )
-    r_w = Window.orderBy("recency_days", "o_custkey")
-    f_w = Window.orderBy(F.col("frequency").desc(), "o_custkey")
-    m_w = Window.orderBy(F.col("spend_dec").desc(), "o_custkey")
+    d = with_exact_rank(
+        d,
+        [F.col("recency_days").asc(), F.col("o_custkey").asc()],
+        rank_col="r_rank",
+        group_n_col="n_cust",
+    )
+    d = with_exact_rank(
+        d,
+        [F.col("frequency").desc(), F.col("o_custkey").asc()],
+        rank_col="f_rank",
+    )
+    d = with_exact_rank(
+        d,
+        [F.col("spend_dec").desc(), F.col("o_custkey").asc()],
+        rank_col="m_rank",
+    )
+    n = F.col("n_cust")
     scored = d.select(
         "spend_dec",
-        F.ntile(4).over(r_w).alias("r_score"),
-        F.ntile(4).over(f_w).alias("f_score"),
-        F.ntile(4).over(m_w).alias("m_score"),
+        ntile_from_rank(F.col("r_rank"), n, 4).alias("r_score"),
+        ntile_from_rank(F.col("f_rank"), n, 4).alias("f_score"),
+        ntile_from_rank(F.col("m_rank"), n, 4).alias("m_score"),
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),

@@ -105,6 +105,15 @@ def _verified_counts() -> dict[str, int]:
     return counts
 
 
+# Queries whose VERIFICATION MODE was materially upgraded (e.g. rows-only
+# -> full hash gate): their past green rows verified a weaker contract, so
+# treat them as never-verified until the new gate earns a green row.
+# Prune an entry once a round's CORRECTNESS artifact shows it hash-green.
+_REVERIFY: frozenset[str] = frozenset({
+    "approx_user_reach",  # r5: rows-only HLL -> exact-count + bound-flag hash gate
+})
+
+
 def rotate_for_verification(merged: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     """Least-driver-verified queries first (stable within a tier).
 
@@ -115,5 +124,7 @@ def rotate_for_verification(merged: dict[str, QuerySpec]) -> dict[str, QuerySpec
     there must not depend on untracked artifacts in the repo root.
     """
     counts = _verified_counts()
-    names = sorted(merged, key=lambda n: counts.get(n, 0))  # stable: keeps insertion order within a tier
+    names = sorted(
+        merged, key=lambda n: 0 if n in _REVERIFY else counts.get(n, 0)
+    )  # stable: keeps insertion order within a tier
     return {n: merged[n] for n in names}

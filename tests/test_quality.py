@@ -169,14 +169,18 @@ def test_nan_and_null_distinct(spark):
 
 
 def test_approx_user_reach_error_bound(spark):
-    """HLL++ default rsd is 5%; assert the sketch lands within 3x of that
-    against the exact distinct count it's shipped next to."""
+    """The query now carries the sketch-vs-exact bound as a hashed flag
+    (the DuckDB oracle emits the literal expectation 1); assert every
+    flag is 1 at both small SFs so a sketch drift is caught here before
+    the driver gate sees it."""
     from data_pipelines_using_llm_spark.plans.analytics import approx_user_reach
 
-    for row in approx_user_reach(spark, "/root/testdata/sf0.001").collect():
-        assert row.exact_users > 0
-        rel_err = abs(row.approx_users - row.exact_users) / row.exact_users
-        assert rel_err <= 0.15, (row.event_type, rel_err)
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = approx_user_reach(spark, sf).collect()
+        assert rows, sf
+        for row in rows:
+            assert row.exact_users > 0
+            assert row.reach_within_5pct == 1, (sf, row.event_type)
 
 
 def test_value_percentiles_approx_error_bound(spark):
