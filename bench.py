@@ -68,6 +68,9 @@ HEADLINE = [
     "doc_context_packing",
     "doc_repetition_signals",
     "doc_split_report",
+    "doc_pii_redaction",
+    "doc_decontamination",
+    "doc_shuffle_shards",
     # CDC / expectations / gap-fill (never benched before r5)
     "events_snapshot_diff",
     "customer_scd2",

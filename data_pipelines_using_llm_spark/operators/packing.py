@@ -54,13 +54,17 @@ def pack_contexts(
     cum_excl: Column = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
     start = cum_excl
     end = cum_excl + F.col(token_col) - 1  # last token of this document
+
+    # BIGINT `div`, not floor(a/b): the cumulative token sum of a shard is
+    # unbounded, and double division silently misplaces windows once it
+    # crosses the 2^53 mantissa — integer division has no such cliff.
+    def _win(c: Column) -> Column:
+        return F.call_function("div", c, F.lit(ctx_len).cast("long"))
+
     return (
-        df.withColumn(f"{out_prefix}_id", F.floor(start / ctx_len))
+        df.withColumn(f"{out_prefix}_id", _win(start))
         .withColumn(f"{out_prefix}_offset", start % ctx_len)
-        .withColumn(
-            "spans_boundary",
-            (F.floor(end / ctx_len) > F.floor(start / ctx_len)).cast("int"),
-        )
+        .withColumn("spans_boundary", (_win(end) > _win(start)).cast("int"))
     )
 
 
@@ -78,9 +82,10 @@ def sql_pack_contexts(
         f"CAST(coalesce(sum({token_expr}) OVER ({part}ORDER BY {id_expr} "
         f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"
     )
+    # `//` = DuckDB integer division, mirroring Spark's `div` above.
     return (
-        f"CAST(floor({cum} / {ctx_len}) AS BIGINT) AS {out_prefix}_id, "
+        f"CAST({cum} // {ctx_len} AS BIGINT) AS {out_prefix}_id, "
         f"{cum} % {ctx_len} AS {out_prefix}_offset, "
-        f"CAST(CASE WHEN floor(({cum} + {token_expr} - 1) / {ctx_len}) "
-        f"> floor({cum} / {ctx_len}) THEN 1 ELSE 0 END AS INT) AS spans_boundary"
+        f"CAST(CASE WHEN ({cum} + {token_expr} - 1) // {ctx_len} "
+        f"> {cum} // {ctx_len} THEN 1 ELSE 0 END AS INT) AS spans_boundary"
     )

@@ -117,20 +117,25 @@ def stratified_sample_exact(
     — the balanced-subset operator (eval sets, per-source quotas) where
     the hash-threshold sample can't guarantee exact counts.  Deterministic:
     rank orders by (hash, id), so reruns and repartitions return the same
-    rows.  One shuffle on the stratum key; rank never looks past ``k``
-    rows per group after the sort."""
-    from pyspark.sql.window import Window
+    rows.
+
+    Strata columns are typically LOW cardinality (sources, languages), so
+    a ``Window.partitionBy(strata)`` would funnel |corpus|/|strata| rows
+    through each sort task — the same skew wall the global-rank queries
+    had.  The rank therefore comes from ``operators.ranking``'s
+    range-partitioned exact rank (balanced |rows|/P tasks at any scale,
+    bit-identical result, same plain-window oracle)."""
+    from data_pipelines_using_llm_spark.operators.ranking import with_exact_rank
 
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    w = Window.partitionBy(strata_col).orderBy(
-        split_hash(id_col, salt), F.col(id_col)
+    ranked = with_exact_rank(
+        df,
+        [split_hash(id_col, salt).asc(), F.col(id_col).asc()],
+        group_by=[strata_col],
+        rank_col="_rk",
     )
-    return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k)
-        .drop("_rk")
-    )
+    return ranked.filter(F.col("_rk") <= k).drop("_rk")
 
 
 def sql_mixture_copies(

@@ -144,10 +144,12 @@ def redact_pii(c: str | Column, categories: list[str] | None = None) -> Column:
     must not memorize emails/phones/SSNs/IPs).  Sequential
     ``regexp_replace`` — one codegen'd expression, no Python in the path.
 
-    No registered oracle query: the synthetic ``documents`` corpus contains
-    no digits or '@' at all, so a corpus-level oracle would be a vacuous
-    no-op; semantics are pinned by fixture tests
-    (tests/test_quality.py::test_redact_pii*) instead.
+    Driver-gated via ``doc_pii_redaction`` (plans/text_queries.py): the
+    synthetic corpus contains no digits or '@', so that query SEEDS each
+    document with deterministic id-derived PII and hash-compares the
+    redacted strings + sequential audit counts against a DuckDB oracle
+    running the identical regex chain; fixture tests
+    (tests/test_quality.py::test_redact_pii*) pin the semantics besides.
     """
     col = F.col(c) if isinstance(c, str) else c
     for cat in categories or list(PII_PATTERNS):
@@ -157,11 +159,18 @@ def redact_pii(c: str | Column, categories: list[str] | None = None) -> Column:
 
 def pii_counts(c: str | Column) -> dict[str, Column]:
     """Per-category PII hit counts (the audit signal next to the
-    redaction; counts run on the ORIGINAL text, before masking)."""
+    redaction).  Counted SEQUENTIALLY on the progressively-redacted
+    text, mirroring :func:`redact_pii`'s pattern order — counting every
+    pattern against the original text would tally an SSN under both
+    ``ssn`` and the greedy ``phone`` pattern, so the audit would
+    overcount relative to what redaction actually masked.  Each count is
+    therefore exactly "spans the redactor replaced with [CAT]"."""
     col = F.col(c) if isinstance(c, str) else c
-    return {
-        cat: F.regexp_count(col, F.lit(pat)) for cat, pat in PII_PATTERNS.items()
-    }
+    out: dict[str, Column] = {}
+    for cat, pat in PII_PATTERNS.items():
+        out[cat] = F.regexp_count(col, F.lit(pat))
+        col = F.regexp_replace(col, pat, f"[{cat.upper()}]")
+    return out
 
 
 def nonempty_lines(c: str | Column) -> Column:

@@ -18,6 +18,7 @@ from data_pipelines_using_llm_spark.operators.split import (
     deterministic_sample,
     deterministic_split,
     mixture_sample,
+    split_hash,
     sql_mixture_copies,
     sql_split_case,
     sql_split_hash,
@@ -177,6 +178,52 @@ FROM toks
 """
 
 
+N_SHARDS = 8
+
+
+def doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding — the last layout step of
+    a training-data pipeline: documents are ordered by a pure Lehmer-hash
+    permutation of their id (engine- and rerun-stable where
+    ``df.orderBy(rand())`` is not) and cut into ``N_SHARDS`` contiguous
+    near-equal shards; the output carries each doc's global shuffle
+    position and shard id, which is exactly the information a sharded
+    token-writer consumes.
+
+    Scale: the global position comes from ``operators.ranking``'s
+    range-partitioned exact rank — no single-task global sort — and the
+    shard id is ntile over that rank, derived as a pure integer
+    expression.  The oracle is the plain window form.
+    """
+    from data_pipelines_using_llm_spark.operators.ranking import (
+        ntile_from_rank,
+        with_exact_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ranked = with_exact_rank(
+        docs,
+        [split_hash("doc_id").asc(), F.col("doc_id").asc()],
+        rank_col="pos",
+        group_n_col="_n",
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        F.col("pos").cast("long").alias("pos"),
+        ntile_from_rank(F.col("pos"), F.col("_n"), N_SHARDS).alias("shard"),
+    )
+
+
+DOC_SHUFFLE_SHARDS_ORACLE = f"""
+SELECT doc_id, source,
+       CAST(row_number() OVER w AS BIGINT) AS pos,
+       CAST(ntile({N_SHARDS}) OVER w AS INT) AS shard
+FROM documents
+WINDOW w AS (ORDER BY {sql_split_hash('doc_id')}, doc_id)
+"""
+
+
 QUERIES = {
     "doc_split_report": QuerySpec(
         doc_split_report,
@@ -202,6 +249,11 @@ QUERIES = {
         doc_context_packing,
         _packing_oracle(),
         "concatenate-and-chunk context-window packing (512 tokens/shard)",
+    ),
+    "doc_shuffle_shards": QuerySpec(
+        doc_shuffle_shards,
+        DOC_SHUFFLE_SHARDS_ORACLE,
+        "deterministic global shuffle + contiguous shard assignment",
     ),
 }
 

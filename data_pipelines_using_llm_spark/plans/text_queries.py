@@ -160,6 +160,192 @@ FROM documents
 """
 
 
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + per-category audit counts under a full hash gate.
+
+    The synthetic corpus contains no digits or '@', so redacting raw
+    ``text`` would be a vacuous no-op (the r4 gap) — instead each doc is
+    SEEDED with deterministic id-derived PII (email, SSN, IPv4, phone
+    appended to the first 32 chars of real text), then redacted with the
+    production ``redact_pii`` chain and audited with the sequential
+    ``pii_counts``.  The oracle rebuilds the identical seeded string and
+    runs the identical regex chain in DuckDB, so every redacted string,
+    every per-category count, and the zero-residual check are
+    hash-compared cross-engine.
+
+    Scale: seeding is string concat, redaction is an ordered
+    ``regexp_replace`` chain — one codegen'd JVM expression per row, no
+    shuffle; the 100 TB cost is the scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def s(e):  # noqa: ANN001 - Column
+        return e.cast("string")
+
+    email = F.concat(F.lit("user"), s(did), F.lit("@example.com"))
+    ssn = F.concat(
+        F.lpad(s(did % 1000), 3, "0"),
+        F.lit("-"),
+        F.lpad(s(did % 100), 2, "0"),
+        F.lit("-"),
+        F.lpad(s(did % 10000), 4, "0"),
+    )
+    ip = F.concat(
+        s(did % 223 + 1),
+        F.lit("."),
+        s(did % 256),
+        F.lit("."),
+        s((did * 7) % 256),
+        F.lit("."),
+        s(did % 254 + 1),
+    )
+    phone = F.concat(
+        F.lit("+1 ("),
+        s(did % 900 + 100),
+        F.lit(") "),
+        s(did % 900 + 100),
+        F.lit("-"),
+        F.lpad(s(did % 10000), 4, "0"),
+    )
+    seeded = F.concat(
+        F.substring(F.col("text"), 1, 32),
+        F.lit(" contact "),
+        email,
+        F.lit(" ssn "),
+        ssn,
+        F.lit(" ip "),
+        ip,
+        F.lit(" tel "),
+        phone,
+        F.lit(" end"),
+    )
+    counts = TX.pii_counts(seeded)
+    redacted = TX.redact_pii(seeded)
+    residual = None
+    for pat in TX.PII_PATTERNS.values():
+        term = F.regexp_count(redacted, F.lit(pat))
+        residual = term if residual is None else residual + term
+    return d.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        *[counts[cat].cast("long").alias(f"n_{cat}") for cat in TX.PII_PATTERNS],
+        residual.cast("long").alias("n_residual"),
+    )
+
+
+def _pii_oracle() -> str:
+    """The DuckDB mirror: same seeded string, same sequential
+    count-then-redact chain (DuckDB regexp_replace needs the 'g' flag —
+    Spark's replaces all matches by default)."""
+    pats = TX.PII_PATTERNS
+    seeded = (
+        "substr(text, 1, 32) || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com ssn '"
+        " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+        " || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' ip ' || CAST(doc_id % 223 + 1 AS VARCHAR)"
+        " || '.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)"
+        " || '.' || CAST(doc_id % 254 + 1 AS VARCHAR)"
+        " || ' tel +1 (' || CAST(doc_id % 900 + 100 AS VARCHAR)"
+        " || ') ' || CAST(doc_id % 900 + 100 AS VARCHAR)"
+        " || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' end'"
+    )
+    stages = [f"s0 AS (SELECT doc_id, {seeded} AS t0 FROM documents)"]
+    prev = "t0"
+    for i, (cat, pat) in enumerate(pats.items(), start=1):
+        stages.append(
+            f"""s{i} AS (
+    SELECT * EXCLUDE ({prev}),
+           CAST(len(regexp_extract_all({prev}, '{pat}')) AS BIGINT) AS n_{cat},
+           regexp_replace({prev}, '{pat}', '[{cat.upper()}]', 'g') AS t{i}
+    FROM s{i - 1})"""
+        )
+        prev = f"t{i}"
+    residual = " + ".join(
+        f"len(regexp_extract_all({prev}, '{pat}'))" for pat in pats.values()
+    )
+    cols = ", ".join(f"n_{cat}" for cat in pats)
+    return f"""
+WITH {', '.join(stages)}
+SELECT doc_id, {prev} AS redacted, {cols},
+       CAST({residual} AS BIGINT) AS n_residual
+FROM s{len(pats)}
+"""
+
+
+DOC_PII_REDACTION_ORACLE = _pii_oracle()
+
+
+DECON_NGRAM = 5  # docs are 10-99 tokens; 5-gram overlap = planted near-dups
+DECON_EVAL_MOD = 20  # doc_id % 20 == 0 is the held-out "benchmark" set
+
+
+def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    ``DECON_NGRAM``-token shingle with the eval set (the pretraining
+    hygiene pass every serious corpus runs — eval answers memorized via
+    verbatim overlap inflate benchmarks).  The eval set here is the
+    deterministic ``doc_id % DECON_EVAL_MOD == 0`` slice; production
+    swaps in the real benchmark corpus, the plan is unchanged.
+
+    Scale: shingles are joined as rolling-hash BIGINTs (8-byte shuffle
+    keys, not 40-byte strings); the eval side is DISTINCT shingles of
+    the benchmark set — tiny relative to the corpus, hence the explicit
+    ``broadcast`` (the 100 TB plan is a broadcast-hash semi-join against
+    the scan, no fact shuffle).  Per-doc dedup (``array_distinct``)
+    happens before the explode, so the join input is minimal.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    shingles = F.array_distinct(
+        F.transform(TX.ngram_array("text", DECON_NGRAM), TX.char_hash)
+    )
+    exploded = d.select("doc_id", F.explode(shingles).alias("h"))
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    ev = exploded.filter(is_eval).select("h").distinct()
+    hits = (
+        exploded.filter(~is_eval)
+        .join(F.broadcast(ev), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))  # per-doc distinct already
+    )
+    train = d.filter(~is_eval).select("doc_id")
+    n_shared = F.coalesce(F.col("n_shared"), F.lit(0)).cast("long")
+    return train.join(hits, "doc_id", "left").select(
+        "doc_id",
+        n_shared.alias("n_shared_shingles"),
+        F.when(n_shared > 0, 1).otherwise(0).cast("int").alias("is_contaminated"),
+    )
+
+
+def _decontamination_oracle() -> str:
+    hashed = (
+        f"list_distinct(list_transform({sql_ngrams('text', DECON_NGRAM)}, "
+        f"g -> {SQL_CHAR_HASH.format(s='g')}))"
+    )
+    return f"""
+WITH sh AS (
+    SELECT doc_id, unnest({hashed}) AS h FROM documents
+),
+ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % {DECON_EVAL_MOD} = 0),
+hits AS (
+    SELECT sh.doc_id, count(*) AS n_shared
+    FROM sh JOIN ev USING (h)
+    WHERE sh.doc_id % {DECON_EVAL_MOD} != 0
+    GROUP BY sh.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(hits.n_shared, 0) AS BIGINT) AS n_shared_shingles,
+       CAST(CASE WHEN coalesce(hits.n_shared, 0) > 0 THEN 1 ELSE 0 END AS INT)
+           AS is_contaminated
+FROM documents d LEFT JOIN hits USING (doc_id)
+WHERE d.doc_id % {DECON_EVAL_MOD} != 0
+"""
+
+
 BIGRAM_TOP_K = 20
 
 
@@ -387,6 +573,16 @@ QUERIES = {
     "doc_language_id": QuerySpec(doc_language_id, DOC_LANGUAGE_ID_ORACLE, "language ID"),
     "lang_confusion": QuerySpec(lang_confusion, LANG_CONFUSION_ORACLE, "lang ID aggregate"),
     "doc_fingerprints": QuerySpec(doc_fingerprints, DOC_FINGERPRINTS_ORACLE, "rolling-hash fingerprint"),
+    "doc_pii_redaction": QuerySpec(
+        doc_pii_redaction,
+        DOC_PII_REDACTION_ORACLE,
+        "PII redaction + sequential audit counts on a seeded corpus",
+    ),
+    "doc_decontamination": QuerySpec(
+        doc_decontamination,
+        _decontamination_oracle(),
+        "benchmark decontamination: eval-shingle broadcast semi-join",
+    ),
     "doc_repetition_signals": QuerySpec(
         doc_repetition_signals,
         DOC_REPETITION_ORACLE,

@@ -402,32 +402,42 @@ def _managed_location(spark: SparkSession, table: str) -> str | None:
     return os.path.join(base, name.lower())
 
 
-def _any_table_owns(spark: SparkSession, table: str, path: str) -> bool:
+def _any_table_owns(spark: SparkSession, path: str) -> bool:
     """True if any OTHER catalog table's location resolves to ``path`` —
     the guard that keeps the self-heal rmtree from deleting live data of
-    an unrelated table (e.g. external tables pointed at the directory)."""
-    db = table.rpartition(".")[0] or spark.catalog.currentDatabase()
+    an unrelated table (e.g. external tables pointed at the directory).
+
+    Scans EVERY database, not just ``table``'s own: an external table
+    registered in a different database can point at the same directory,
+    and missing it would let the self-heal delete its live data.  The
+    scan is catalog metadata only (no data reads), and any listing or
+    DESCRIBE failure conservatively reports ownership (-> no delete)."""
     target = os.path.realpath(path)
     try:
-        others = spark.catalog.listTables(db)
+        databases = [d.name for d in spark.catalog.listDatabases()]
     except Exception:
         return True  # can't prove safety -> don't delete
-    for t in others:
-        # listTables also returns session temp views, which have no
-        # storage location (and DESCRIBE on '<db>.<view>' fails)
-        if t.isTemporary:
-            continue
+    for db in databases:
         try:
-            rows = spark.sql(
-                f"DESCRIBE TABLE EXTENDED `{t.database or db}`.`{t.name}`"
-            ).collect()
+            others = spark.catalog.listTables(db)
         except Exception:
             return True
-        for row in rows:
-            if row.col_name == "Location" and os.path.realpath(
-                _fs_path(row.data_type)
-            ) == target:
+        for t in others:
+            # listTables also returns session temp views, which have no
+            # storage location (and DESCRIBE on '<db>.<view>' fails)
+            if t.isTemporary:
+                continue
+            try:
+                rows = spark.sql(
+                    f"DESCRIBE TABLE EXTENDED `{t.database or db}`.`{t.name}`"
+                ).collect()
+            except Exception:
                 return True
+            for row in rows:
+                if row.col_name == "Location" and os.path.realpath(
+                    _fs_path(row.data_type)
+                ) == target:
+                    return True
     return False
 
 
@@ -460,7 +470,7 @@ def write_bucketed(
             if (
                 stale is not None
                 and os.path.isdir(stale)
-                and not _any_table_owns(spark, table, stale)
+                and not _any_table_owns(spark, stale)
             ):
                 import shutil
 

@@ -350,7 +350,10 @@ class TestHttpDataSource:
             payload, err = got[f"{base}/boom"]
             assert payload is None and "500" in err
             payload, err = got[f"{base}/slow"]
-            assert payload is None and err is not None  # timed out at 1s
+            # the per-request timeout must be the ACTUAL failure (a broken
+            # timeout option would surface some other error or hang)
+            assert payload is None and err is not None
+            assert "timeout" in err.lower() or "timed out" in err.lower(), err
         finally:
             server.shutdown()
             server.server_close()

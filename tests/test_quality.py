@@ -265,6 +265,23 @@ def test_redact_pii_masks_each_category(spark):
     assert all(out[5][c] == 0 for c in ("email", "ssn", "ipv4", "phone"))
 
 
+def test_pii_counts_sequential_no_double_count(spark):
+    """An SSN-shaped string also matches the greedy phone regex; the
+    sequential audit must tally it ONCE, under ssn (the category the
+    redactor actually applied), not under both."""
+    from data_pipelines_using_llm_spark.operators.text import pii_counts
+
+    df = spark.createDataFrame(
+        [(1, "ssn 123-45-6789 tel +1 (555) 123-4567")], "id long, text string"
+    )
+    got = df.select(
+        *[v.alias(k) for k, v in pii_counts("text").items()]
+    ).first()
+    assert got["ssn"] == 1
+    assert got["phone"] == 1  # the real phone still counts
+    assert got["email"] == 0 and got["ipv4"] == 0
+
+
 def test_redact_pii_category_subset(spark):
     from data_pipelines_using_llm_spark.operators.text import redact_pii
 
