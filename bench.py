@@ -51,6 +51,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_fuzzy_blocked",
+    "dedup_incremental_batch",
     "llm_summarize_docs",
     "llm_summarize_cached",
     "doc_quality_scores",
@@ -71,6 +72,7 @@ HEADLINE = [
     "doc_pii_redaction",
     "doc_decontamination",
     "doc_shuffle_shards",
+    "doc_filter_funnel",
     # CDC / expectations / gap-fill (never benched before r5)
     "events_snapshot_diff",
     "customer_scd2",
@@ -300,6 +302,9 @@ def main() -> int:
             "knn_lsh",
             "knn_ivf_kmeans",
             "doc_context_packing",
+            "doc_repetition_signals",  # guards the let-binding fix
+            "doc_decontamination",
+            "customer_rfm_segments",  # guards the distributed-rank path
         ]
         for name in probes:
             if name not in registry:

@@ -70,14 +70,14 @@ def with_exact_rank(
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     keys = [F.col(g) for g in group_by] + list(order_by)
-    # barrier + eager count pins the shuffle blocks: the offsets job and
-    # the final plan must observe the SAME partition assignment.
+    # barrier pins the shuffle blocks: the offsets job and the final
+    # plan must observe the SAME partition assignment.  The counts
+    # collect below is the materializing action — no separate count().
     part = barrier(
         df.repartitionByRange(num_partitions, *keys).withColumn(
             _PID, F.spark_partition_id()
         )
     )
-    part.count()
 
     counts = part.groupBy(_PID, *group_by).count().collect()
     # offsets[pid][group] = rows in earlier partitions of the same group

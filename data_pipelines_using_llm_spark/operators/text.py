@@ -181,11 +181,24 @@ def nonempty_lines(c: str | Column) -> Column:
     )
 
 
-def ngram_array(c: str | Column, n: int) -> Column:
-    """Token ``n``-grams joined with single spaces (empty when the document
-    has fewer than ``n`` tokens — NOT ``sequence(1, 0)``, which Spark
-    would expand to a DESCENDING [1, 0])."""
-    t = tokens(c)
+def let(col: Column, fn) -> Column:
+    """Single-evaluation let-binding: a higher-order function evaluates
+    its input child ONCE and hands the lambda a bound variable, so
+    ``let(expensive, lambda x: f(x))`` computes ``expensive`` once no
+    matter how many times ``f`` references ``x``.  This matters because
+    Spark's subexpression elimination does not reach interpreted
+    higher-order expressions (transform/aggregate are CodegenFallback),
+    so inlining the same token/ngram tree N times really costs N full
+    evaluations per row — measured 25s -> ~2s on
+    ``doc_repetition_signals`` at sf0.1."""
+    return F.transform(F.array(col), fn).getItem(0)
+
+
+def ngrams_from_tokens(t: Column, n: int) -> Column:
+    """Token ``n``-grams from a BOUND token-array variable (see
+    :func:`let`) joined with single spaces (empty when the document has
+    fewer than ``n`` tokens — NOT ``sequence(1, 0)``, which Spark would
+    expand to a DESCENDING [1, 0])."""
     return F.when(
         F.size(t) >= n,
         F.transform(
@@ -193,6 +206,12 @@ def ngram_array(c: str | Column, n: int) -> Column:
             lambda i: F.concat_ws(" ", F.slice(t, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_array(c: str | Column, n: int) -> Column:
+    """Token ``n``-grams of a text column (tokenization let-bound so the
+    token array is computed once, not once per reference)."""
+    return let(tokens(c), lambda t: ngrams_from_tokens(t, n))
 
 
 def dup_fraction(arr: Column) -> Column:
@@ -209,8 +228,10 @@ def dup_fraction(arr: Column) -> Column:
 def repetition_signals(c: str | Column) -> dict[str, Column]:
     """Gopher-style repetition quality signals: documents dominated by
     repeated lines or repeated n-grams are boilerplate/spam and poison
-    training data.  All pure column expressions (codegen'd, shuffle-free):
-    the 100 TB cost is the scan."""
+    training data.  All pure column expressions (shuffle-free): the
+    100 TB cost is the scan.  For a multi-column projection use
+    :func:`repetition_struct` — selecting these dict entries separately
+    re-evaluates the shared token tree per entry."""
     lines = nonempty_lines(c)
     return {
         "n_lines": F.size(lines),
@@ -218,6 +239,40 @@ def repetition_signals(c: str | Column) -> dict[str, Column]:
         "dup_2gram_ratio": dup_fraction(ngram_array(c, 2)),
         "dup_3gram_ratio": dup_fraction(ngram_array(c, 3)),
     }
+
+
+def repetition_struct(c: str | Column) -> Column:
+    """All repetition signals (plus the boilerplate filter flag) as ONE
+    struct column with the token array, each n-gram array and the line
+    array let-bound — every expensive subtree evaluates exactly once
+    per row.  Expand with ``F.inline(F.array(repetition_struct(...)))``:
+    a generator node evaluates its child once, whereas selecting struct
+    fields in a projection re-inlines the struct expression per field.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+
+    def build(ln: Column, g2: Column, g3: Column) -> Column:
+        dl, d3 = dup_fraction(ln), dup_fraction(g3)
+        return F.struct(
+            F.size(ln).alias("n_lines"),
+            dl.alias("dup_line_ratio"),
+            dup_fraction(g2).alias("dup_2gram_ratio"),
+            d3.alias("dup_3gram_ratio"),
+            ((dl > 0.3) | (d3 > 0.2)).cast("int").alias("is_repetitive"),
+        )
+
+    return let(
+        nonempty_lines(col),
+        lambda ln: let(
+            tokens(col),
+            lambda t: let(
+                ngrams_from_tokens(t, 2),
+                lambda g2: let(
+                    ngrams_from_tokens(t, 3), lambda g3: build(ln, g2, g3)
+                ),
+            ),
+        ),
+    )
 
 
 def quality_score(c: str | Column) -> Column:

@@ -350,8 +350,105 @@ WHERE edit_dist * 100 <= {FUZZY_MAX_DIST_PCT} * maxlen
 """
 
 
+INCR_BATCH_MOD = 10  # doc_id % 10 == 0 plays "today's ingest batch"
+
+
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a NEW ingest batch against corpus history —
+    the shape production dedup actually runs (nobody re-deduplicates
+    100 TB per day; you dedup the daily batch against a maintained
+    fingerprint index).  Each batch document is classified:
+    ``dup_of_history`` (digest already in the historical corpus),
+    ``dup_in_batch`` (first seen in this batch under an earlier id), or
+    ``new`` (keep).
+
+    The corpus has NO exact duplicates (every text is unique), so the
+    batch is a deterministic re-ingest simulation built inside the
+    query: genuinely-new docs (``doc_id % 10 == 0``), replays of
+    history docs under fresh ids (+1e6 — re-crawls/retries, the case
+    the history index catches), and second submissions of batch docs
+    (+2e6 — the within-batch case).  Both engines build the identical
+    batch, so statuses hash-match.
+
+    Scale: the history side reduces to DISTINCT digests before the join
+    — at 100 TB that is the compact fingerprint index you'd maintain as
+    a bucketed table on digest, making this a co-located equi-join (or
+    bloom-pruned scan) rather than a corpus scan per batch; the batch
+    side is one groupBy for first-in-batch plus one digest join.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    is_batch = did % INCR_BATCH_MOD == 0
+    fresh = d.filter(is_batch).select("doc_id", "text")
+    replayed = (
+        d.filter((did % INCR_BATCH_MOD == 1) & (did % 3 == 0))
+        .select((did + 1_000_000).alias("doc_id"), "text")
+    )
+    resubmitted = (
+        d.filter(is_batch & (did % 4 == 0))
+        .select((did + 2_000_000).alias("doc_id"), "text")
+    )
+    batch = (
+        fresh.unionByName(replayed)
+        .unionByName(resubmitted)
+        .select("doc_id", F.md5(F.col("text")).alias("digest"))
+    )
+    hist = (
+        d.filter(~is_batch)
+        .select(F.md5(F.col("text")).alias("digest"))
+        .distinct()
+        .withColumn("in_hist", F.lit(1))
+    )
+    first = batch.groupBy("digest").agg(F.min("doc_id").alias("first_id"))
+    j = batch.join(first, "digest").join(hist, "digest", "left")
+    status = (
+        F.when(F.col("in_hist") == 1, F.lit("dup_of_history"))
+        .when(F.col("doc_id") != F.col("first_id"), F.lit("dup_in_batch"))
+        .otherwise(F.lit("new"))
+    )
+    return j.select(
+        "doc_id",
+        "digest",
+        status.alias("status"),
+        F.when(status == "new", 1).otherwise(0).cast("int").alias("keep"),
+    )
+
+
+DEDUP_INCREMENTAL_ORACLE = f"""
+WITH batch AS (
+    SELECT doc_id, md5(text) AS digest FROM documents
+    WHERE doc_id % {INCR_BATCH_MOD} = 0
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, md5(text) AS digest FROM documents
+    WHERE doc_id % {INCR_BATCH_MOD} = 1 AND doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, md5(text) AS digest FROM documents
+    WHERE doc_id % {INCR_BATCH_MOD} = 0 AND doc_id % 4 = 0
+),
+hist AS (
+    SELECT DISTINCT md5(text) AS digest FROM documents
+    WHERE doc_id % {INCR_BATCH_MOD} != 0
+),
+first AS (SELECT digest, min(doc_id) AS first_id FROM batch GROUP BY 1)
+SELECT b.doc_id, b.digest,
+       CASE WHEN h.digest IS NOT NULL THEN 'dup_of_history'
+            WHEN b.doc_id != f.first_id THEN 'dup_in_batch'
+            ELSE 'new' END AS status,
+       CAST(CASE WHEN h.digest IS NULL AND b.doc_id = f.first_id
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM batch b
+JOIN first f USING (digest)
+LEFT JOIN hist h USING (digest)
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": QuerySpec(dedup_exact_docs, DEDUP_EXACT_ORACLE, "exact hash-groupBy dedup"),
+    "dedup_incremental_batch": QuerySpec(
+        dedup_incremental_batch,
+        DEDUP_INCREMENTAL_ORACLE,
+        "new-batch vs corpus-history incremental dedup classification",
+    ),
     "dedup_fuzzy_blocked": QuerySpec(
         dedup_fuzzy_blocked,
         DEDUP_FUZZY_BLOCKED_ORACLE,

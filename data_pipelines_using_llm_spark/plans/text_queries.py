@@ -299,11 +299,16 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan, no fact shuffle).  Per-doc dedup (``array_distinct``)
     happens before the explode, so the join input is minimal.
     """
+    from data_pipelines_using_llm_spark.operators.caching import barrier
+
     d = load_table(spark, sf_dir, "documents")
     shingles = F.array_distinct(
         F.transform(TX.ngram_array("text", DECON_NGRAM), TX.char_hash)
     )
-    exploded = d.select("doc_id", F.explode(shingles).alias("h"))
+    # barrier: both the eval side and the train side consume the
+    # exploded shingle hashes — without a persist the shingle fold runs
+    # twice (the projection-collapse trap documented in operators/dedup)
+    exploded = barrier(d.select("doc_id", F.explode(shingles).alias("h")))
     is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
     ev = exploded.filter(is_eval).select("h").distinct()
     hits = (
@@ -459,17 +464,22 @@ def training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _prep_oracle() -> str:
-    ntok = f"len({SQL_TOKENS.format(col='text')})"
-    npunct = r"len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))"
-    quality = f"""
+def sql_quality_score(col: str = "text") -> str:
+    """DuckDB mirror of operators/text.py::quality_score."""
+    ntok = f"len({SQL_TOKENS.format(col=col)})"
+    npunct = rf"len(regexp_extract_all({col}, '[^A-Za-z0-9\s]'))"
+    return f"""
         0.4 * (CASE WHEN {ntok} BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
       + 0.3 * (CASE WHEN {ntok} > 0
-                     AND CAST(length(text) AS DOUBLE) / {ntok} BETWEEN 2.0 AND 12.0
+                     AND CAST(length({col}) AS DOUBLE) / {ntok} BETWEEN 2.0 AND 12.0
                     THEN 1.0 ELSE 0.0 END)
-      + 0.3 * (CASE WHEN length(text) = 0
-                     OR CAST({npunct} AS DOUBLE) / length(text) <= 0.2
+      + 0.3 * (CASE WHEN length({col}) = 0
+                     OR CAST({npunct} AS DOUBLE) / length({col}) <= 0.2
                     THEN 1.0 ELSE 0.0 END)"""
+
+
+def _prep_oracle() -> str:
+    quality = sql_quality_score()
     return f"""
 WITH scored AS (
     SELECT doc_id, source, text,
@@ -530,19 +540,96 @@ def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters: fraction of duplicate lines and
     duplicate 2-/3-grams per document, plus the boilerplate flag a
     training pipeline would filter on.  Pure column expressions — the
-    100 TB cost is the scan itself."""
+    100 TB cost is the scan itself.
+
+    The signals come as ONE let-bound struct expanded through
+    ``inline`` (a generator evaluates its child once per row); selecting
+    the signals as separate projection columns re-evaluates the shared
+    token/n-gram trees per column — measured 25.3s vs 2s at sf0.1.
+    """
     d = load_table(spark, sf_dir, "documents")
-    sig = TX.repetition_signals("text")
-    return d.select(
+    return d.select("doc_id", F.inline(F.array(TX.repetition_struct("text"))))
+
+
+def doc_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation attrition funnel: per source, how many documents
+    (and tokens) survive each stage of the prep pipeline — total →
+    quality filter → +language filter → +exact dedup.  The report a
+    data-curation team reads before shipping a corpus: it shows WHERE
+    documents die, which ``training_corpus_prep`` (final corpus only)
+    cannot.
+
+    Scale: every stage decision is computed as a FLAG in one scan (no
+    chained filtered sub-plans, no re-scans), dedup survivorship is one
+    fingerprint-partitioned window (high-cardinality key — the
+    scale-safe window case), and the funnel is one conditional
+    aggregation per source.  Costs one fp shuffle + one source shuffle
+    regardless of stage count.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    q = TX.quality_score("text")
+    flags = d.select(
         "doc_id",
-        sig["n_lines"].alias("n_lines"),
-        sig["dup_line_ratio"].alias("dup_line_ratio"),
-        sig["dup_2gram_ratio"].alias("dup_2gram_ratio"),
-        sig["dup_3gram_ratio"].alias("dup_3gram_ratio"),
-        ((sig["dup_line_ratio"] > 0.3) | (sig["dup_3gram_ratio"] > 0.2))
-        .cast("int")
-        .alias("is_repetitive"),
+        "source",
+        TX.token_count("text").cast("long").alias("nt"),
+        (q >= PREP_MIN_QUALITY).alias("f_q"),
+        (
+            (q >= PREP_MIN_QUALITY)
+            & (TX.language_id("text") == PREP_LANG)
+        ).alias("f_ql"),
+        TX.fingerprint("text").alias("fp"),
     )
+    # rank passing docs first within each fingerprint so "kept" = the
+    # lowest-id PASSING doc per fingerprint (mirrors training_corpus_prep)
+    rn = F.row_number().over(
+        Window.partitionBy("fp").orderBy(F.col("f_ql").desc(), F.col("doc_id"))
+    )
+    staged = flags.withColumn("kept", F.col("f_ql") & (rn == 1))
+    lng = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        lng(F.col("f_q")).alias("n_pass_quality"),
+        lng(F.col("f_ql")).alias("n_pass_lang"),
+        lng(F.col("kept")).alias("n_kept"),
+        F.sum("nt").alias("tokens_total"),
+        F.sum(F.when(F.col("kept"), F.col("nt")).otherwise(0)).alias(
+            "tokens_kept"
+        ),
+    )
+
+
+def _funnel_oracle() -> str:
+    toks = SQL_TOKENS.format(col="text")
+    q = sql_quality_score()
+    return f"""
+WITH flags AS (
+    SELECT doc_id, source,
+           CAST(len({toks}) AS BIGINT) AS nt,
+           ({q}) >= {PREP_MIN_QUALITY} AS f_q,
+           ({q}) >= {PREP_MIN_QUALITY}
+               AND ({sql_language_id('text')}) = '{PREP_LANG}' AS f_ql,
+           {SQL_CHAR_HASH.format(s=_SQL_NORM)} AS fp
+    FROM documents
+),
+staged AS (
+    SELECT *,
+           f_ql AND row_number() OVER (
+               PARTITION BY fp ORDER BY f_ql DESC, doc_id
+           ) = 1 AS kept
+    FROM flags
+)
+SELECT source,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN f_q THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_quality,
+       CAST(sum(CASE WHEN f_ql THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_lang,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(nt) AS BIGINT) AS tokens_total,
+       CAST(sum(CASE WHEN kept THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM staged
+GROUP BY source
+"""
 
 
 _REP_LINES = SQL_LINES.format(col="text")
@@ -582,6 +669,11 @@ QUERIES = {
         doc_decontamination,
         _decontamination_oracle(),
         "benchmark decontamination: eval-shingle broadcast semi-join",
+    ),
+    "doc_filter_funnel": QuerySpec(
+        doc_filter_funnel,
+        _funnel_oracle(),
+        "per-source curation attrition funnel (quality/lang/dedup stages)",
     ),
     "doc_repetition_signals": QuerySpec(
         doc_repetition_signals,
