@@ -85,22 +85,50 @@ def stopword_hits(c: str | Column, lang: str) -> Column:
 def language_id(c: str | Column) -> Column:
     """Heuristic language ID: argmax of per-language stopword hit counts,
     ties broken by the fixed language order, 'und' (undetermined) when no
-    stopword hits at all."""
-    hits = {lang: stopword_hits(c, lang) for lang in STOPWORDS}
-    best = None
-    expr = F.lit("und")
-    # Build the when-chain back to front so earlier langs win ties.
+    stopword hits at all.
+
+    The argmax when-chain references every language's hit count up to
+    |langs| times — with the counts inlined that re-tokenizes and
+    re-filters per reference (the HOF no-CSE trap, see :func:`let`), so
+    the token array and the hit-count struct are let-bound and the chain
+    reads cheap bound-variable fields."""
+    col = F.col(c) if isinstance(c, str) else c
     langs = list(STOPWORDS.keys())
-    for lang in reversed(langs):
-        cond = hits[lang] > 0
-        for other in langs:
-            if langs.index(other) < langs.index(lang):
-                cond = cond & (hits[lang] > hits[other])
-            elif other != lang:
-                cond = cond & (hits[lang] >= hits[other])
-        expr = F.when(cond, F.lit(lang)).otherwise(expr)
-        best = lang
-    return expr
+
+    def _contains(stops: Column):
+        # a closure, NOT a default arg: a two-parameter lambda would be
+        # bound by Spark as the (element, index) binary form
+        return lambda x: F.array_contains(stops, x)
+
+    def hits_from(t: Column) -> Column:
+        return F.struct(
+            *[
+                F.size(
+                    F.filter(
+                        t,
+                        _contains(
+                            F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+                        ),
+                    )
+                ).alias(lang)
+                for lang in langs
+            ]
+        )
+
+    def chain(h: Column) -> Column:
+        expr = F.lit("und")
+        # Build the when-chain back to front so earlier langs win ties.
+        for lang in reversed(langs):
+            cond = h.getField(lang) > 0
+            for other in langs:
+                if langs.index(other) < langs.index(lang):
+                    cond = cond & (h.getField(lang) > h.getField(other))
+                elif other != lang:
+                    cond = cond & (h.getField(lang) >= h.getField(other))
+            expr = F.when(cond, F.lit(lang)).otherwise(expr)
+        return expr
+
+    return let(tokens(col), lambda t: let(hits_from(t), chain))
 
 
 def quality_features(c: str | Column) -> dict[str, Column]:
@@ -278,13 +306,30 @@ def repetition_struct(c: str | Column) -> Column:
 def quality_score(c: str | Column) -> Column:
     """Composite 0–1 quality score: in-range token count, sane average
     token length, low punctuation density.  Weights are fixed so the
-    score is deterministic and oracle-shareable."""
-    f = quality_features(c)
-    len_ok = F.when((f["n_tokens"] >= 10) & (f["n_tokens"] <= 100000), 1.0).otherwise(
-        0.0
+    score is deterministic and oracle-shareable.
+
+    The three features are let-bound as one struct (see :func:`let`) so
+    the tokenization/regex counting runs once per row even though the
+    score expression references the features several times."""
+    col = F.col(c) if isinstance(c, str) else c
+    feats = F.struct(
+        F.length(col).alias("n_chars"),
+        token_count(col).alias("n_tokens"),
+        F.regexp_count(col, F.lit(r"[^A-Za-z0-9\s]")).alias("n_punct"),
     )
-    tok_ok = F.when(
-        (f["avg_token_len"] >= 2.0) & (f["avg_token_len"] <= 12.0), 1.0
-    ).otherwise(0.0)
-    punct_ok = F.when(f["punct_ratio"] <= 0.2, 1.0).otherwise(0.0)
-    return (0.4 * len_ok + 0.3 * tok_ok + 0.3 * punct_ok).cast("double")
+
+    def score(f: Column) -> Column:
+        n_chars = f.getField("n_chars")
+        n_tok = f.getField("n_tokens")
+        avg_tok = F.when(
+            n_tok > 0, n_chars.cast("double") / n_tok
+        ).otherwise(F.lit(0.0))
+        punct = F.when(
+            n_chars > 0, f.getField("n_punct").cast("double") / n_chars
+        ).otherwise(F.lit(0.0))
+        len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.0)
+        tok_ok = F.when((avg_tok >= 2.0) & (avg_tok <= 12.0), 1.0).otherwise(0.0)
+        punct_ok = F.when(punct <= 0.2, 1.0).otherwise(0.0)
+        return (0.4 * len_ok + 0.3 * tok_ok + 0.3 * punct_ok).cast("double")
+
+    return let(feats, score)

@@ -160,3 +160,58 @@ def test_gram_fold_matches_python_model(spark, texts):
     }
     for i, t in enumerate(texts):
         assert got[i] == sorted(_py_gram_hashes(t)), (i, t)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-20, 20)),
+        min_size=1,
+        max_size=25,
+    ),
+    n=st.integers(2, 5),
+    parts=st.integers(1, 5),
+)
+def test_exact_rank_matches_window_family(spark, rows, n, parts):
+    """with_exact_rank + the *_from_rank derivations must be bit-identical
+    to the window functions for ANY grouping, bucket count and partition
+    count — including ties in the value column (the id tiebreak makes the
+    order total) and groups smaller than the bucket count."""
+    from pyspark.sql import Window
+
+    from data_pipelines_using_llm_spark.operators.ranking import (
+        cume_dist_from_rank,
+        ntile_from_rank,
+        percent_rank_from_rank,
+        with_exact_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)], "id long, g int, v int"
+    )
+    order = [F.col("v").asc(), F.col("id").asc()]
+    got = {
+        r["id"]: (r["q"], r["pr"], r["cd"])
+        for r in with_exact_rank(
+            df, order, group_by=["g"], rank_col="r", group_n_col="gn",
+            num_partitions=parts,
+        )
+        .select(
+            "id",
+            ntile_from_rank(F.col("r"), F.col("gn"), n).alias("q"),
+            percent_rank_from_rank(F.col("r"), F.col("gn")).alias("pr"),
+            cume_dist_from_rank(F.col("r"), F.col("gn")).alias("cd"),
+        )
+        .collect()
+    }
+    w = Window.partitionBy("g").orderBy(*order)
+    want = {
+        r["id"]: (r["q"], r["pr"], r["cd"])
+        for r in df.select(
+            "id",
+            F.ntile(n).over(w).alias("q"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        ).collect()
+    }
+    assert got == want
