@@ -73,6 +73,8 @@ HEADLINE = [
     "doc_decontamination",
     "doc_shuffle_shards",
     "doc_filter_funnel",
+    "doc_token_budget",
+    "doc_weighted_sample",
     # CDC / expectations / gap-fill (never benched before r5)
     "events_snapshot_diff",
     "customer_scd2",

@@ -120,6 +120,72 @@ def with_exact_rank(
     return ranked.select(*keep)
 
 
+def with_exact_running_sum(
+    df: DataFrame,
+    value_col: str,
+    order_by: list[Column],
+    group_by: list[str] | None = None,
+    sum_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append the exact INCLUSIVE running sum of ``value_col`` under
+    ``order_by`` (within each group, global if empty) — the distributed
+    prefix sum, built exactly like :func:`with_exact_rank`: range
+    repartition, per-(partition, group) local running sum, plus a
+    per-(partition, group) offset from one small aggregated read.  The
+    order key must be a total order, and the value should be integral
+    (BIGINT) for bit-identical cross-engine sums."""
+    group_by = list(group_by or [])
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    keys = [F.col(g) for g in group_by] + list(order_by)
+    part = barrier(
+        df.repartitionByRange(num_partitions, *keys).withColumn(
+            _PID, F.spark_partition_id()
+        )
+    )
+
+    sums = part.groupBy(_PID, *group_by).agg(
+        F.sum(F.col(value_col)).cast("long").alias("s")
+    ).collect()
+    per_group_running: dict[tuple, int] = {}
+    offset_rows = []
+    for row in sorted(sums, key=lambda r: r[_PID]):
+        g = tuple(row[c] for c in group_by)
+        offset_rows.append((row[_PID], *g, per_group_running.get(g, 0)))
+        per_group_running[g] = per_group_running.get(g, 0) + (row["s"] or 0)
+
+    offsets = spark.createDataFrame(
+        offset_rows,
+        schema=part.select(_PID, *group_by)
+        .withColumn(_OFFSET, F.lit(0).cast("long"))
+        .schema,
+    )
+
+    local_w = (
+        Window.partitionBy(_PID, *group_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = offsets
+    for c in [_PID, *group_by]:
+        off = off.withColumnRenamed(c, f"__off_{c}")
+    cond = None
+    for c in [_PID, *group_by]:
+        clause = F.col(c).eqNullSafe(F.col(f"__off_{c}"))
+        cond = clause if cond is None else (cond & clause)
+    out = (
+        part.withColumn(
+            _LOCAL, F.sum(F.col(value_col)).over(local_w).cast("long")
+        )
+        .join(F.broadcast(off), cond)
+        .withColumn(sum_col, (F.col(_OFFSET) + F.col(_LOCAL)).cast("long"))
+    )
+    return out.select(*df.columns, sum_col)
+
+
 def _idiv(a: Column, b: Column) -> Column:
     """True BIGINT division (SQL ``div``) — no double rounding at any
     magnitude, unlike ``floor(a / b)`` which goes through a 53-bit

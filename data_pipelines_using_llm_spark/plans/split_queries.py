@@ -224,6 +224,68 @@ WINDOW w AS (ORDER BY {sql_split_hash('doc_id')}, doc_id)
 """
 
 
+TOKEN_BUDGET = 800  # per-source token quota (production sets real budgets)
+
+
+def doc_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget fill: walk each source's documents in
+    deterministic hash order and keep them while the INCLUSIVE running
+    token sum stays within the budget — how a mixture pipeline fills
+    per-domain token quotas reproducibly (a fractional-epoch rate can't
+    hit an exact token budget; this does, to the granularity of one
+    document).
+
+    Scale: the running sum comes from ``operators.ranking``'s
+    distributed prefix sum (range repartition + per-partition local
+    cumsum + broadcast offsets) — sources are low-cardinality, so a
+    ``Window.partitionBy(source)`` cumsum would be the usual skew wall.
+    The oracle is the plain window form.
+    """
+    from data_pipelines_using_llm_spark.operators import text as TX
+    from data_pipelines_using_llm_spark.operators.ranking import (
+        with_exact_running_sum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        TX.token_count("text").cast("long").alias("n_tokens"),
+    )
+    summed = with_exact_running_sum(
+        docs,
+        "n_tokens",
+        [split_hash("doc_id").asc(), F.col("doc_id").asc()],
+        group_by=["source"],
+        sum_col="cum_tokens",
+    )
+    return summed.filter(F.col("cum_tokens") <= TOKEN_BUDGET).select(
+        "doc_id", "source", "n_tokens", "cum_tokens"
+    )
+
+
+def _token_budget_oracle() -> str:
+    from data_pipelines_using_llm_spark.plans.text_queries import SQL_TOKENS
+
+    toks = SQL_TOKENS.format(col="text")
+    return f"""
+WITH t AS (
+    SELECT doc_id, source, CAST(len({toks}) AS BIGINT) AS n_tokens,
+           {sql_split_hash('doc_id')} AS h
+    FROM documents
+),
+c AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_tokens
+    FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
+
 QUERIES = {
     "doc_split_report": QuerySpec(
         doc_split_report,
@@ -254,6 +316,11 @@ QUERIES = {
         doc_shuffle_shards,
         DOC_SHUFFLE_SHARDS_ORACLE,
         "deterministic global shuffle + contiguous shard assignment",
+    ),
+    "doc_token_budget": QuerySpec(
+        doc_token_budget,
+        _token_budget_oracle(),
+        "per-source token-quota fill via distributed prefix sum",
     ),
 }
 

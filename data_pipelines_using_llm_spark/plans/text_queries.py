@@ -551,6 +551,64 @@ def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.inline(F.array(TX.repetition_struct("text"))))
 
 
+WEIGHTED_SAMPLE_SALT = 29  # decorrelated from the split/holdout salt
+LENGTH_NORM = 128  # weight = min(1, n_tokens / 128): docs here are 10-99 tokens
+
+
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-biased (length-proportional) deterministic sampling: keep
+    each document with probability ``min(1, n_tokens/LENGTH_NORM)`` — a
+    document-level sample where every TOKEN has ~equal survival
+    probability, the debiasing trick for corpora whose doc lengths span
+    orders of magnitude (uniform doc sampling over-represents short
+    docs' tokens).  Implemented as a pure hash threshold: keep iff
+    ``lehmer_hash(id, salt) < weight * M``.  Unlike ``df.sample``'s RNG
+    this is reproducible across engines, reruns and repartitionings, so
+    the sample itself is oracle-checkable.
+
+    Scale: one scan, one row-local expression — the keep decision ships
+    with the row forever (content-addressed), which is what makes
+    incremental corpus rebuilds stable.  Any row-level weight (quality,
+    recency, source priority) plugs into the same threshold.
+    """
+    from data_pipelines_using_llm_spark.operators.split import (
+        LEHMER_M,
+        split_hash,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    nt = TX.token_count("text").cast("long")
+    w = F.least(F.lit(1.0), nt.cast("double") / LENGTH_NORM)
+    h = split_hash("doc_id", salt=WEIGHTED_SAMPLE_SALT)
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            nt.alias("n_tokens"),
+            w.alias("weight"),
+            h.alias("h"),
+        )
+        .filter(F.col("h") < F.col("weight") * LEHMER_M)
+        .select("doc_id", "source", "n_tokens", F.round("weight", 6).alias("weight"))
+    )
+
+
+def _weighted_sample_oracle() -> str:
+    from data_pipelines_using_llm_spark.operators.split import (
+        LEHMER_M,
+        sql_split_hash,
+    )
+
+    toks = SQL_TOKENS.format(col="text")
+    w = f"least(1.0, CAST(len({toks}) AS DOUBLE) / {LENGTH_NORM})"
+    return f"""
+SELECT doc_id, source, CAST(len({toks}) AS BIGINT) AS n_tokens,
+       round({w}, 6) AS weight
+FROM documents
+WHERE {sql_split_hash('doc_id', salt=WEIGHTED_SAMPLE_SALT)} < ({w}) * {LEHMER_M}
+"""
+
+
 def doc_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-curation attrition funnel: per source, how many documents
     (and tokens) survive each stage of the prep pipeline — total →
@@ -674,6 +732,11 @@ QUERIES = {
         doc_filter_funnel,
         _funnel_oracle(),
         "per-source curation attrition funnel (quality/lang/dedup stages)",
+    ),
+    "doc_weighted_sample": QuerySpec(
+        doc_weighted_sample,
+        _weighted_sample_oracle(),
+        "size-biased deterministic (hash-threshold) document sampling",
     ),
     "doc_repetition_signals": QuerySpec(
         doc_repetition_signals,

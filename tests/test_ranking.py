@@ -123,6 +123,46 @@ def test_null_group_rows_survive(spark):
     assert rows == {1: 2, 2: 1, 3: 1}
 
 
+def test_running_sum_matches_window(spark):
+    from data_pipelines_using_llm_spark.operators.ranking import (
+        with_exact_running_sum,
+    )
+
+    df = spark.range(0, 300).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") * 13 % 41).alias("v"),
+        F.col("id"),
+    )
+    order = [F.col("v").asc(), F.col("id").asc()]
+    got = with_exact_running_sum(
+        df, "v", order, group_by=["g"], sum_col="cs", num_partitions=5
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.select("g", "v", "id", F.sum("v").over(w).cast("long").alias("cs"))
+    assert _sorted_rows(got, "id", "cs") == _sorted_rows(want, "id", "cs")
+
+
+def test_running_sum_global_and_empty_groups(spark):
+    from pyspark.sql import Row
+
+    from data_pipelines_using_llm_spark.operators.ranking import (
+        with_exact_running_sum,
+    )
+
+    df = spark.createDataFrame([Row(v=5, id=1), Row(v=3, id=2), Row(v=7, id=3)])
+    got = {
+        r["id"]: r["cs"]
+        for r in with_exact_running_sum(
+            df, "v", [F.col("id").asc()], sum_col="cs", num_partitions=2
+        ).collect()
+    }
+    assert got == {1: 5, 2: 8, 3: 15}
+
+
 def test_no_unpartitioned_window_in_plan(spark):
     df = spark.range(100).select(F.col("id").alias("v"), "id")
     got = with_exact_rank(df, [F.col("v").asc(), F.col("id").asc()],
