@@ -45,6 +45,7 @@ def all_queries() -> dict[str, QuerySpec]:
         split_queries,
         statistics,
         text_queries,
+        warehouse,
     )
     from data_pipelines_using_llm_spark.streaming import stream_queries
 
@@ -54,6 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
         analytics,
         behavior,
         decision_support,
+        warehouse,
         cdc_queries,
         expectation_queries,
         quality_queries,

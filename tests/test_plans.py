@@ -335,3 +335,90 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
         with contextlib.redirect_stdout(buf):
             j.explain("formatted")
         assert "might_contain" in buf.getvalue()
+
+
+# --- warehouse pack (TPC-H Q6/Q11/Q12/Q14/Q16/Q20/Q21 shapes) ---
+
+
+def test_forecast_revenue_delta_full_pushdown(spark):
+    # Q6 is the pushdown floor case: every predicate reaches the parquet
+    # scan, the ReadSchema is 4 columns, and nothing but one partial-
+    # aggregate row per task crosses the (single-partition) exchange.
+    plan = _plan(spark, "forecast_revenue_delta")
+    for pushed in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.04)",
+        "LessThanOrEqual(l_discount,0.06)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert pushed in plan, pushed
+    assert "Join" not in plan
+    scan_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in scan_schema and "l_tax" not in scan_schema
+
+
+def test_important_parts_single_fact_aggregation(spark):
+    # the global (total, n_parts) scalar must come from the SAME persisted
+    # partkey aggregate (InMemoryTableScan), not a second parquet scan
+    plan = _plan(spark, "important_parts")
+    # unique scan sections (the tree header repeats cached subtrees):
+    # lineitem appears in exactly ONE detail section + the part dim scan
+    lineitem_scans = {
+        l for l in plan.splitlines() if "Location" in l and "lineitem" in l
+    }
+    assert len(lineitem_scans) == 1, lineitem_scans
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastNestedLoopJoin Cross" in plan  # one-row scalar join
+    assert "CartesianProduct" not in plan
+
+
+def test_late_shipment_priority_projects_before_join(spark):
+    plan = _plan(spark, "late_shipment_priority")
+    # lineitem side of the orderkey join reads only (orderkey, shipdate)
+    li_schema = [
+        l
+        for l in plan.splitlines()
+        if "ReadSchema" in l and "l_shipdate" in l
+    ][0]
+    assert "l_extendedprice" not in li_schema and "l_quantity" not in li_schema
+
+
+def test_promo_revenue_share_broadcasts_part(spark):
+    plan = _plan(spark, "promo_revenue_share")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # month prune at the scan
+
+
+def test_supplier_diversity_anti_join_and_distinct(spark):
+    plan = _plan(spark, "supplier_diversity")
+    assert "LeftAnti" in plan
+    # the blacklist filter reaches the supplier scan
+    assert "LessThan(s_acctbal,0.0)" in plan
+    # two-phase distinct: partial aggregate keyed by class+suppkey exists
+    assert "partial_" in plan
+
+
+def test_red_part_supply_semi_then_having(spark):
+    plan = _plan(spark, "red_part_supply")
+    assert "LeftSemi" in plan
+    assert "StringStartsWith(p_name,red )" in plan  # LIKE 'red %' pushed
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # year prune at the scan
+    assert "CartesianProduct" not in plan
+
+
+def test_sole_late_shipper_two_level_aggregation(spark):
+    plan = _plan(spark, "sole_late_shipper")
+    # level 1: (orderkey, suppkey) grain with map-side partial max
+    assert "partial_max(l_shipdate" in plan
+    # the order-status probe projects to the key only
+    probe = [
+        l
+        for l in plan.splitlines()
+        if "ReadSchema" in l and "o_orderstatus" in l
+    ][0]
+    assert "o_totalprice" not in probe and "o_custkey" not in probe
+    # both window passes share ONE orderkey sort (no second sort exchange)
+    assert plan.count("Window") >= 2
+    assert "CartesianProduct" not in plan
