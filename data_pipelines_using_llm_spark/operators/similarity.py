@@ -683,3 +683,102 @@ def knn_arrow(
             "rank",
         )
     )
+
+
+# ---- int8 scalar quantization (vector compression serving path) ----
+
+INT8_LEVELS = 127
+
+
+def idot(a: Column, b: Column) -> Column:
+    """Integer dot product of two array<long> columns — exact (no
+    floating-point, so summation order is irrelevant and every engine
+    agrees bit-for-bit)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantize_int8(v: Column) -> Column:
+    """Per-vector symmetric int8 scalar quantization: ``scale =
+    max|x|/127``, ``q_i = round(x_i / scale)`` ∈ [-127, 127].
+
+    The compression story at 100 TB: 4x smaller vectors (int8 vs
+    float32), integer SIMD distance kernels, and — because the
+    quantization is symmetric — the per-vector scale CANCELS in cosine
+    similarity, so ranking needs only the integer dot products.  Both
+    engines round doubles half-away-from-zero, so the quantized codes
+    are bit-identical cross-engine (see the oracle in
+    plans/similarity_queries.py).
+
+    Let-bound so the vector and its max-abs are each evaluated ONCE
+    (Spark's subexpression elimination does not reach interpreted
+    higher-order functions — operators/text.py::let)."""
+    from data_pipelines_using_llm_spark.operators.text import let
+
+    def scale_of(vv: Column) -> Column:
+        amax = F.array_max(F.transform(vv, F.abs))
+        return F.when(amax > 0, amax / INT8_LEVELS).otherwise(F.lit(1.0))
+
+    return let(
+        v,
+        lambda vv: let(
+            scale_of(vv),
+            lambda s: F.transform(vv, lambda x: F.round(x / s, 0).cast("long")),
+        ),
+    )
+
+
+def knn_int8(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_mod: int = 100,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Approximate cosine top-k over int8-quantized vectors — the
+    compressed serving path of :func:`knn_brute_force` (identical join/
+    window skeleton, integer distance kernel).
+
+    Unlike the float paths, every similarity here derives from EXACT
+    integer dot products (one double division at the end), so the
+    result is fully deterministic and hash-gates cross-engine — the
+    rare ANN variant with no float-summation caveat.  Rank agreement
+    vs the exact float top-k is asserted in tests/test_similarity.py.
+    """
+    q8 = df.select(
+        F.col(id_col).alias("vec_id"),
+        quantize_int8(to_double(vec_col)).alias("q"),
+    ).select(
+        "vec_id", "q", F.sqrt(idot(F.col("q"), F.col("q")).cast("double")).alias("qnrm")
+    )
+    queries = q8.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("qnrm").alias("qqnrm"),
+    )
+    scored = F.broadcast(queries).join(
+        q8, F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            idot(F.col("qq"), F.col("q")).cast("double")
+            / (F.col("qqnrm") * F.col("qnrm"))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )

@@ -453,6 +453,64 @@ WHERE rn = 1
 """
 
 
+def knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-10 — the compressed serving path (4x
+    smaller vectors, integer SIMD kernels; see
+    operators/similarity.py::knn_int8).  All ranking math is exact
+    integer dot products, so this ANN variant hash-gates cross-engine
+    with no float-summation caveat."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_int8(e, "vec_id", "embedding", QUERY_MOD, K)
+
+
+def _sql_idot(a: str, b: str) -> str:
+    """Integer dot product over two BIGINT lists (exact, order-free)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, {SIM.DIM + 1}), i -> ({a})[i] * ({b})[i])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+KNN_INT8_ORACLE = f"""
+WITH base AS (
+    SELECT vec_id, {_TO_D.format(col='embedding')} AS v FROM embeddings
+),
+s AS (
+    SELECT vec_id, v,
+           CASE WHEN amax > 0 THEN amax / {SIM.INT8_LEVELS} ELSE 1.0 END AS scale
+    FROM (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS amax
+          FROM base)
+),
+q8 AS (
+    SELECT vec_id,
+           list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) AS q
+    FROM s
+),
+n8 AS (
+    SELECT vec_id, q, sqrt(CAST({_sql_idot('q', 'q')} AS DOUBLE)) AS qnrm
+    FROM q8
+),
+qs AS (SELECT vec_id AS query_id, q AS qq, qnrm AS qqnrm FROM n8
+       WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+    SELECT qs.query_id, c.vec_id AS neighbor_id,
+           CAST({_sql_idot('qs.qq', 'c.q')} AS DOUBLE) / (qs.qqnrm * c.qnrm) AS cos
+    FROM qs JOIN n8 c ON c.vec_id != qs.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine_sim,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {K}
+"""
+
+
 QUERIES = {
     "kmeans_clusters": QuerySpec(kmeans_clusters, _kmeans_oracle(), "Lloyd's k-means (2 iters)"),
     "knn_brute_force": QuerySpec(knn_brute_force, KNN_BRUTE_FORCE_ORACLE, "exact cosine top-k"),
@@ -460,5 +518,6 @@ QUERIES = {
     "knn_lsh": QuerySpec(knn_lsh, _knn_lsh_oracle(), "LSH ANN top-k"),
     "knn_ivf": QuerySpec(knn_ivf, _knn_ivf_oracle(), "IVF ANN top-k (metadata cells)"),
     "knn_ivf_kmeans": QuerySpec(knn_ivf_kmeans, _knn_ivf_kmeans_oracle(), "IVF ANN top-k (k-means cells; recommended)"),
+    "knn_int8": QuerySpec(knn_int8, KNN_INT8_ORACLE, "int8-quantized cosine top-k (exact integer kernel)"),
     "embedding_cosine_pairs": QuerySpec(embedding_cosine_pairs, _pairs_oracle(), "cosine near-dup pairs"),
 }

@@ -704,6 +704,145 @@ FROM documents
 """
 
 
+CHUNK_LEN, CHUNK_STRIDE = 64, 48
+BP_NGRAM, BP_MIN_DOCS = 3, 3
+
+
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style chunking: split each document into overlapping
+    ``CHUNK_LEN``-token windows advancing by ``CHUNK_STRIDE`` (16-token
+    overlap keeps retrieval context across boundaries).
+
+    Scale: pure per-row array expressions — the token array is let-bound
+    (computed once per document, not once per chunk reference), chunk
+    starts come from ``sequence``, and the explode multiplies rows by
+    ~n_tokens/stride with NO shuffle anywhere: a 100 TB corpus chunks in
+    a single map stage.  Chunk ids are integer division (no double
+    mantissa cliff, operators/packing.py discipline).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    chunks = TX.let(
+        TX.tokens("text"),
+        lambda t: F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size(t) - 1, F.lit(0)),
+                F.lit(CHUNK_STRIDE),
+            ),
+            lambda s: F.struct(
+                F.call_function(
+                    "div", s.cast("long"), F.lit(CHUNK_STRIDE).cast("long")
+                ).alias("chunk_id"),
+                s.cast("long").alias("chunk_start"),
+                F.least(F.lit(CHUNK_LEN), F.size(t) - s)
+                .cast("long")
+                .alias("n_chunk_tokens"),
+                F.array_join(F.slice(t, s + 1, CHUNK_LEN), " ").alias("chunk_text"),
+            ),
+        ),
+    )
+    return (
+        d.select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.*")
+        .filter(F.col("n_chunk_tokens") > 0)
+    )
+
+
+DOC_CHUNK_OVERLAP_ORACLE = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks FROM documents),
+c AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               range(0, greatest(len(toks), 1), {CHUNK_STRIDE}),
+               s -> struct_pack(
+                   chunk_id := s // {CHUNK_STRIDE},
+                   chunk_start := s,
+                   n_chunk_tokens := least({CHUNK_LEN}, len(toks) - s),
+                   chunk_text := array_to_string(
+                       list_slice(toks, s + 1, s + {CHUNK_LEN}), ' ')
+               ))) AS ch
+    FROM t
+)
+SELECT doc_id,
+       CAST(ch.chunk_id AS BIGINT) AS chunk_id,
+       CAST(ch.chunk_start AS BIGINT) AS chunk_start,
+       CAST(ch.n_chunk_tokens AS BIGINT) AS n_chunk_tokens,
+       ch.chunk_text
+FROM c WHERE ch.n_chunk_tokens > 0
+"""
+
+
+def doc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate signal: the fraction of each document's
+    token {BP_NGRAM}-grams that are CORPUS-frequent (appear in >=
+    ``BP_MIN_DOCS`` distinct documents) — the cross-document complement
+    of ``doc_repetition_signals``'s within-document ratios (CCNet-style
+    shared-boilerplate detection, applied at n-gram granularity because
+    this corpus has no line structure).
+
+    Scale: n-grams travel as rolling-hash BIGINTs; the frequent set is
+    an aggregation over per-doc-distinct hashes and is SMALL by
+    construction (boilerplate = few distinct strings, many repeats), so
+    it broadcasts into a semi-join against the exploded grams — one
+    hash-keyed shuffle for the census, no fact-fact join.  The exploded
+    grams feed three consumers, hence the persist barrier.
+    """
+    from data_pipelines_using_llm_spark.operators.caching import barrier
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = barrier(
+        d.select(
+            "doc_id",
+            F.explode(
+                F.transform(TX.ngram_array("text", BP_NGRAM), TX.char_hash)
+            ).alias("h"),
+        )
+    )
+    freq = (
+        grams.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= BP_MIN_DOCS)
+        .select("h")
+    )
+    per_doc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    bp = (
+        grams.join(F.broadcast(freq), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boilerplate"))
+    )
+    nb = F.coalesce(F.col("n_boilerplate"), F.lit(0)).cast("long")
+    return per_doc.join(bp, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        nb.alias("n_boilerplate"),
+        (nb.cast("double") / F.col("n_grams")).alias("boilerplate_frac"),
+    )
+
+
+def _boilerplate_oracle() -> str:
+    hashed = (
+        f"list_transform({sql_ngrams('text', BP_NGRAM)}, "
+        f"gr -> {SQL_CHAR_HASH.format(s='gr')})"
+    )
+    return f"""
+WITH g AS (SELECT doc_id, unnest({hashed}) AS h FROM documents),
+freq AS (
+    SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY 1)
+    WHERE n_docs >= {BP_MIN_DOCS}
+),
+per_doc AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+bp AS (SELECT doc_id, count(*) AS n_boilerplate FROM g
+       WHERE h IN (SELECT h FROM freq) GROUP BY 1)
+SELECT p.doc_id, p.n_grams,
+       CAST(coalesce(b.n_boilerplate, 0) AS BIGINT) AS n_boilerplate,
+       CAST(coalesce(b.n_boilerplate, 0) AS DOUBLE) / p.n_grams
+           AS boilerplate_frac
+FROM per_doc p LEFT JOIN bp b USING (doc_id)
+"""
+
+
 QUERIES = {
     "training_corpus_prep": QuerySpec(
         training_corpus_prep,
@@ -737,6 +876,16 @@ QUERIES = {
         doc_weighted_sample,
         _weighted_sample_oracle(),
         "size-biased deterministic (hash-threshold) document sampling",
+    ),
+    "doc_chunk_overlap": QuerySpec(
+        doc_chunk_overlap,
+        DOC_CHUNK_OVERLAP_ORACLE,
+        "RAG chunking: overlapping token windows, shuffle-free",
+    ),
+    "doc_boilerplate_ngrams": QuerySpec(
+        doc_boilerplate_ngrams,
+        _boilerplate_oracle(),
+        "corpus-frequent n-gram coverage (cross-doc boilerplate signal)",
     ),
     "doc_repetition_signals": QuerySpec(
         doc_repetition_signals,

