@@ -39,6 +39,14 @@ HEADLINE = [
     "value_trend_slope",
     "nation_year_profit",
     "top_revenue_supplier",
+    # warehouse pack (r5): the remaining TPC-H shapes
+    "forecast_revenue_delta",
+    "important_parts",
+    "late_shipment_priority",
+    "promo_revenue_share",
+    "supplier_diversity",
+    "red_part_supply",
+    "sole_late_shipper",
     # behavior analytics
     "purchase_funnel",
     "cohort_retention_daily",
@@ -75,6 +83,11 @@ HEADLINE = [
     "doc_filter_funnel",
     "doc_token_budget",
     "doc_weighted_sample",
+    "knn_int8",
+    "doc_chunk_overlap",
+    "doc_boilerplate_ngrams",
+    "reach_sketch_rollup",
+    "events_zorder_index",
     # CDC / expectations / gap-fill (never benched before r5)
     "events_snapshot_diff",
     "customer_scd2",

@@ -345,6 +345,148 @@ GROUP BY event_type
 """
 
 
+def reach_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABLE-sketch rollup ``approx_user_reach`` doesn't show:
+    per-(event_type, day) HLL sketches union-merged up to
+    (event_type, month) WITHOUT rescanning the fact — the reason
+    sketches exist at 100 TB (daily sketches are kilobytes; re-counting
+    distinct users per rollup grain re-shuffles the world).
+
+    Uses Spark's Apache DataSketches HLL surface (``hll_sketch_agg`` →
+    ``hll_union_agg`` → ``hll_sketch_estimate``), which is exactly the
+    materialized-rollup pattern: persist daily sketches, answer any
+    coarser-grain reach query by merging them.
+
+    Gate contract (same as ``approx_user_reach`` /
+    ``value_percentiles_approx``): hashed columns are the EXACT monthly
+    distinct count, the merged-day count, and a ``merged_within_5pct``
+    flag computed from the sketch on the Spark side and emitted as the
+    literal expectation by the oracle — sketch drift flips the flag and
+    fails the hash gate; the binary sketch itself stays out (register
+    layouts are engine-specific by design).  DataSketches HLL is
+    deterministic for fixed input, so the flag cannot flake; measured
+    worst-case merged error on this corpus is <2% vs the 5% tolerance.
+
+    The exact count is the verification harness, not the production
+    path — at scale only the daily-sketch aggregation and the tiny
+    merge run.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    month = F.date_trunc("month", F.col("day"))
+    daily = ev.select(
+        "event_type", day.alias("day"), "user_id"
+    ).groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    monthly = daily.groupBy("event_type", month.alias("month")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = (
+        ev.select(
+            "event_type", F.date_trunc("month", F.col("ts")).alias("month"), "user_id"
+        )
+        .groupBy("event_type", "month")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    within = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        / F.col("exact_users")
+        <= _REACH_TOL
+    )
+    return monthly.join(exact, ["event_type", "month"]).select(
+        "event_type",
+        "month",
+        "exact_users",
+        "n_days",
+        F.when(within, 1).otherwise(0).cast("long").alias("merged_within_5pct"),
+    )
+
+
+REACH_SKETCH_ROLLUP_ORACLE = """
+SELECT event_type,
+       date_trunc('month', ts) AS month,
+       count(DISTINCT user_id) AS exact_users,
+       count(DISTINCT date_trunc('day', ts)) AS n_days,
+       CAST(1 AS BIGINT) AS merged_within_5pct
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key per event over the
+    (user_id, event-hour) plane — the multi-column data-layout primitive
+    behind OPTIMIZE...ZORDER (functions/zorder.py; wired into
+    ``sinks/writers.py::compact_table``).  Files sorted by this key hold
+    narrow ranges in BOTH dimensions, so parquet min/max skipping prunes
+    on either predicate alone — the property a lexicographic
+    (user_id, hour) sort gives only for user_id.
+
+    Scale: bucket bounds are a ONE-ROW broadcast aggregate; bucketize +
+    interleave are pure BIGINT shift/mask expressions (codegen, no
+    doubles, engine-exact); computing the key is shuffle-free.  The
+    clustering effectiveness (per-file range narrowing vs lexicographic
+    sort) is measured in tests/test_sinks.py.
+    """
+    from data_pipelines_using_llm_spark.functions import zorder as Z
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.call_function(
+            "div", F.unix_timestamp(F.col("ts")), F.lit(3600).cast("long")
+        ).alias("hour"),
+    )
+    bounds = ev.agg(
+        F.min("user_id").alias("ulo"),
+        F.max("user_id").alias("uhi"),
+        F.min("hour").alias("hlo"),
+        F.max("hour").alias("hhi"),
+    )
+    keyed = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        Z.bucketize(F.col("user_id"), F.col("ulo"), F.col("uhi")).alias(
+            "user_bucket"
+        ),
+        Z.bucketize(F.col("hour"), F.col("hlo"), F.col("hhi")).alias(
+            "hour_bucket"
+        ),
+    )
+    return keyed.select(
+        "event_id",
+        "user_bucket",
+        "hour_bucket",
+        Z.interleave_bits(F.col("user_bucket"), F.col("hour_bucket")).alias(
+            "zvalue"
+        ),
+    )
+
+
+def _zorder_oracle() -> str:
+    from data_pipelines_using_llm_spark.functions import zorder as Z
+
+    bu = Z.sql_bucketize("user_id", "ulo", "uhi")
+    bh = Z.sql_bucketize("hour", "hlo", "hhi")
+    return f"""
+WITH e AS (
+    -- date_diff counts hour boundaries = floor(seconds/3600); a plain
+    -- CAST(epoch(..)) would ROUND sub-second timestamps and drift by one
+    -- bucket at hour edges (Spark's unix_timestamp truncates)
+    SELECT event_id, user_id,
+           date_diff('hour', TIMESTAMP '1970-01-01 00:00:00', ts) AS hour
+    FROM events
+),
+b AS (SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+             min(hour) AS hlo, max(hour) AS hhi FROM e),
+k AS (SELECT event_id, {bu} AS user_bucket, {bh} AS hour_bucket FROM e, b)
+SELECT event_id, user_bucket, hour_bucket,
+       {Z.sql_interleave('user_bucket', 'hour_bucket')} AS zvalue
+FROM k
+"""
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -931,6 +1073,16 @@ QUERIES = {
         approx_user_reach,
         APPROX_USER_REACH_ORACLE,
         "HLL sketch reach vs exact, error-bound flag (cross-engine gate)",
+    ),
+    "reach_sketch_rollup": QuerySpec(
+        reach_sketch_rollup,
+        REACH_SKETCH_ROLLUP_ORACLE,
+        "daily HLL sketches union-merged to monthly reach (mergeable-sketch rollup)",
+    ),
+    "events_zorder_index": QuerySpec(
+        events_zorder_index,
+        _zorder_oracle(),
+        "Morton z-order clustering key (bucketize + bit interleave)",
     ),
     "user_activity_pivot": QuerySpec(
         user_activity_pivot,

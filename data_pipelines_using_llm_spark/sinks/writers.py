@@ -517,9 +517,46 @@ def compact_table(
     )
     df = spark.read.parquet(path)
     n = target_partitions or max(1, n_files // 4)
-    compacted = df.repartition(n)
-    if zorder_by:
-        compacted = compacted.sortWithinPartitions(*zorder_by)
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    dtypes = dict(df.dtypes)
+    if (
+        zorder_by
+        and len(zorder_by) == 2
+        and all(dtypes.get(c) in integral for c in zorder_by)
+    ):
+        # True multi-dimensional clustering: range-partition + sort by the
+        # Morton key of both columns, so every output file carries narrow
+        # min/max stats in BOTH dimensions (a lexicographic sort clusters
+        # the leading column only).  Bounds read is one control-plane row.
+        from data_pipelines_using_llm_spark.functions.zorder import (
+            bucketize,
+            interleave_bits,
+        )
+
+        a, b = zorder_by
+        lo_a, hi_a, lo_b, hi_b = df.agg(
+            F.min(a), F.max(a), F.min(b), F.max(b)
+        ).first()
+        z = interleave_bits(
+            bucketize(F.col(a), F.lit(lo_a), F.lit(hi_a)),
+            bucketize(F.col(b), F.lit(lo_b), F.lit(hi_b)),
+        )
+        compacted = (
+            df.withColumn("__zorder", z)
+            .repartitionByRange(n, "__zorder")
+            .sortWithinPartitions("__zorder")
+            .drop("__zorder")
+        )
+    elif zorder_by:
+        # Lexicographic clustering: RANGE-partition on the sort key so the
+        # narrowing shows up in per-FILE min/max stats (a round-robin
+        # repartition + local sort only orders row groups inside each
+        # file; file-level pruning would see full-range stats).
+        compacted = df.repartitionByRange(n, *zorder_by).sortWithinPartitions(
+            *zorder_by
+        )
+    else:
+        compacted = df.repartition(n)
 
     tmp = path.rstrip("/") + "__tmp_compact"
     write_table(compacted, tmp, mode="overwrite", partition_by=partition_by)

@@ -411,3 +411,45 @@ def test_partition_pruning_in_plan(spark, feed, tmp_path):
     plan = buf.getvalue()
     pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "ingestion_date" in pf_line and "2025-01-02" in pf_line
+
+
+def test_compact_table_morton_clusters_both_dimensions(spark, tmp_path):
+    """Z-order compaction must give every output file a narrow min/max
+    range in BOTH clustering columns — the data-skipping property that
+    lets a predicate on EITHER column prune files.  A lexicographic
+    (x, y) sort achieves this for x only: y's per-file range stays ~the
+    full domain, so the y-range ratio separates the two layouts."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(0, 1 << 16), rng.randrange(0, 1 << 16)) for _ in range(20000)]
+    df = spark.createDataFrame(rows, "x int, y int")
+
+    def avg_range_frac(path: str, col: str) -> float:
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg((F.max(col) - F.min(col)).alias("r"))
+            .agg(F.avg("r"))
+            .first()[0]
+        )
+        return per_file / float(1 << 16)
+
+    zpath = str(tmp_path / "morton")
+    df.repartition(4).write.parquet(zpath)
+    compact_table(spark, zpath, zorder_by=["x", "y"], target_partitions=16)
+    lexpath = str(tmp_path / "lex")
+    # single-key sort = the lexicographic (x, y) layout's effect on this
+    # data (x is near-unique, so the y tiebreak never clusters anything)
+    df.repartition(4).write.parquet(lexpath)
+    compact_table(spark, lexpath, zorder_by=["x"], target_partitions=16)
+
+    # both dimensions narrow under Morton (16 files over a 256x256 grid
+    # of buckets -> each file spans ~1/4 of each axis; allow slack)
+    assert avg_range_frac(zpath, "x") < 0.5
+    assert avg_range_frac(zpath, "y") < 0.5
+    # lexicographic clusters x tightly but leaves y at ~full range
+    assert avg_range_frac(lexpath, "x") < 0.2
+    assert avg_range_frac(lexpath, "y") > 0.8
