@@ -215,3 +215,36 @@ def test_exact_rank_matches_window_family(spark, rows, n, parts):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_zorder_interleave_is_bijective(spark, pairs):
+    """The Morton key must be a bijection on 8-bit bucket pairs (distinct
+    pairs -> distinct keys, and the Python-model de-interleave recovers
+    exactly the inputs) — the property that makes z-value sorting a
+    faithful multi-dimensional clustering."""
+    from data_pipelines_using_llm_spark.functions.zorder import interleave_bits
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = df.select(
+        "a", "b", interleave_bits(F.col("a"), F.col("b")).alias("z")
+    ).collect()
+
+    def deinterleave(z: int) -> tuple[int, int]:
+        a = b = 0
+        for j in range(8):
+            a |= ((z >> (2 * j)) & 1) << j
+            b |= ((z >> (2 * j + 1)) & 1) << j
+        return a, b
+
+    assert len({r["z"] for r in got}) == len(pairs)
+    for r in got:
+        assert deinterleave(r["z"]) == (r["a"], r["b"])
