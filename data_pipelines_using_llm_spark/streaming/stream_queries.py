@@ -248,6 +248,115 @@ GROUP BY user_id
 """
 
 
+
+_TWS_OUT_SCHEMA = (
+    "user_id long, n_events long, sum_value double, n_types long, max_cents long"
+)
+
+
+class _UserEngagementProcessor:
+    """transformWithState processor: per-user running totals in a
+    ValueState plus a per-event-type MapState (distinct-type census) —
+    the state-shape applyInPandasWithState can't express (its single
+    state tuple has no keyed sub-state; here type counts live in a
+    MapState the state store shards natively).
+
+    Money accumulates as integer cents so the emitted double is
+    order-independent and bit-identical to the oracle's DECIMAL sum.
+    """
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState(
+            "totals", "n_events long, sum_cents long, max_cents long"
+        )
+        self._types = handle.getMapState("types", "t string", "c long")
+
+    def handleInputRows(self, key, rows, timerValues):
+        n_events, sum_cents, max_cents = (
+            self._totals.get() if self._totals.exists() else (0, 0, 0)
+        )
+        for pdf in rows:
+            n_events += len(pdf)
+            cents = pdf["value"].mul(100).round().astype("int64")
+            sum_cents += int(cents.sum())
+            if len(cents):
+                max_cents = max(max_cents, int(cents.max()))
+            for t, c in pdf.groupby("event_type").size().items():
+                prev = (
+                    self._types.getValue((t,))[0]
+                    if self._types.containsKey((t,))
+                    else 0
+                )
+                self._types.updateValue((t,), (prev + int(c),))
+        self._totals.update((n_events, sum_cents, max_cents))
+        n_types = sum(1 for _ in self._types.keys())
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n_events],
+                "sum_value": [sum_cents / 100.0],
+                "n_types": [n_types],
+                "max_cents": [max_cents],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_available() -> bool:
+    """``transformWithStateInPandas`` needs protobuf in the Python worker
+    (its state-server protocol); absent here, the query is registered only
+    where the dependency exists — the same environment-gate discipline as
+    the Delta branches in sinks/writers.py."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # parent 'google' namespace absent entirely
+        return False
+
+
+def stream_user_engagement_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-stateful streaming via ``transformWithStateInPandas``
+    (Spark 4's successor to applyInPandasWithState): composite state =
+    ValueState running totals + MapState per-type counts, per user.
+
+    Scale: state lives in the state store keyed by (user, type) — update
+    cost is per-touched-key, not per-user-history; TTL hooks exist on
+    both state types for bounded retention (not set here: the bounded
+    test input must equal the batch oracle deterministically).
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc = type(
+        "_P", (StatefulProcessor,), dict(_UserEngagementProcessor.__dict__)
+    )()
+    sdf = stream_events(spark, sf_dir)
+    stats = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=_TWS_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    return run_to_table(stats, spark, "dpls_stream_user_tws", "append")
+
+
+STREAM_USER_ENGAGEMENT_TWS_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       count(DISTINCT event_type) AS n_types,
+       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+FROM events
+GROUP BY user_id
+"""
+
+
 #: event_type -> engagement weight (exact one-decimal fixed-point values,
 #: shared verbatim with the oracle's VALUES list)
 EVENT_WEIGHTS: list[tuple[str, str]] = [
@@ -443,3 +552,10 @@ QUERIES = {
     "stream_dedup_events": QuerySpec(stream_dedup_events, STREAM_DEDUP_ORACLE, "watermark dedup"),
     "stream_user_stats_stateful": QuerySpec(stream_user_stats_stateful, STREAM_USER_STATS_ORACLE, "applyInPandasWithState"),
 }
+
+if tws_available():  # pragma: no cover - absent in this sandbox (no protobuf)
+    QUERIES["stream_user_engagement_tws"] = QuerySpec(
+        stream_user_engagement_tws,
+        STREAM_USER_ENGAGEMENT_TWS_ORACLE,
+        "transformWithState: ValueState + MapState composite",
+    )

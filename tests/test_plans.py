@@ -446,3 +446,61 @@ def test_doc_boilerplate_frequent_set_broadcasts(spark):
     assert "LeftSemi" in plan
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+# --- plan-audit API (plans/audit.py) ---
+
+
+def test_audit_flags_cartesian_and_row_udf(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import udf
+
+    from data_pipelines_using_llm_spark.plans.audit import (
+        assert_scalable,
+        audit_plan,
+    )
+
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    cart = a.crossJoin(b.hint("shuffle_replicate_nl"))
+    codes = {f["code"] for f in audit_plan(cart)}
+    assert "cartesian" in codes
+    try:
+        assert_scalable(cart)
+        raise AssertionError("assert_scalable must raise on a cartesian plan")
+    except ValueError:
+        pass
+
+    slow = spark.range(10).select(udf(lambda x: x + 1, "long")("id").alias("y"))
+    assert {"row_udf"} <= {f["code"] for f in audit_plan(slow)}
+
+
+def test_audit_passes_headline_queries(spark):
+    """Every oracle-backed registered query must be fatal-finding-free —
+    the library-API form of the explain-sweep this suite already runs."""
+    from data_pipelines_using_llm_spark.operators.caching import release_barriers
+    from data_pipelines_using_llm_spark.plans.audit import audit_plan
+
+    offenders = {}
+    for name, spec in all_queries().items():
+        if name.startswith("stream_"):
+            continue
+        fatal = [
+            f
+            for f in audit_plan(spec.fn(spark, SF_DIR))
+            if f["severity"] == "fatal"
+        ]
+        if fatal:
+            offenders[name] = fatal
+        release_barriers()
+    assert not offenders, offenders
+
+
+def test_audit_report_counts_scans_and_pushdown(spark):
+    from data_pipelines_using_llm_spark.plans.audit import plan_report
+
+    r = plan_report(all_queries()["forecast_revenue_delta"].fn(spark, SF_DIR))
+    assert len(r.scans) == 1
+    assert "GreaterThanOrEqual(l_shipdate" in r.scans[0]["pushed_filters"]
+    assert r.partial_aggregates >= 1
+    assert r.cartesian_products == 0 and r.python_row_udfs == 0

@@ -138,3 +138,23 @@ def test_mixed_ts_precision_probe_fails_loudly(tmp_path):
     assert _probe_ts_precision(str(tmp_path), "events_b.parquet") is False
     with pytest.raises(ValueError, match="mixed ts precision"):
         _probe_ts_precision(str(tmp_path), "events_*.parquet")
+
+
+def test_transform_with_state_engagement(spark):
+    """transformWithStateInPandas composite state (ValueState + MapState)
+    must equal the batch aggregate on bounded input.  Environment-gated:
+    the API's Python state-server protocol needs protobuf, absent in this
+    sandbox (pip has no network) — same discipline as the Delta skip."""
+    import pytest
+
+    from data_pipelines_using_llm_spark.streaming.stream_queries import (
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("protobuf not installed - transformWithState worker cannot start")
+
+    from tests.oracle_check import run_check
+
+    problems = run_check(spark, "/root/testdata/sf0.001", "stream_user_engagement_tws")
+    assert not problems, problems
