@@ -84,6 +84,7 @@ HEADLINE = [
     "doc_token_budget",
     "doc_weighted_sample",
     "knn_int8",
+    "knn_ivf_int8",
     "doc_chunk_overlap",
     "doc_boilerplate_ngrams",
     "reach_sketch_rollup",

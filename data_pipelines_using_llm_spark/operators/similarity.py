@@ -782,3 +782,95 @@ def knn_int8(
             "rank",
         )
     )
+
+
+def knn_ivf_int8(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    query_mod: int = 100,
+    k: int = DEFAULT_K,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF + int8 codes — the production ANN serving stack in miniature:
+    a LEARNED coarse quantizer picks ``nprobe`` cells (float centroids
+    from exact decimal means, float probe ranking), then candidates are
+    scored on their int8 codes (exact integer dot products — the scale
+    cancels in cosine, see :func:`quantize_int8`).
+
+    Why this composition at 100 TB: the corpus lives partitioned by cell
+    with 4x-compressed codes; a query touches nprobe/k_cells of the data
+    AND streams int8 instead of float32 — both knobs compound.  The
+    centroid table and int8 query codes broadcast; the only non-broadcast
+    join is the cell equi-join against the probed partitions.
+
+    Fully deterministic (float folds are sequential, int dots exact), so
+    the whole stack hash-gates cross-engine — rare for an ANN pipeline.
+    """
+    base = normed(df, id_col, vec_col).join(
+        df.select(F.col(id_col).alias("vec_id"), F.col(cell_col).alias("cell")),
+        "vec_id",
+    )
+    codes = df.select(
+        F.col(id_col).alias("vec_id"),
+        quantize_int8(to_double(vec_col)).alias("q"),
+    ).select(
+        "vec_id",
+        "q",
+        F.sqrt(idot(F.col("q"), F.col("q")).cast("double")).alias("qnrm8"),
+    )
+    base8 = base.join(codes, "vec_id")
+    cents = ivf_centroids(base, "cell")
+    queries = base8.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("q").alias("qq"),
+        F.col("qnrm8").alias("qqnrm8"),
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("cell")
+    )
+    probes = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qq",
+            "qqnrm8",
+            "cell",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cnrm"))).alias(
+                "ccos"
+            ),
+        )
+        .withColumn("crank", F.row_number().over(wprobe))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "qq", "qqnrm8", "cell")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(base8, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                idot(F.col("qq"), F.col("q")).cast("double")
+                / (F.col("qqnrm8") * F.col("qnrm8"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )

@@ -279,9 +279,12 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf_kmeans_serve(*knn_ivf_kmeans_train(spark, sf_dir))
 
 
-def _knn_ivf_kmeans_oracle(k: int = 10, iters: int = 2) -> str:
-    """IVF oracle over k-means cells: the ``_kmeans_oracle`` assignment
-    CTEs feed the ``_knn_ivf_oracle`` probe/score/rank structure."""
+def _ivf_kmeans_prefix(k: int = 10, iters: int = 2) -> str:
+    """Shared oracle prefix: k-means assignment CTEs (``_kmeans_oracle``
+    structure) + cell centroids + float probe ranking — everything up
+    through the ``probes`` CTE.  Consumed by both the float-scored
+    (``knn_ivf_kmeans``) and int8-scored (``knn_ivf_int8``) oracles so
+    the quantizer definition cannot drift between them."""
     ctes = [f"c0 AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < {k})"]
     prev = "c0"
     for it in range(1, iters + 1):
@@ -348,11 +351,82 @@ probes AS (
                ORDER BY {_sql_dot('qv', 'cv')} / (qnrm * cnrm) DESC, cell
            ) AS crank
     FROM q CROSS JOIN cents_n
-),
+)"""
+
+
+def _knn_ivf_kmeans_oracle(k: int = 10, iters: int = 2) -> str:
+    """IVF oracle over k-means cells: the ``_kmeans_oracle`` assignment
+    CTEs feed the ``_knn_ivf_oracle`` probe/score/rank structure."""
+    return f"""{_ivf_kmeans_prefix(k, iters)},
 scored AS (
     SELECT p.query_id, c.vec_id AS neighbor_id,
            {_sql_dot('p.qv', 'c.v')} / (p.qnrm * c.nrm) AS cos
     FROM probes p JOIN lbl c ON c.cell = p.cell
+    WHERE p.crank <= {IVF_KMEANS_NPROBE} AND c.vec_id != p.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine_sim,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {K}
+"""
+
+
+def knn_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means coarse quantizer) + int8 candidate codes — the
+    production serving stack: probe in float, score compressed.  See
+    operators/similarity.py::knn_ivf_int8."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_using_llm_spark.operators.caching import barrier
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = barrier(
+        SIM.kmeans_assign(e, "vec_id", "embedding", k=10, iters=2).select(
+            "vec_id", F.col("cluster_id").alias("kcell")
+        )
+    )
+    cells.count()
+    return SIM.knn_ivf_int8(
+        e.join(cells, "vec_id"), "vec_id", "embedding", "kcell", QUERY_MOD, K,
+        IVF_KMEANS_NPROBE,
+    )
+
+
+def _knn_ivf_int8_oracle(k: int = 10, iters: int = 2) -> str:
+    """Same quantizer prefix as ``_knn_ivf_kmeans_oracle``; candidate
+    scoring swaps the float fold for exact int8 integer dot products."""
+    return f"""{_ivf_kmeans_prefix(k, iters)},
+sc8 AS (
+    SELECT vec_id, v,
+           CASE WHEN amax > 0 THEN amax / {SIM.INT8_LEVELS} ELSE 1.0 END AS scale
+    FROM (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS amax
+          FROM base)
+),
+q8 AS (
+    SELECT vec_id,
+           list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) AS qc
+    FROM sc8
+),
+n8 AS (
+    SELECT vec_id, qc, sqrt(CAST({_sql_idot('qc', 'qc')} AS DOUBLE)) AS qnrm8
+    FROM q8
+),
+lbl8 AS (
+    SELECT l.vec_id, n8.qc, n8.qnrm8, l.cell
+    FROM lbl l JOIN n8 ON n8.vec_id = l.vec_id
+),
+scored AS (
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+           CAST({_sql_idot('qq.qc', 'c.qc')} AS DOUBLE) / (qq.qnrm8 * c.qnrm8) AS cos
+    FROM probes p
+    JOIN n8 qq ON qq.vec_id = p.query_id
+    JOIN lbl8 c ON c.cell = p.cell
     WHERE p.crank <= {IVF_KMEANS_NPROBE} AND c.vec_id != p.query_id
 ),
 ranked AS (
@@ -518,6 +592,7 @@ QUERIES = {
     "knn_lsh": QuerySpec(knn_lsh, _knn_lsh_oracle(), "LSH ANN top-k"),
     "knn_ivf": QuerySpec(knn_ivf, _knn_ivf_oracle(), "IVF ANN top-k (metadata cells)"),
     "knn_ivf_kmeans": QuerySpec(knn_ivf_kmeans, _knn_ivf_kmeans_oracle(), "IVF ANN top-k (k-means cells; recommended)"),
+    "knn_ivf_int8": QuerySpec(knn_ivf_int8, _knn_ivf_int8_oracle(), "IVF (k-means) + int8 codes: probe float, score compressed"),
     "knn_int8": QuerySpec(knn_int8, KNN_INT8_ORACLE, "int8-quantized cosine top-k (exact integer kernel)"),
     "embedding_cosine_pairs": QuerySpec(embedding_cosine_pairs, _pairs_oracle(), "cosine near-dup pairs"),
 }

@@ -152,3 +152,20 @@ def test_knn_int8_agrees_with_exact(spark):
     hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
     recall = hits / sum(len(v) for v in truth.values())
     assert recall >= 0.9, recall
+
+
+def test_knn_ivf_int8_matches_float_ivf(spark):
+    """Same coarse quantizer, compressed candidate scoring: the int8 IVF
+    top-10 must agree >= 0.9 with the float IVF top-10 (identical probed
+    cells; only the in-cell ranking is quantized)."""
+    sf = "/root/testdata/sf0.01"
+    a: dict[int, set[int]] = {}
+    b: dict[int, set[int]] = {}
+    for r in SQ.knn_ivf_kmeans(spark, sf).collect():
+        a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in SQ.knn_ivf_int8(spark, sf).collect():
+        b.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert a.keys() == b.keys()
+    hits = sum(len(a[q] & b.get(q, set())) for q in a)
+    agreement = hits / sum(len(v) for v in a.values())
+    assert agreement >= 0.9, agreement
