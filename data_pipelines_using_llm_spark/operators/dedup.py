@@ -66,24 +66,36 @@ def ngram_hashes(c: str | Column, n: int = 3) -> Column:
     return _gram_fold(F.transform(tokens(c), char_hash), n)
 
 
-def _gram_fold(th: Column, n: int = 3) -> Column:
+def _gram_fold(th: Column, n: int = 3, distinct: bool = True) -> Column:
     """Shingle hashes from a token-hash array: each gram combines ``n``
     consecutive token hashes with the same 31-polynomial used for chars
     (g = ((th1*31 + th2) % M)*31 + th3 ... % M).  Hashing per TOKEN once
     and folding longs per gram is ~10x cheaper than re-hashing every
-    character of every gram string."""
+    character of every gram string.
+
+    ``distinct=True`` (default) yields the shingle SET for similarity
+    joins; ``distinct=False`` keeps every instance for frequency censuses
+    (e.g. plans/text_queries.py::doc_boilerplate_ngrams, where a gram's
+    per-document multiplicity is part of the coverage signal)."""
     def one_gram(i: Column) -> Column:
         g = F.element_at(th, i)
         for j in range(1, n):
             g = (g * 31 + F.element_at(th, i + j)) % HASH_MOD
         return g
 
-    grams = F.array_distinct(
-        F.transform(F.sequence(F.lit(1), F.size(th) - (n - 1)), one_gram)
-    )
+    grams = F.transform(F.sequence(F.lit(1), F.size(th) - (n - 1)), one_gram)
+    if distinct:
+        grams = F.array_distinct(grams)
     return F.when(F.size(th) >= n, grams).otherwise(
         F.array().cast("array<long>")
     )
+
+
+def gram_fold(th: Column, n: int = 3, distinct: bool = True) -> Column:
+    """Public alias of :func:`_gram_fold` for consumers outside this
+    module (expects a MATERIALIZED token-hash array column — see
+    :func:`gram_hash_df` for why)."""
+    return _gram_fold(th, n, distinct)
 
 
 def gram_hash_df(

@@ -333,3 +333,4 @@ def quality_score(c: str | Column) -> Column:
         return (0.4 * len_ok + 0.3 * tok_ok + 0.3 * punct_ok).cast("double")
 
     return let(feats, score)
+

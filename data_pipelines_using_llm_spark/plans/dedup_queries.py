@@ -43,16 +43,19 @@ _SQL_CHAR_HASH_W = (
 SQL_TOKEN_HASHES = f"list_transform({_SQL_TOKS}, w -> {_SQL_CHAR_HASH_W})"
 
 
-def _sql_gram_fold(n: int = NGRAM_N) -> str:
+def _sql_gram_fold(n: int = NGRAM_N, distinct: bool = True) -> str:
     """Shingle hash = 31-polynomial fold of ``n`` consecutive token hashes
     (identical to operators/dedup.py::_gram_fold); expects a CTE column
     ``th`` holding the token-hash array."""
     g = "th[i]"
     for j in range(1, n):
         g = f"(({g}) * 31 + th[i + {j}]) % {HASH_MOD}"
+    body = f"list_transform(range(1, len(th) - {n - 2}), i -> {g})"
+    if distinct:
+        body = f"list_distinct({body})"
     return (
         f"CASE WHEN len(th) >= {n} THEN "
-        f"list_distinct(list_transform(range(1, len(th) - {n - 2}), i -> {g})) "
+        f"{body} "
         f"ELSE [] END"
     )
 

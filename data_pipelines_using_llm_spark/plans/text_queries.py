@@ -300,15 +300,19 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     happens before the explode, so the join input is minimal.
     """
     from data_pipelines_using_llm_spark.operators.caching import barrier
+    from data_pipelines_using_llm_spark.operators.dedup import gram_hash_df
 
     d = load_table(spark, sf_dir, "documents")
-    shingles = F.array_distinct(
-        F.transform(TX.ngram_array("text", DECON_NGRAM), TX.char_hash)
-    )
+    # shingle hashes via the token-fold fast path (hash each token once,
+    # fold n longs per gram — operators/dedup.py::gram_hash_df), then
     # barrier: both the eval side and the train side consume the
     # exploded shingle hashes — without a persist the shingle fold runs
     # twice (the projection-collapse trap documented in operators/dedup)
-    exploded = barrier(d.select("doc_id", F.explode(shingles).alias("h")))
+    exploded = barrier(
+        gram_hash_df(d, "doc_id", "text", DECON_NGRAM).select(
+            "doc_id", F.explode("grams").alias("h")
+        )
+    )
     is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
     ev = exploded.filter(is_eval).select("h").distinct()
     hits = (
@@ -327,13 +331,15 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _decontamination_oracle() -> str:
-    hashed = (
-        f"list_distinct(list_transform({sql_ngrams('text', DECON_NGRAM)}, "
-        f"g -> {SQL_CHAR_HASH.format(s='g')}))"
+    from data_pipelines_using_llm_spark.plans.dedup_queries import (
+        SQL_TOKEN_HASHES,
+        _sql_gram_fold,
     )
+
     return f"""
-WITH sh AS (
-    SELECT doc_id, unnest({hashed}) AS h FROM documents
+WITH tok AS (SELECT doc_id, {SQL_TOKEN_HASHES} AS th FROM documents),
+sh AS (
+    SELECT doc_id, unnest({_sql_gram_fold(DECON_NGRAM)}) AS h FROM tok
 ),
 ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % {DECON_EVAL_MOD} = 0),
 hits AS (
@@ -788,14 +794,26 @@ def doc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams feed three consumers, hence the persist barrier.
     """
     from data_pipelines_using_llm_spark.operators.caching import barrier
+    from data_pipelines_using_llm_spark.operators.dedup import gram_fold
 
     d = load_table(spark, sf_dir, "documents")
+    # token hashes materialize once (persist barrier), then grams are a
+    # 31-polynomial fold of n token hashes — ~6x fewer interpreted HOF
+    # steps than re-hashing every character of every gram string
+    # (operators/dedup.py::gram_hash_df discipline; non-distinct because
+    # per-doc multiplicity is part of the coverage signal)
+    # th MUST materialize behind its own barrier: gram_fold reads it via
+    # element_at n times per gram, and without a stored column Catalyst's
+    # projection collapse inlines the whole token-hash transform into
+    # EVERY reference (the 50x trap documented at
+    # operators/dedup.py::gram_hash_df)
+    th = barrier(
+        d.select("doc_id", F.transform(TX.tokens("text"), TX.char_hash).alias("th"))
+    )
     grams = barrier(
-        d.select(
+        th.select(
             "doc_id",
-            F.explode(
-                F.transform(TX.ngram_array("text", BP_NGRAM), TX.char_hash)
-            ).alias("h"),
+            F.explode(gram_fold(F.col("th"), BP_NGRAM, distinct=False)).alias("h"),
         )
     )
     freq = (
@@ -822,12 +840,16 @@ def doc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _boilerplate_oracle() -> str:
-    hashed = (
-        f"list_transform({sql_ngrams('text', BP_NGRAM)}, "
-        f"gr -> {SQL_CHAR_HASH.format(s='gr')})"
+    from data_pipelines_using_llm_spark.plans.dedup_queries import (
+        SQL_TOKEN_HASHES,
+        _sql_gram_fold,
     )
+
     return f"""
-WITH g AS (SELECT doc_id, unnest({hashed}) AS h FROM documents),
+WITH tok AS (SELECT doc_id, {SQL_TOKEN_HASHES} AS th FROM documents),
+g AS (SELECT doc_id,
+             unnest({_sql_gram_fold(BP_NGRAM, distinct=False)}) AS h
+      FROM tok),
 freq AS (
     SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY 1)
     WHERE n_docs >= {BP_MIN_DOCS}
