@@ -55,6 +55,7 @@ def timed(fn, runs: int = 2) -> float:
 def main() -> int:
     from data_pipelines_using_llm_spark.functions.exact import dec, exact_sum
     from data_pipelines_using_llm_spark.operators import similarity as SIM
+    from data_pipelines_using_llm_spark.operators.caching import release_barriers
     from data_pipelines_using_llm_spark.session import get_spark
     from data_pipelines_using_llm_spark.sources.tables import load_table
 
@@ -65,6 +66,7 @@ def main() -> int:
     cust = load_table(spark, SF_DIR, "customer")
     nat = load_table(spark, SF_DIR, "nation")
     emb0 = load_table(spark, SF_DIR, "embeddings")
+    doc0 = load_table(spark, SF_DIR, "documents")
     li0.count()  # warm
 
     results: dict[str, dict[str, float]] = {}
@@ -105,11 +107,51 @@ def main() -> int:
                 "noop"
             ).mode("overwrite").save()
 
+        def knn_int8():
+            SIM.knn_int8(emb, "vec_id", "embedding", query_mod=1000).write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        docs = inflate(doc0, ["doc_id"], factor).repartition(32)
+
+        def gram_census():
+            # boilerplate/decontamination shape: token-fold shingles,
+            # explode, hash-keyed frequency census
+            from data_pipelines_using_llm_spark.operators.dedup import gram_hash_df
+
+            (
+                gram_hash_df(docs, "doc_id", "text", 3)
+                .select(F.explode("grams").alias("h"))
+                .groupBy("h")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .write.format("noop").mode("overwrite").save()
+            )
+            release_barriers()
+
+        def chunk_map():
+            # doc_chunk_overlap shape: shuffle-free overlapping windows
+            from data_pipelines_using_llm_spark.operators.text import let, tokens
+
+            chunks = let(
+                tokens(F.col("text")),
+                lambda t: F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size(t) - 1, F.lit(0)), F.lit(48)),
+                    lambda s: F.array_join(F.slice(t, s + 1, 64), " "),
+                ),
+            )
+            (
+                docs.select("doc_id", F.explode(chunks).alias("chunk_text"))
+                .write.format("noop").mode("overwrite").save()
+            )
+
         results[f"{factor}x"] = {
             "rows_lineitem": li.count(),
             "q1_agg": timed(q1_agg),
             "fact_fact_join": timed(fact_fact_join),
             "knn_brute_force": timed(knn_brute),
+            "knn_int8": timed(knn_int8),
+            "gram_census": timed(gram_census),
+            "chunk_map": timed(chunk_map),
         }
 
     print(json.dumps({"metric": "scale_curve", "sf_base": 0.1, "results": results}))
