@@ -874,3 +874,64 @@ def knn_ivf_int8(
             "rank",
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    iters: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means cells bound the
+    candidate set, exact cosine inside each cell marks near-duplicates,
+    and the lowest id in each near-dup neighborhood survives.
+
+    Decision rule (deterministic, oracle-checkable): a vector is DROPPED
+    iff some lower-id vector in the SAME cell has cosine >= ``threshold``
+    with it; ``dup_of`` records the smallest such partner (or -1 for
+    survivors).  This is the greedy per-ball rule, not a transitive
+    closure — chains A~B~C with cos(A,C) < threshold keep only A (B and C
+    each see a lower-id partner).  For full transitive grouping compose
+    with operators/dedup.py::connected_components over the pair list.
+
+    At 100 TB: the quadratic pair scan never leaves a cell, and the cell
+    population is controlled by ``k`` — exactly the trick that makes
+    embedding dedup tractable at corpus scale (cluster first, compare
+    within clusters only).  The cell equi-join shuffles each vector once
+    on its cell id; no all-pairs product exists in the plan.
+    """
+    base = normed(df, id_col, vec_col)
+    cells = kmeans_assign(df, id_col, vec_col, k=k, iters=iters).select(
+        "vec_id", "cluster_id"
+    )
+    lbl = base.join(cells, "vec_id")
+    a, b = lbl.alias("a"), lbl.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("a.vec_id").alias("partner"),
+            (
+                dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    dups = pairs.groupBy("vec_id").agg(F.min("partner").alias("dup_of"))
+    return (
+        lbl.select("vec_id", "cluster_id")
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("dup_of").isNull().cast("int").alias("kept"),
+            F.coalesce("dup_of", F.lit(-1).cast("long")).alias("dup_of"),
+        )
+    )

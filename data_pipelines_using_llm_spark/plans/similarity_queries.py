@@ -279,12 +279,11 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf_kmeans_serve(*knn_ivf_kmeans_train(spark, sf_dir))
 
 
-def _ivf_kmeans_prefix(k: int = 10, iters: int = 2) -> str:
-    """Shared oracle prefix: k-means assignment CTEs (``_kmeans_oracle``
-    structure) + cell centroids + float probe ranking — everything up
-    through the ``probes`` CTE.  Consumed by both the float-scored
-    (``knn_ivf_kmeans``) and int8-scored (``knn_ivf_int8``) oracles so
-    the quantizer definition cannot drift between them."""
+def _kmeans_lbl_prefix(k: int = 10, iters: int = 2) -> str:
+    """K-means assignment oracle prefix — everything through the ``lbl``
+    CTE (vec_id, v, nrm, cell).  Shared by the IVF probe oracles (via
+    :func:`_ivf_kmeans_prefix`) and the semantic-dedup oracle so the
+    quantizer definition cannot drift between them."""
     ctes = [f"c0 AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < {k})"]
     prev = "c0"
     for it in range(1, iters + 1):
@@ -325,7 +324,15 @@ asg AS (
     ) WHERE rn = 1
 ),
 lbl AS (SELECT n.vec_id, n.v, n.nrm, a.cell
-        FROM n JOIN asg a ON a.vec_id = n.vec_id),
+        FROM n JOIN asg a ON a.vec_id = n.vec_id)"""
+
+
+def _ivf_kmeans_prefix(k: int = 10, iters: int = 2) -> str:
+    """Shared oracle prefix: :func:`_kmeans_lbl_prefix` + cell centroids
+    + float probe ranking — everything up through the ``probes`` CTE.
+    Consumed by both the float-scored (``knn_ivf_kmeans``) and
+    int8-scored (``knn_ivf_int8``) oracles."""
+    return f"""{_kmeans_lbl_prefix(k, iters)},
 comp AS (
     SELECT cell, t.i AS pos, v[t.i] AS x
     FROM lbl, range(1, {SIM.DIM + 1}) t(i)
@@ -438,6 +445,37 @@ ranked AS (
 SELECT query_id, neighbor_id, round(cos, 6) AS cosine_sim,
        CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {K}
+"""
+
+
+SEMDEDUP_THRESHOLD = PAIR_THRESHOLD
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means cells (same learned
+    quantizer as ``knn_ivf_kmeans``) bound the candidate set, exact
+    cosine >= 0.4 inside a cell marks near-dups, lowest id survives.
+    See operators/similarity.py::semantic_dedup for the scale story."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(
+        e, "vec_id", "embedding", k=10, iters=2, threshold=SEMDEDUP_THRESHOLD
+    )
+
+
+def _dedup_semantic_oracle(k: int = 10, iters: int = 2) -> str:
+    """Same k-means assignment prefix as the IVF oracles; the pair scan
+    and keep rule mirror operators/similarity.py::semantic_dedup."""
+    return f"""{_kmeans_lbl_prefix(k, iters)},
+sd_pairs AS (
+    SELECT b.vec_id AS vid, a.vec_id AS partner
+    FROM lbl a JOIN lbl b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE {_sql_dot('a.v', 'b.v')} / (a.nrm * b.nrm) >= {SEMDEDUP_THRESHOLD}
+),
+sd_dups AS (SELECT vid, min(partner) AS dup_of FROM sd_pairs GROUP BY vid)
+SELECT l.vec_id, CAST(l.cell AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN d.vid IS NULL THEN 1 ELSE 0 END AS INT) AS kept,
+       CAST(coalesce(d.dup_of, -1) AS BIGINT) AS dup_of
+FROM lbl l LEFT JOIN sd_dups d ON d.vid = l.vec_id
 """
 
 
@@ -595,4 +633,5 @@ QUERIES = {
     "knn_ivf_int8": QuerySpec(knn_ivf_int8, _knn_ivf_int8_oracle(), "IVF (k-means) + int8 codes: probe float, score compressed"),
     "knn_int8": QuerySpec(knn_int8, KNN_INT8_ORACLE, "int8-quantized cosine top-k (exact integer kernel)"),
     "embedding_cosine_pairs": QuerySpec(embedding_cosine_pairs, _pairs_oracle(), "cosine near-dup pairs"),
+    "dedup_semantic": QuerySpec(dedup_semantic, _dedup_semantic_oracle(), "SemDeDup: k-means cells + within-cell cosine, lowest id survives"),
 }

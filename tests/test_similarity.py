@@ -169,3 +169,38 @@ def test_knn_ivf_int8_matches_float_ivf(spark):
     hits = sum(len(a[q] & b.get(q, set())) for q in a)
     agreement = hits / sum(len(v) for v in a.values())
     assert agreement >= 0.9, agreement
+
+
+def test_semantic_dedup_keep_rule(spark):
+    """Recompute the SemDeDup decision rule in numpy at sf0.001: a vector
+    is dropped iff some lower-id vector in its k-means cell has cosine >=
+    threshold, and dup_of is the smallest such partner."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["vec_id"]: r for r in SQ.dedup_semantic(spark, sf).collect()}
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    }
+    cells: dict[int, list[int]] = {}
+    for vid, r in out.items():
+        cells.setdefault(r["cluster_id"], []).append(vid)
+    dropped = 0
+    for vid, r in out.items():
+        v = emb[vid]
+        partners = [
+            o
+            for o in cells[r["cluster_id"]]
+            if o < vid
+            and float(emb[o] @ v)
+            / (np.linalg.norm(emb[o]) * np.linalg.norm(v))
+            >= SQ.SEMDEDUP_THRESHOLD - 1e-9
+        ]
+        if r["kept"]:
+            assert not partners, (vid, partners)
+            assert r["dup_of"] == -1
+        else:
+            dropped += 1
+            assert r["dup_of"] == min(partners), (vid, r["dup_of"], partners)
+    assert dropped >= 1  # threshold chosen so the rule actually fires
