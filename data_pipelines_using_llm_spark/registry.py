@@ -40,6 +40,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipelines,
         quality_queries,
         relational,
+        retrieval_queries,
         similarity_queries,
         skew_queries,
         split_queries,
@@ -61,6 +62,7 @@ def all_queries() -> dict[str, QuerySpec]:
         quality_queries,
         dedup_queries,
         similarity_queries,
+        retrieval_queries,
         text_queries,
         multimodal_queries,
         llm_queries,
