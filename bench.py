@@ -85,6 +85,10 @@ HEADLINE = [
     "doc_weighted_sample",
     "knn_int8",
     "knn_ivf_int8",
+    "dedup_semantic",
+    "doc_bm25_search",
+    "supplier_pagerank",
+    "user_value_ewma",
     "doc_chunk_overlap",
     "doc_boilerplate_ngrams",
     "reach_sketch_rollup",

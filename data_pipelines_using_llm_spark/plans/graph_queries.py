@@ -1,0 +1,107 @@
+"""Graph-analytics query pack — PageRank over the customer↔supplier
+trade network.
+
+Nodes are customers (even ids, ``2*custkey``) and suppliers (odd ids,
+``2*suppkey + 1``); an undirected edge links a customer to every supplier
+that shipped one of its orders (orders ⋈ lineitem, distinct pairs, both
+directions materialized so every vertex has out-degree >= 1).  Two
+damped iterations, unrolled into CTEs on the oracle side exactly like
+the k-means oracle (plans/similarity_queries.py::_kmeans_oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipelines_using_llm_spark.operators.graph import DAMPING, pagerank
+from data_pipelines_using_llm_spark.registry import QuerySpec
+from data_pipelines_using_llm_spark.sources.tables import load_table
+
+PR_ITERS = 2
+
+
+def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality of every customer and supplier in the trade
+    graph, normalized so the graph-wide mean is 1.0."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cnode").alias("src"), F.col("snode").alias("dst")
+    ).union(pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst")))
+    pr = pagerank(edges, iters=PR_ITERS, damping=DAMPING)
+    n_df = pr.agg(F.count(F.lit(1)).alias("n"))
+    return pr.crossJoin(F.broadcast(n_df)).select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        (F.col("node") / 2).cast("long").alias("node_key"),
+        F.round(F.col("r") * F.col("n"), 6).alias("pr_score"),
+    )
+
+
+def _pagerank_oracle(iters: int = PR_ITERS, damping: float = DAMPING) -> str:
+    ctes = [
+        """pairs AS (
+    SELECT DISTINCT o.o_custkey * 2 AS cnode, l.l_suppkey * 2 + 1 AS snode
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)""",
+        """edges AS (
+    SELECT cnode AS src, snode AS dst FROM pairs
+    UNION ALL
+    SELECT snode AS src, cnode AS dst FROM pairs
+)""",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        """nodes AS (
+    SELECT DISTINCT src AS node FROM edges
+    UNION
+    SELECT DISTINCT dst AS node FROM edges
+)""",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "r0 AS (SELECT node, 1.0 / n AS r FROM nodes CROSS JOIN nn)",
+    ]
+    prev = "r0"
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"""c{it} AS (
+    SELECT e.dst AS node,
+           list_reduce(list_prepend(0.0,
+               array_agg(r.r / d.deg ORDER BY e.src)), (acc, x) -> acc + x) AS s
+    FROM edges e
+    JOIN {prev} r ON r.node = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+)"""
+        )
+        ctes.append(
+            f"""r{it} AS (
+    SELECT nd.node, {1 - damping!r} / nn.n + {damping!r} * coalesce(c.s, 0.0) AS r
+    FROM nodes nd CROSS JOIN nn LEFT JOIN c{it} c ON c.node = nd.node
+)"""
+        )
+        prev = f"r{it}"
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       CAST(node // 2 AS BIGINT) AS node_key,
+       round(r * nn.n, 6) AS pr_score
+FROM {prev} CROSS JOIN nn
+"""
+
+
+QUERIES = {
+    "supplier_pagerank": QuerySpec(
+        supplier_pagerank,
+        _pagerank_oracle(),
+        "PageRank over the customer-supplier trade graph (2 damped rounds)",
+    ),
+}

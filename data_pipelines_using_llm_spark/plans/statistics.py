@@ -158,6 +158,65 @@ FROM s
 """
 
 
+EWMA_ALPHA = 0.2
+
+
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values —
+    the recursive-state sequential computation (``s_t = α·v_t +
+    (1-α)·s_{t-1}``, seeded with the first value) that no associative
+    aggregate can express.
+
+    Implemented as a SORTED FOLD: collect the (ts, event_id, value)
+    sequence per user, sort, seed with element 1, fold the tail.  The
+    fold order matches the oracle's ``array_agg(... ORDER BY ts,
+    event_id)`` + ``list_reduce`` (whose first element is the init), so
+    the recursion produces bit-identical doubles cross-engine.  At
+    100 TB the per-user array is bounded by one user's activity — the
+    same per-key-sequence assumption every sessionizer makes; for
+    unbounded keys, chunk by time range and carry the seed forward
+    (exactly what streaming ``transformWithState`` does incrementally).
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    arr = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias(
+            "seq"
+        )
+    )
+    ewma = F.aggregate(
+        F.expr("slice(seq, 2, size(seq) - 1)"),
+        F.element_at(F.col("seq"), 1)["value"],
+        lambda acc, s: F.lit(EWMA_ALPHA) * s["value"]
+        + F.lit(1 - EWMA_ALPHA) * acc,
+    )
+    return arr.select(
+        "user_id",
+        F.size("seq").alias("n_events"),
+        F.round(ewma, 6).alias("ewma_value"),
+    )
+
+
+USER_VALUE_EWMA_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id,
+           array_agg(value ORDER BY ts, event_id) AS vals
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(vals) AS INT) AS n_events,
+       round(list_reduce(vals,
+             (acc, x) -> {EWMA_ALPHA!r} * x + {1 - EWMA_ALPHA!r} * acc), 6)
+           AS ewma_value
+FROM seq
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "value_hour_correlation": QuerySpec(
         value_hour_correlation,
@@ -173,5 +232,10 @@ QUERIES: dict[str, QuerySpec] = {
         value_skewness,
         VALUE_SKEWNESS_ORACLE,
         "population skewness from exact Σx/Σx²/Σx³",
+    ),
+    "user_value_ewma": QuerySpec(
+        user_value_ewma,
+        USER_VALUE_EWMA_ORACLE,
+        "per-user EWMA via deterministic sorted fold (recursive state)",
     ),
 }

@@ -35,6 +35,7 @@ def all_queries() -> dict[str, QuerySpec]:
         decision_support,
         dedup_queries,
         expectation_queries,
+        graph_queries,
         llm_queries,
         multimodal_queries,
         pipelines,
@@ -59,6 +60,7 @@ def all_queries() -> dict[str, QuerySpec]:
         warehouse,
         cdc_queries,
         expectation_queries,
+        graph_queries,
         quality_queries,
         dedup_queries,
         similarity_queries,
