@@ -619,13 +619,18 @@ def knn_arrow(
     by ``max_queries`` BEFORE pulling rows to the driver: at 100 TB
     "corpus / query_mod" is a corpus-sized fraction that must never land
     on the driver, so an oversized query set fails fast instead of
-    OOM-ing.  The guard probes ``limit(max_queries + 1)`` — a cheap
-    early-out scan, not a full count.
+    OOM-ing.  The guard is folded into the collect itself — ONE
+    ``limit(max_queries + 1)`` job (early-out scan) whose result either
+    raises or IS the query block, instead of a count job followed by a
+    second full collect of the same rows (the r5 1.78x bench
+    regression).
 
     numpy's pairwise-summed dot differs from the JVM sequential fold in
-    the last ulp, so this variant has no cross-engine hash oracle; the
-    agreement test (tests/test_similarity.py) checks its per-query score
-    sets against :func:`knn_brute_force` at 1e-9.
+    the last ulp, so the SCORES have no cross-engine hash oracle; the
+    RANKS do — the registered query (plans/similarity_queries.py) strips
+    scores and hash-gates (query_id, neighbor_id, rank, near_tie).  The
+    agreement test (tests/test_similarity.py) additionally checks the
+    per-query score sets against :func:`knn_brute_force` at 1e-9.
     """
     import numpy as np
     import pandas as pd
@@ -635,12 +640,12 @@ def knn_arrow(
     qsel = queries.select(
         F.col(id_col).alias("query_id"), to_double(vec_col).alias("qv")
     )
-    if qsel.limit(max_queries + 1).count() > max_queries:
+    qrows = qsel.limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
         raise ValueError(
             f"knn_arrow query set exceeds max_queries={max_queries}; "
             "pass an explicit small `queries` DataFrame or raise the cap"
         )
-    qrows = qsel.collect()
     q_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     Q = np.array([r["qv"] for r in qrows], dtype=np.float64)
     qn = np.linalg.norm(Q, axis=1)
@@ -876,13 +881,18 @@ def knn_ivf_int8(
     )
 
 
+DEFAULT_CELL_SIZE = 50
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int = 10,
+    k: int | None = None,
     iters: int = 2,
     threshold: float = 0.4,
+    target_cell_size: int = DEFAULT_CELL_SIZE,
+    max_cell_factor: float = 8.0,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: k-means cells bound the
     candidate set, exact cosine inside each cell marks near-duplicates,
@@ -896,17 +906,47 @@ def semantic_dedup(
     each see a lower-id partner).  For full transitive grouping compose
     with operators/dedup.py::connected_components over the pair list.
 
-    At 100 TB: the quadratic pair scan never leaves a cell, and the cell
-    population is controlled by ``k`` — exactly the trick that makes
-    embedding dedup tractable at corpus scale (cluster first, compare
-    within clusters only).  The cell equi-join shuffles each vector once
-    on its cell id; no all-pairs product exists in the plan.
+    At 100 TB: the quadratic pair scan never leaves a cell, so total pair
+    work is Σ|cell|² ≈ N · avg_cell — tractable ONLY if the cell count
+    grows with the corpus (SemDeDup production runs use ~10⁵ clusters).
+    That sizing is therefore not left to the caller by default: when
+    ``k`` is None it is derived as ``ceil(N / target_cell_size)`` from a
+    control-plane count, and after assignment an oversized-cell guard
+    (one tiny aggregate over cell populations) raises if any cell exceeds
+    ``max_cell_factor x target`` — a degenerate clustering (all points in
+    one cell = silent O(N²)) fails loudly instead of hanging the stage.
+    Pass an explicit ``k`` to pin the quantizer (e.g. to match a
+    pre-generated oracle); the guard still runs against N/k.  The cell
+    equi-join shuffles each vector once on its cell id; no all-pairs
+    product exists in the plan.
     """
+    import math
+
+    n_vecs = df.count()
+    if k is None:
+        k = max(1, math.ceil(n_vecs / target_cell_size))
     base = normed(df, id_col, vec_col)
     cells = kmeans_assign(df, id_col, vec_col, k=k, iters=iters).select(
         "vec_id", "cluster_id"
     )
-    lbl = base.join(cells, "vec_id")
+    # referenced three times below (both self-join sides + the keep-rule
+    # join): persist so the kmeans lineage runs once, not three times
+    lbl = barrier(base.join(cells, "vec_id"))
+    cell_bound = max(1.0, max_cell_factor * n_vecs / k)
+    max_pop = (
+        lbl.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("pop"))
+        .agg(F.max("pop").alias("mx"))
+        .first()["mx"]
+    )
+    if max_pop is not None and max_pop > cell_bound:
+        raise ValueError(
+            f"semantic_dedup cell population {max_pop} exceeds bound "
+            f"{cell_bound:.0f} (= {max_cell_factor} x N/k, N={n_vecs}, "
+            f"k={k}); the within-cell pair scan would degenerate toward "
+            "O(N^2) — raise k / lower target_cell_size, or pre-split the "
+            "oversized cells (e.g. LSH sub-buckets) before dedup"
+        )
     a, b = lbl.alias("a"), lbl.alias("b")
     pairs = (
         a.join(

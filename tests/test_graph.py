@@ -33,11 +33,41 @@ def test_pagerank_hub_ranks_highest(spark):
     # hand-rolled two iterations (N=5, d=0.85)
     n, d = 5, 0.85
     r_hub = (1 - d) / n + d * sum((1 / n) / 1 for _ in spokes)
+    out1 = {r["node"]: r["r"] for r in pagerank(edges, iters=1).collect()}
+    assert out1[1] == pytest.approx(r_hub)  # iteration-1 hub invariant
     r_spoke = (1 - d) / n + d * ((1 / n) / 4)
     r_hub2 = (1 - d) / n + d * sum(r_spoke / 1 for _ in spokes)
     assert out[1] == pytest.approx(r_hub2)
     assert sum(out.values()) == pytest.approx(1.0)
-    del r_hub
+
+
+def test_pagerank_dangling_vertex_raises_by_default(spark):
+    """A sink vertex (out-degree 0) leaks rank mass; the default mode
+    enforces the docstring contract instead of silently leaking."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src bigint, dst bigint"  # 3 is a pure sink
+    )
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank(edges, iters=1)
+
+
+def test_pagerank_dangling_redistribute_conserves_mass(spark):
+    """dangling='redistribute' hands the sink's mass back uniformly:
+    ranks must again sum to ~1 on a chain with a sink, every iteration
+    count."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src bigint, dst bigint"
+    )
+    for iters in (1, 2, 3):
+        out = {
+            r["node"]: r["r"]
+            for r in pagerank(
+                edges, iters=iters, dangling="redistribute"
+            ).collect()
+        }
+        assert sum(out.values()) == pytest.approx(1.0), iters
+    # downstream of the chain accumulates: 3 ranks above 1 after mixing
+    assert out[3] > out[1]
 
 
 def test_supplier_pagerank_shape(spark):
@@ -91,3 +121,33 @@ def test_user_value_ewma_pack_runs(spark):
     df = user_value_ewma(spark, "/root/testdata/sf0.001").toPandas()
     assert len(df) > 0
     assert (df["n_events"] >= 1).all()
+
+
+def test_user_value_ewma_chunked_bit_equal(spark):
+    """The bounded-memory chunk-and-carry variant must be BIT-equal to
+    the unchunked sorted fold (fold(a ++ b, s) = fold(b, fold(a, s)) and
+    month boundaries respect the sort order) — exact ==, no approx."""
+    from data_pipelines_using_llm_spark.plans.statistics import (
+        user_value_ewma_chunked,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = {
+        r["user_id"]: (r["n_events"], r["ewma_value"])
+        for r in user_value_ewma(spark, sf).collect()
+    }
+    b = {
+        r["user_id"]: (r["n_events"], r["ewma_value"])
+        for r in user_value_ewma_chunked(spark, sf).collect()
+    }
+    assert a == b
+    # the per-task array in any round is bounded by ONE chunk's events:
+    # at least two distinct week chunks must exist for the carry path to
+    # actually be exercised (the testdata spans ~5 weeks)
+    weeks = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select(F.date_trunc("week", "ts"))
+        .distinct()
+        .count()
+    )
+    assert weeks >= 2

@@ -74,9 +74,19 @@ def test_lsh_recall_vs_exact(spark):
 def test_knn_arrow_agrees_with_exact(spark):
     """The Arrow GEMM path must produce the same per-query score multiset
     as the JVM sequential-fold exact query (neighbor identity can differ
-    only on exact score ties; scores themselves match to 1e-9)."""
+    only on exact score ties; scores themselves match to 1e-9).  Calls
+    the OPERATOR (which still returns scores) — the registered query
+    strips them and is rank-hash-gated against its own oracle instead."""
+    from data_pipelines_using_llm_spark.operators import similarity as SIM
+    from data_pipelines_using_llm_spark.plans.similarity_queries import (
+        K,
+        QUERY_MOD,
+    )
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings")
     exact = SQ.knn_brute_force(spark, SF_DIR).collect()
-    arrow = SQ.knn_arrow(spark, SF_DIR).collect()
+    arrow = SIM.knn_arrow(e, "vec_id", "embedding", QUERY_MOD, K).collect()
 
     def by_query(rows):
         out: dict[int, list[float]] = {}
@@ -204,3 +214,40 @@ def test_semantic_dedup_keep_rule(spark):
             dropped += 1
             assert r["dup_of"] == min(partners), (vid, r["dup_of"], partners)
     assert dropped >= 1  # threshold chosen so the rule actually fires
+
+
+def test_semantic_dedup_cell_population_bounded_sf01(spark):
+    """The target-cell-size parameterization must hold at bench scale:
+    at sf0.1 (2000 vectors) k derives to 40 and no cell may exceed the
+    guard bound (8 x N/k = 8 x target_cell_size).  The measured max is
+    recorded in SCALE.md; this pins the bound so it can't rot."""
+    from data_pipelines_using_llm_spark.operators import similarity as SIM
+
+    sf = "/root/testdata/sf0.1"
+    # the operator itself raises if the bound is violated; also measure
+    out = SQ.dedup_semantic(spark, sf)
+    pops = (
+        out.groupBy("cluster_id")
+        .count()
+        .agg(F.max("count").alias("mx"), F.count("*").alias("cells"))
+        .first()
+    )
+    n = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    k = -(-n // SIM.DEFAULT_CELL_SIZE)
+    assert pops["cells"] <= k
+    assert pops["mx"] <= 8.0 * n / k, (pops["mx"], n, k)
+
+
+def test_semantic_dedup_oversized_cell_guard_raises(spark):
+    """A degenerate clustering (identical vectors -> one cell) must fail
+    loudly instead of silently running the O(N^2) within-cell scan."""
+    import pytest
+
+    from data_pipelines_using_llm_spark.operators import similarity as SIM
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    with pytest.raises(ValueError, match="cell population"):
+        SIM.semantic_dedup(
+            df, "vec_id", "embedding", target_cell_size=10, max_cell_factor=2.0
+        ).collect()
