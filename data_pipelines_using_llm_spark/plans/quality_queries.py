@@ -52,9 +52,11 @@ WITH t AS (SELECT count(*) AS total_records,
 SELECT 'value' AS "column", value_nulls AS nulls,
        round(value_nulls * 100.0 / total_records, 4) AS null_pct, total_records FROM t
 UNION ALL
-SELECT 'props', props_nulls, round(props_nulls * 100.0 / total_records, 4), total_records FROM t
+SELECT 'props', props_nulls,
+       round(props_nulls * 100.0 / total_records, 4), total_records FROM t
 UNION ALL
-SELECT 'event_type', event_type_nulls, round(event_type_nulls * 100.0 / total_records, 4), total_records FROM t
+SELECT 'event_type', event_type_nulls,
+       round(event_type_nulls * 100.0 / total_records, 4), total_records FROM t
 """
 
 
@@ -183,9 +185,9 @@ def monitoring_view_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q6 monitoring view body (``First experiment/Claude Sonnet 4.py:651-690``):
     per-ingestion-bucket counts, nulls and averages."""
     e = load_table(spark, sf_dir, "events")
-    return quality.monitoring_summary(e, F.date_trunc("day", F.col("ts")), ["value"]).withColumnRenamed(
-        "bucket", "event_date"
-    )
+    return quality.monitoring_summary(
+        e, F.date_trunc("day", F.col("ts")), ["value"]
+    ).withColumnRenamed("bucket", "event_date")
 
 
 MONITORING_VIEW_ORACLE = """
@@ -403,16 +405,45 @@ FROM events
 
 
 QUERIES = {
-    "null_profile_events": QuerySpec(null_profile_events, NULL_PROFILE_ORACLE, "Q1 one-pass null profile"),
-    "sql_bronze_stats": QuerySpec(sql_bronze_stats, SQL_BRONZE_STATS, "SQL-first entry point (A4)"),
-    "summary_stats_events": QuerySpec(summary_stats_events, SUMMARY_STATS_ORACLE, "A6 one-pass summary statistics"),
-    "value_percentiles": QuerySpec(value_percentiles, VALUE_PERCENTILES_ORACLE, "exact percentiles (approx at scale)"),
-    "value_percentiles_approx": QuerySpec(value_percentiles_approx, VALUE_PERCENTILES_APPROX_ORACLE, "percentile sketch vs exact rank band (cross-engine gate)"),
-    "null_rate_report_events": QuerySpec(null_rate_report_events, NULL_RATE_REPORT_ORACLE, "Q1 tall null-rate report"),
-    "duplicate_stats_events": QuerySpec(duplicate_stats_events, DUPLICATE_STATS_ORACLE, "Q2 dup stats"),
-    "duplicate_profile_user_day": QuerySpec(duplicate_profile_user_day, DUPLICATE_PROFILE_ORACLE, "Q2 top dup keys"),
-    "completeness_events": QuerySpec(completeness_events, COMPLETENESS_ORACLE, "Q7 completeness"),
-    "quality_report_events": QuerySpec(quality_report_events, QUALITY_REPORT_ORACLE, "Q4 quality report"),
-    "health_check_events": QuerySpec(health_check_events, HEALTH_CHECK_ORACLE, "Q5 health check"),
-    "monitoring_view_events": QuerySpec(monitoring_view_events, MONITORING_VIEW_ORACLE, "Q6 monitoring view"),
+    "null_profile_events": QuerySpec(
+        null_profile_events, NULL_PROFILE_ORACLE, "Q1 one-pass null profile"
+    ),
+    "sql_bronze_stats": QuerySpec(
+        sql_bronze_stats, SQL_BRONZE_STATS, "SQL-first entry point (A4)"
+    ),
+    "summary_stats_events": QuerySpec(
+        summary_stats_events, SUMMARY_STATS_ORACLE,
+        "A6 one-pass summary statistics",
+    ),
+    "value_percentiles": QuerySpec(
+        value_percentiles, VALUE_PERCENTILES_ORACLE,
+        "exact percentiles (approx at scale)",
+    ),
+    "value_percentiles_approx": QuerySpec(
+        value_percentiles_approx, VALUE_PERCENTILES_APPROX_ORACLE,
+        "percentile sketch vs exact rank band (cross-engine gate)",
+    ),
+    "null_rate_report_events": QuerySpec(
+        null_rate_report_events, NULL_RATE_REPORT_ORACLE,
+        "Q1 tall null-rate report",
+    ),
+    "duplicate_stats_events": QuerySpec(
+        duplicate_stats_events, DUPLICATE_STATS_ORACLE, "Q2 dup stats"
+    ),
+    "duplicate_profile_user_day": QuerySpec(
+        duplicate_profile_user_day, DUPLICATE_PROFILE_ORACLE,
+        "Q2 top dup keys",
+    ),
+    "completeness_events": QuerySpec(
+        completeness_events, COMPLETENESS_ORACLE, "Q7 completeness"
+    ),
+    "quality_report_events": QuerySpec(
+        quality_report_events, QUALITY_REPORT_ORACLE, "Q4 quality report"
+    ),
+    "health_check_events": QuerySpec(
+        health_check_events, HEALTH_CHECK_ORACLE, "Q5 health check"
+    ),
+    "monitoring_view_events": QuerySpec(
+        monitoring_view_events, MONITORING_VIEW_ORACLE, "Q6 monitoring view"
+    ),
 }
