@@ -99,6 +99,12 @@ HEADLINE = [
     "events_expectations",
     "user_value_locf",
     "hourly_trend_dense",
+    # r6 additions: bounded-memory EWMA, corpus-LM scoring, hard-negative
+    # mining, temperature rebalancing, rank-gated arrow ANN companion
+    "user_value_ewma_chunked",
+    "doc_unigram_logprob",
+    "embedding_hard_negatives",
+    "doc_temperature_mixture",
     # streaming
     "stream_hourly_counts",
     "stream_click_purchase_join",

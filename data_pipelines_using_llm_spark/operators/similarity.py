@@ -595,6 +595,61 @@ def cosine_pairs(
     )
 
 
+def hard_negatives(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_cos: float = 0.4,
+    k: int = 3,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per
+    anchor vector, the ``k`` highest-cosine candidates that are still
+    BELOW the near-duplicate threshold (``max_cos``) — close enough to
+    be confusable, far enough to be true negatives.  Candidates come
+    from the same LSH band join as :func:`cosine_pairs` (near-misses
+    collide in some bucket; uniform-random vectors mostly don't), so
+    the mining cost tracks true near-neighbor density, never the
+    all-pairs product.
+
+    Determinism: cosines are sequential-fold dots (bit-identical
+    cross-engine), ranking breaks ties by negative id, so the result
+    hash-gates with no float caveat.
+    """
+    buck = _bucketed(normed(df, id_col, vec_col))
+    a, b = buck.alias("a"), buck.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("anchor_id"),
+            F.col("b.vec_id").alias("negative_id"),
+            (
+                dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cos"),
+        )
+        .dropDuplicates(["anchor_id", "negative_id"])
+        .filter(F.col("cos") < max_cos)
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").desc(), F.col("negative_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "anchor_id",
+            "negative_id",
+            F.round("cos", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
 def knn_arrow(
     df: DataFrame,
     id_col: str,

@@ -231,3 +231,79 @@ def mixture_sample(
         .withColumn(epoch_col, F.col(epoch_col).cast("int"))
         .drop("_copies")
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    alpha: float = 0.7,
+    salt: int = DEFAULT_SALT,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Temperature-scaled mixture resampling — the standard pretraining
+    domain-balancing recipe: sampling probability per domain is
+    ``p_s ∝ (n_s / N)^alpha`` (alpha < 1 flattens the distribution,
+    upweighting rare domains; alpha = 1 is natural proportions), with
+    the output corpus kept at N docs in expectation, so the per-doc
+    replication rate is ``r_s = p_s * N / n_s``.
+
+    Unlike :func:`mixture_sample`, the rates are DERIVED FROM THE DATA
+    (per-domain counts), not caller constants — so the whole derivation
+    stays in-plan: the domain census is a tiny aggregate that broadcasts
+    back onto the docs, the normalizer ``Z = Σ (n_s/N)^alpha`` is a
+    SORTED fold over the (few) domains so its double summation order is
+    engine-independent, and copy membership reuses the Lehmer hash
+    threshold.  The one libm call (``pow``) feeds an integer threshold
+    via ``floor`` — a last-ulp divergence flips a doc's membership only
+    if its hash equals the exact boundary integer (P ≈ |docs| / 2^31
+    per domain).
+
+    Scale: one tiny census aggregate + broadcast join + explode; the
+    corpus itself never shuffles.
+    """
+    sc_ = F.col(strata_col)
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_s"))
+    tot = counts.agg(F.sum("n_s").alias("n_tot"))
+    w = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            strata_col,
+            "n_s",
+            "n_tot",
+            F.pow(F.col("n_s").cast("double") / F.col("n_tot"), F.lit(alpha)).alias(
+                "w_s"
+            ),
+        )
+    )
+    z = w.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(strata_col, "w_s"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["w_s"],
+        ).alias("z")
+    )
+    rates = (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            strata_col,
+            (F.col("w_s") * F.col("n_tot") / (F.col("z") * F.col("n_s"))).alias(
+                "rate"
+            ),
+        )
+    )
+    n_full = F.floor(F.col("rate"))
+    thresh = F.floor((F.col("rate") - F.floor(F.col("rate"))) * F.lit(LEHMER_M)).cast(
+        "long"
+    )
+    copies = (n_full + (split_hash(id_col, salt) < thresh).cast("long")).alias(
+        "_copies"
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .withColumn("_copies", copies)
+        .filter(F.col("_copies") >= 1)
+        .withColumn(epoch_col, F.explode(F.sequence(F.lit(1), F.col("_copies"))))
+        .withColumn(epoch_col, F.col(epoch_col).cast("int"))
+        .drop("_copies")
+    )

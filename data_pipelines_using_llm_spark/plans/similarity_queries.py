@@ -569,6 +569,47 @@ WHERE {_sql_dot('va', 'vb')} / (na * nb) >= {PAIR_THRESHOLD}
 """
 
 
+HARD_NEG_MAX_COS = PAIR_THRESHOLD  # below the near-dup bar
+HARD_NEG_K = 3
+
+
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data prep: per anchor, the top-3
+    highest-cosine LSH-bucket candidates below the near-dup threshold
+    (operators/similarity.py::hard_negatives)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.hard_negatives(
+        e, "vec_id", "embedding", HARD_NEG_MAX_COS, HARD_NEG_K
+    )
+
+
+def _hard_negatives_oracle() -> str:
+    return f"""
+WITH {_SQL_BASE},
+{_sql_banded()},
+cand AS (
+    SELECT DISTINCT a.vec_id AS anchor_id, a.v AS va, a.nrm AS na,
+                    b.vec_id AS negative_id, b.v AS vb, b.nrm AS nb
+    FROM banded a JOIN banded b
+      ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id != b.vec_id
+),
+scored AS (
+    SELECT anchor_id, negative_id,
+           {_sql_dot('va', 'vb')} / (na * nb) AS cos
+    FROM cand
+),
+ranked AS (
+    SELECT anchor_id, negative_id, cos,
+           row_number() OVER (PARTITION BY anchor_id
+                              ORDER BY cos DESC, negative_id) AS rank
+    FROM scored WHERE cos < {HARD_NEG_MAX_COS}
+)
+SELECT anchor_id, negative_id, round(cos, 6) AS cosine_sim,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {HARD_NEG_K}
+"""
+
+
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means (k=10, 2 iterations, deterministic seeding) over
     the embeddings — the iterative-algorithm shape on Spark, with the
@@ -700,5 +741,6 @@ QUERIES = {
     "knn_ivf_int8": QuerySpec(knn_ivf_int8, _knn_ivf_int8_oracle(), "IVF (k-means) + int8 codes: probe float, score compressed"),
     "knn_int8": QuerySpec(knn_int8, KNN_INT8_ORACLE, "int8-quantized cosine top-k (exact integer kernel)"),
     "embedding_cosine_pairs": QuerySpec(embedding_cosine_pairs, _pairs_oracle(), "cosine near-dup pairs"),
+    "embedding_hard_negatives": QuerySpec(embedding_hard_negatives, _hard_negatives_oracle(), "contrastive hard-negative mining via LSH buckets"),
     "dedup_semantic": QuerySpec(dedup_semantic, _dedup_semantic_oracle(), "SemDeDup: k-means cells + within-cell cosine, lowest id survives"),
 }

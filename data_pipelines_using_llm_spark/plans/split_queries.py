@@ -20,6 +20,7 @@ from data_pipelines_using_llm_spark.operators.split import (
     mixture_sample,
     split_hash,
     sql_mixture_copies,
+    temperature_mixture,
     sql_split_case,
     sql_split_hash,
     stratified_sample_exact,
@@ -139,6 +140,55 @@ SELECT doc_id, source, CAST(epoch AS INT) AS epoch FROM (
                    AS copies
         FROM documents
     )
+)
+"""
+
+
+MIXTURE_ALPHA = 0.7
+
+
+def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.7) LANGUAGE rebalancing with rates
+    derived from the per-language census in-plan — see
+    operators/split.py::temperature_mixture.  Strata are ``lang``, not
+    ``source``: the generated sources are uniform (rate would be exactly
+    1.0 everywhere — a vacuous gate), while languages are skewed (en is
+    ~40% of docs), so English downsamples below rate 1 and the tail
+    languages replicate above it — both the fractional-membership hash
+    and the multi-epoch explode actually fire."""
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mixture(docs, "lang", "doc_id", MIXTURE_ALPHA).select(
+        "doc_id", "lang", "epoch", F.round("rate", 6).alias("rate")
+    )
+
+
+DOC_TEMPERATURE_MIXTURE_ORACLE = f"""
+WITH counts AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY 1),
+tot AS (SELECT sum(n_s) AS n_tot FROM counts),
+w AS (
+    SELECT lang, n_s, n_tot,
+           pow(CAST(n_s AS DOUBLE) / n_tot, {MIXTURE_ALPHA}) AS w_s
+    FROM counts, tot
+),
+z AS (
+    SELECT list_reduce(list_prepend(0.0, array_agg(w_s ORDER BY lang)),
+                       (acc, x) -> acc + x) AS z
+    FROM w
+),
+r AS (SELECT lang, w_s * n_tot / (z * n_s) AS rate FROM w, z),
+c AS (
+    SELECT d.doc_id, d.lang, r.rate,
+           CAST(floor(r.rate) AS BIGINT)
+           + CASE WHEN {sql_split_hash('d.doc_id')}
+                       < CAST(floor((r.rate - floor(r.rate))
+                                    * {LEHMER_M}) AS BIGINT)
+                  THEN 1 ELSE 0 END AS copies
+    FROM documents d JOIN r USING (lang)
+)
+SELECT doc_id, lang, CAST(epoch AS INT) AS epoch, round(rate, 6) AS rate
+FROM (
+    SELECT doc_id, lang, rate, unnest(range(1, copies + 1)) AS epoch
+    FROM c WHERE copies >= 1
 )
 """
 
@@ -306,6 +356,11 @@ QUERIES = {
         doc_mixture_sample,
         DOC_MIXTURE_SAMPLE_ORACLE,
         "training-mixture per-source epoch resampling",
+    ),
+    "doc_temperature_mixture": QuerySpec(
+        doc_temperature_mixture,
+        DOC_TEMPERATURE_MIXTURE_ORACLE,
+        "alpha=0.7 temperature rebalancing, rates derived in-plan",
     ),
     "doc_context_packing": QuerySpec(
         doc_context_packing,

@@ -865,7 +865,91 @@ FROM per_doc p LEFT JOIN bp b USING (doc_id)
 """
 
 
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM document scoring — the perplexity-proxy quality
+    signal: per document, the mean log-probability of its tokens under
+    the corpus's own unigram distribution.  Low scores flag documents
+    dominated by corpus-rare tokens (boilerplate codes, non-language
+    junk, OCR noise) — the classic cheap filter before an expensive
+    model-based quality pass.
+
+    Shape at 100 TB: pass 1 builds the vocabulary frequency table (one
+    exploded-token groupBy — the standard corpus-census shuffle); pass 2
+    joins per-(doc, token) term frequencies with the vocabulary on the
+    token key and reduces per doc.  The per-doc reduction is a SORTED
+    FOLD over the doc's DISTINCT tokens (bounded by doc length), so the
+    double summation order is bit-identical cross-engine — same
+    discipline as plans/statistics.py::user_value_ewma.  ``ln`` itself
+    is the one libm call; both engines evaluate it on identical doubles
+    (``cnt/total`` exact-division first), and the result is rounded to
+    6 decimals, so a last-ulp libm divergence would need to land within
+    5e-7 of a rounding boundary to surface — the same accepted exposure
+    as the sqrt/pow statistics gates.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("total"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    contrib = (
+        tf.join(freq, "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            (
+                F.col("tf")
+                * F.log(F.col("cnt").cast("double") / F.col("total"))
+            ).alias("lp"),
+        )
+    )
+    arr = contrib.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("token", "lp"))).alias("seq"),
+        F.sum("tf").alias("n_tokens"),
+    )
+    s = F.aggregate(
+        F.col("seq"), F.lit(0.0), lambda acc, x: acc + x["lp"]
+    )
+    return arr.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.round(s / F.col("n_tokens"), 6).alias("avg_logprob"),
+    )
+
+
+DOC_UNIGRAM_LOGPROB_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({SQL_TOKENS.format(col='text')}) AS token
+    FROM documents
+),
+freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT sum(cnt) AS total FROM freq),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+contrib AS (
+    SELECT doc_id, token, tf,
+           tf * ln(CAST(cnt AS DOUBLE) / total) AS lp
+    FROM tf JOIN freq USING (token), tot
+),
+agg AS (
+    SELECT doc_id,
+           array_agg(lp ORDER BY token) AS lps,
+           sum(tf) AS n_tokens
+    FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       round(list_reduce(list_prepend(0.0, lps), (acc, x) -> acc + x)
+             / n_tokens, 6) AS avg_logprob
+FROM agg
+"""
+
+
 QUERIES = {
+    "doc_unigram_logprob": QuerySpec(
+        doc_unigram_logprob,
+        DOC_UNIGRAM_LOGPROB_ORACLE,
+        "corpus-unigram mean log-prob per doc (perplexity-proxy filter)",
+    ),
     "training_corpus_prep": QuerySpec(
         training_corpus_prep,
         _prep_oracle(),

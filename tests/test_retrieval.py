@@ -68,3 +68,32 @@ def test_bm25_query_pack_shape(spark):
         by_rank = sorted(rs, key=lambda r: r["rank"])
         scores = [r["bm25"] for r in by_rank]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_unigram_logprob_flags_rare_token_docs(spark):
+    """A doc made of corpus-rare tokens must score below a doc made of
+    corpus-common tokens, and every score is a negative mean log-prob."""
+    from data_pipelines_using_llm_spark.plans.text_queries import (
+        doc_unigram_logprob,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = doc_unigram_logprob(spark, sf)
+    rows = out.collect()
+    assert rows and all(r["avg_logprob"] < 0 for r in rows)
+    # cross-check n_tokens against the independent token counter
+    from data_pipelines_using_llm_spark.operators import text as TX
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+
+    expected = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, sf, "documents")
+        .select("doc_id", TX.token_count("text").alias("n"))
+        .collect()
+        if r["n"] > 0
+    }
+    got = {r["doc_id"]: r["n_tokens"] for r in rows}
+    assert got == expected
+    # discriminates: the corpus is zipfian, so scores genuinely spread
+    scores = sorted(r["avg_logprob"] for r in rows)
+    assert scores[0] < scores[-1] - 0.1

@@ -251,3 +251,23 @@ def test_semantic_dedup_oversized_cell_guard_raises(spark):
         SIM.semantic_dedup(
             df, "vec_id", "embedding", target_cell_size=10, max_cell_factor=2.0
         ).collect()
+
+
+def test_hard_negatives_below_threshold_and_ranked(spark):
+    """Hard negatives sit strictly below the near-dup bar, exclude self
+    pairs, and rank densely per anchor."""
+    from data_pipelines_using_llm_spark.plans.similarity_queries import (
+        HARD_NEG_K,
+        HARD_NEG_MAX_COS,
+    )
+
+    df = SQ.embedding_hard_negatives(spark, SF_DIR).cache()
+    assert df.count() > 0
+    assert df.filter(F.col("anchor_id") == F.col("negative_id")).count() == 0
+    assert df.filter(F.col("cosine_sim") >= HARD_NEG_MAX_COS).count() == 0
+    ranks = (
+        df.groupBy("anchor_id")
+        .agg(F.max("rank").alias("mx"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert all(r["mx"] == r["n"] <= HARD_NEG_K for r in ranks)

@@ -196,3 +196,44 @@ def test_pack_contexts_layout_invariants(spark):
     )
     with pytest.raises(ValueError, match="ctx_len"):
         pack_contexts(df, "doc_id", "n_tok", 0)
+
+
+def test_temperature_mixture_uniform_is_identity(spark):
+    """Equal-sized strata -> every rate is exactly 1.0 (the normalizer
+    cancels algebraically), so the output is exactly one copy per row."""
+    from data_pipelines_using_llm_spark.operators.split import (
+        temperature_mixture,
+    )
+
+    rows = [(i, f"s{i % 4}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, src string")
+    out = temperature_mixture(df, "src", "doc_id", alpha=0.7).collect()
+    assert len(out) == 40
+    assert all(r["rate"] == 1.0 and r["epoch"] == 1 for r in out)
+
+
+def test_temperature_mixture_flattens_skew(spark):
+    """alpha<1 must move the output mixture toward uniform: the dominant
+    stratum's rate < 1 (downsampled), the rare stratum's rate > 1
+    (replicated), and expected output size stays ~N."""
+    from data_pipelines_using_llm_spark.operators.split import (
+        temperature_mixture,
+    )
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, src string")
+    out = temperature_mixture(df, "src", "doc_id", alpha=0.5)
+    rates = {
+        r["src"]: r["rate"]
+        for r in out.select("src", "rate").distinct().collect()
+    }
+    assert rates["big"] < 1.0 < rates["small"]
+    n_out = out.count()
+    assert abs(n_out - 1000) < 100  # hash-threshold noise around E[N]=N
+    # rerun-stability: identical membership on a different partitioning
+    again = temperature_mixture(
+        df.repartition(7), "src", "doc_id", alpha=0.5
+    )
+    assert sorted(
+        (r["doc_id"], r["epoch"]) for r in again.collect()
+    ) == sorted((r["doc_id"], r["epoch"]) for r in out.collect())
