@@ -560,6 +560,98 @@ def kmeans_assign(
     )
 
 
+def kmeans_assign_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    iters: int = 2,
+) -> DataFrame:
+    """Arrow/numpy Lloyd's k-means — the 100 TB execution path for the
+    clustering family (:func:`kmeans_assign` is the oracle-exact JVM-fold
+    twin, kept for the cross-engine hash gates).
+
+    Same semantics: deterministic seeding (the ``k`` lowest ids),
+    argmin assignment with lowest-cluster-id tie-break, and the SAME
+    decimal-exact per-dimension centroid update on the JVM side — so the
+    per-round centroids match the exact variant to the last ulp of the
+    double cast.  What changes is the assignment kernel: centroids ride
+    in the task closure (k×d doubles, re-collected once per round — a
+    control-plane read bounded by the quantizer size, never the corpus)
+    and each partition computes ONE ``|batch| × k`` squared-distance
+    GEMM inside ``mapInPandas`` instead of evaluating interpreted
+    higher-order-function folds per (vector, centroid) pair.  numpy's
+    pairwise summation can differ from the sequential fold in the last
+    ulp, so assignments may flip on exact distance near-ties — the
+    agreement test (tests/test_similarity.py) pins ≥99% assignment
+    agreement and the registered gates keep using the fold variant.
+    """
+    import numpy as np
+    import pandas as pd
+
+    base = barrier(
+        df.select(F.col(id_col).alias("vec_id"), to_double(vec_col).alias("v"))
+    )
+    cent_rows = (
+        base.filter(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .collect()
+    )
+    cids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    C = np.array([r["v"] for r in cent_rows], dtype=np.float64)
+
+    def assigner(cids_: "np.ndarray", C_: "np.ndarray"):
+        def assign(batches):
+            c_sq = (C_ * C_).sum(axis=1)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf["v"].to_numpy())
+                # ||v-c||^2 = |v|^2 - 2 v.c + |c|^2 ; |v|^2 constant per row
+                d2 = -2.0 * (V @ C_.T) + c_sq
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "v": pdf["v"],
+                        "cid": cids_[np.argmin(d2, axis=1)],
+                        "d2": ((V * V).sum(axis=1) + d2.min(axis=1)),
+                    }
+                )
+
+        return assign
+
+    schema = "vec_id long, v array<double>, cid long, d2 double"
+    for _ in range(iters):
+        assigned = base.mapInPandas(assigner(cids, C), schema=schema)
+        comp = assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+        cents = (
+            comp.groupBy("cid", "pos")
+            .agg(
+                F.sum(F.col("x").cast("decimal(28,10)")).cast("double").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select("cid", "pos", (F.col("s") / F.col("n")).alias("c"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"],
+                ).alias("cv")
+            )
+            .orderBy("cid")
+            .collect()
+        )
+        cids = np.array([r["cid"] for r in cents], dtype=np.int64)
+        C = np.array([r["cv"] for r in cents], dtype=np.float64)
+
+    final = base.mapInPandas(assigner(cids, C), schema=schema)
+    return final.select(
+        "vec_id",
+        F.col("cid").alias("cluster_id"),
+        F.round(F.sqrt(F.greatest(F.col("d2"), F.lit(0.0))), 6).alias("dist"),
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str,

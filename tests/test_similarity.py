@@ -271,3 +271,30 @@ def test_hard_negatives_below_threshold_and_ranked(spark):
         .collect()
     )
     assert all(r["mx"] == r["n"] <= HARD_NEG_K for r in ranks)
+
+
+def test_kmeans_assign_arrow_agrees_with_exact(spark):
+    """The GEMM assignment path must reproduce the fold-exact variant:
+    >=99% identical assignments at sf0.01 (flips possible only on exact
+    distance near-ties in the last ulp), distances equal to 1e-6 where
+    assignments agree."""
+    from data_pipelines_using_llm_spark.operators import similarity as SIM
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    e = load_table(spark, sf, "embeddings")
+    exact = {
+        r["vec_id"]: (r["cluster_id"], r["dist"])
+        for r in SIM.kmeans_assign(e, "vec_id", "embedding", 10, 2).collect()
+    }
+    arrow = {
+        r["vec_id"]: (r["cluster_id"], r["dist"])
+        for r in SIM.kmeans_assign_arrow(
+            e, "vec_id", "embedding", 10, 2
+        ).collect()
+    }
+    assert exact.keys() == arrow.keys()
+    same = [v for v in exact if exact[v][0] == arrow[v][0]]
+    assert len(same) / len(exact) >= 0.99
+    for v in same:
+        assert abs(exact[v][1] - arrow[v][1]) <= 1e-6, v
