@@ -652,6 +652,88 @@ def kmeans_assign_arrow(
     )
 
 
+def farthest_point_sample(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Greedy farthest-point (k-center) selection over embeddings — the
+    coreset / diverse-prototype picker dual to SemDeDup (that removes
+    redundancy; this EXTRACTS the k most mutually-dissimilar exemplars,
+    e.g. seed documents for labeling or eval-set anchors).
+
+    Round structure: seed = lowest id; the per-vector "max cosine to the
+    selected set" is maintained INCREMENTALLY — each round joins the
+    corpus against only the ONE newly selected vector (a one-row
+    broadcast) and folds it in with ``greatest``, so a round costs
+    O(N·d), not O(N·|selected|·d): the textbook FPS recurrence.  The
+    next pick minimizes that running max (ties → lowest id) via one
+    ``orderBy().limit(1)`` control-plane read per round
+    (TakeOrderedAndProject — no global sort), like PageRank's
+    convergence probe; per-round state is persisted so round i+1 starts
+    from materialized maxima, not i rounds of lineage.  ``max`` /
+    ``greatest`` are exact comparisons and cosines sequential folds, so
+    the incremental recurrence is BIT-equal to the oracle's
+    recompute-over-the-whole-set form (unrolled-round SQL, the k-means
+    oracle trick).
+
+    Returns (vec_id, sel_rank, max_cos_prior) for the k selected rows;
+    the seed reports ``max_cos_prior = -1.0``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    spark = df.sparkSession
+    state = barrier(
+        normed(df, id_col, vec_col).withColumn(
+            "mx", F.lit(None).cast("double")
+        )
+    )
+    seed = state.orderBy("vec_id").limit(1).first()
+    sel: list[tuple[int, list[float], float, float]] = [
+        (seed["vec_id"], list(seed["v"]), seed["nrm"], -1.0)
+    ]
+    for _ in range(k - 1):
+        new_id, new_v, new_nrm, _ = sel[-1]
+        new_df = F.broadcast(
+            spark.createDataFrame(
+                [(new_v, new_nrm)], "sv array<double>, snrm double"
+            )
+        )
+        cos_new = dot(F.col("v"), F.col("sv")) / (F.col("nrm") * F.col("snrm"))
+        state = barrier(
+            state.filter(F.col("vec_id") != new_id)
+            .crossJoin(new_df)
+            .select(
+                "vec_id",
+                "v",
+                "nrm",
+                F.when(F.col("mx").isNull(), cos_new)
+                .otherwise(F.greatest("mx", cos_new))
+                .alias("mx"),
+            )
+        )
+        chosen = (
+            state.orderBy(F.col("mx").asc(), F.col("vec_id").asc())
+            .limit(1)
+            .first()
+        )
+        if chosen is None:  # corpus exhausted before k
+            break
+        sel.append(
+            (chosen["vec_id"], list(chosen["v"]), chosen["nrm"], chosen["mx"])
+        )
+    out = spark.createDataFrame(
+        [(vid, rank + 1, mx) for rank, (vid, _, _, mx) in enumerate(sel)],
+        "vec_id bigint, sel_rank int, mx double",
+    )
+    # round via Spark (half-up, matching the SQL oracle), not Python's
+    # banker's rounding
+    return out.select(
+        "vec_id", "sel_rank", F.round("mx", 6).alias("max_cos_prior")
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str,

@@ -610,6 +610,58 @@ FROM ranked WHERE rank <= {HARD_NEG_K}
 """
 
 
+CORESET_K = 8
+
+
+def embedding_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy farthest-point selection of 8 mutually-dissimilar exemplar
+    embeddings (operators/similarity.py::farthest_point_sample) — the
+    diverse-prototype dual of ``dedup_semantic``.  Oracle: the selection
+    recursion unrolled round-by-round into CTEs, the k-means oracle
+    trick."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.farthest_point_sample(e, "vec_id", "embedding", CORESET_K)
+
+
+def _coreset_oracle(k: int = CORESET_K) -> str:
+    # every sel{i} is referenced three times by level i+1 (cross join,
+    # NOT IN, union) — without MATERIALIZED DuckDB re-inlines the whole
+    # prefix per reference and the oracle goes exponential in k
+    # (measured 2.7s/19.3s/~150s at k=6/7/8; materialized: <1s at k=8)
+    ctes = [
+        "p1 AS MATERIALIZED (SELECT vec_id, v, nrm, CAST(-1.0 AS DOUBLE)"
+        " AS mx, 1 AS sel_rank FROM n WHERE vec_id ="
+        " (SELECT min(vec_id) FROM n))",
+        "sel1 AS MATERIALIZED (SELECT * FROM p1)",
+    ]
+    for i in range(2, k + 1):
+        cos = f"{_sql_dot('c.v', 's.v')} / (c.nrm * s.nrm)"
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT c.vec_id, max({cos}) AS mx\n"
+            f"    FROM n c CROSS JOIN sel{i - 1} s\n"
+            f"    WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})\n"
+            f"    GROUP BY c.vec_id)"
+        )
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT n.vec_id, n.v, n.nrm, m.mx,"
+            f" {i} AS sel_rank\n"
+            f"    FROM m{i} m JOIN n ON n.vec_id = m.vec_id\n"
+            f"    ORDER BY m.mx ASC, m.vec_id ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"sel{i} AS MATERIALIZED (SELECT * FROM sel{i - 1}"
+            f" UNION ALL SELECT * FROM p{i})"
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {_SQL_BASE},
+{body}
+SELECT vec_id, CAST(sel_rank AS INT) AS sel_rank,
+       round(mx, 6) AS max_cos_prior
+FROM sel{k}
+"""
+
+
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means (k=10, 2 iterations, deterministic seeding) over
     the embeddings — the iterative-algorithm shape on Spark, with the
@@ -742,5 +794,6 @@ QUERIES = {
     "knn_int8": QuerySpec(knn_int8, KNN_INT8_ORACLE, "int8-quantized cosine top-k (exact integer kernel)"),
     "embedding_cosine_pairs": QuerySpec(embedding_cosine_pairs, _pairs_oracle(), "cosine near-dup pairs"),
     "embedding_hard_negatives": QuerySpec(embedding_hard_negatives, _hard_negatives_oracle(), "contrastive hard-negative mining via LSH buckets"),
+    "embedding_coreset": QuerySpec(embedding_coreset, _coreset_oracle(), "greedy farthest-point exemplar selection (unrolled-round oracle)"),
     "dedup_semantic": QuerySpec(dedup_semantic, _dedup_semantic_oracle(), "SemDeDup: k-means cells + within-cell cosine, lowest id survives"),
 }

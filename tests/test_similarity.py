@@ -298,3 +298,25 @@ def test_kmeans_assign_arrow_agrees_with_exact(spark):
     assert len(same) / len(exact) >= 0.99
     for v in same:
         assert abs(exact[v][1] - arrow[v][1]) <= 1e-6, v
+
+
+def test_farthest_point_sample_properties(spark):
+    """FPS invariants: seed = lowest id with sentinel -1, ranks dense
+    1..k, picks are distinct, and each successive pick's max-cos-to-prior
+    is non-decreasing (greedy farthest-first ordering)."""
+    from data_pipelines_using_llm_spark.operators import similarity as SIM
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    rows = sorted(
+        SIM.farthest_point_sample(e, "vec_id", "embedding", 6).collect(),
+        key=lambda r: r["sel_rank"],
+    )
+    assert [r["sel_rank"] for r in rows] == list(range(1, 7))
+    assert rows[0]["vec_id"] == 0 and rows[0]["max_cos_prior"] == -1.0
+    assert len({r["vec_id"] for r in rows}) == 6
+    seq = [r["max_cos_prior"] for r in rows[1:]]
+    assert seq == sorted(seq)  # each pick is less isolated than the last
+    # k exceeding the corpus stops early instead of failing
+    tiny = e.limit(3)
+    assert SIM.farthest_point_sample(tiny, "vec_id", "embedding", 10).count() == 3
