@@ -1,0 +1,113 @@
+"""Count-Min sketch: fixed-size mergeable frequency counting.
+
+Beyond-reference (the reference corpus has no sketching at all); this
+completes the mergeable-sketch family next to the HLL reach rollups
+(plans/analytics.py::approx_user_reach, sinks/rollup.py): HLL answers
+"how many distinct", CMS answers "how often does THIS key occur" when
+the key dictionary itself no longer fits anywhere — the sketch is a
+``depth x width`` integer grid regardless of corpus size, every cell is
+a plain ``count`` (map-side partial, mergeable by addition across
+batches/executors), and a point estimate is the MIN over depth rows
+(one-sided error: never an undercount, overcount bounded by
+``2N/width`` per row with probability 1 - 2^-depth).
+
+Cross-engine exactness: everything is BIGINT — the row hashes are the
+polynomial char hash (operators/text.py) mixed per-row with a
+Lehmer-LCG step (operators/split.py discipline) and reduced mod width,
+the cells are integer counts, the estimate is an integer min — so the
+driver hash gate holds with no float caveat anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_pipelines_using_llm_spark.operators.split import LEHMER_A, LEHMER_M
+from data_pipelines_using_llm_spark.operators.text import HASH_MOD, char_hash
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+#: per-row salt spacing; any constant < (2^63 - HASH_MOD) / LEHMER_A works
+CMS_SALT = 7919
+
+
+def cms_bucket(key: str | Column, row: int, width: int = CMS_WIDTH) -> Column:
+    """Row ``row``'s bucket for ``key`` — integer-exact on both engines:
+    ``((char_hash(key) + row*salt) * A mod M) mod width``."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = (char_hash(c) + F.lit(row * CMS_SALT)) * F.lit(LEHMER_A) % F.lit(
+        LEHMER_M
+    )
+    return (h % F.lit(width)).alias("bucket")
+
+
+def sql_cms_bucket(key_expr: str, row: int, width: int = CMS_WIDTH) -> str:
+    """DuckDB twin of :func:`cms_bucket` (same ops, same order); the
+    char-hash fold itself comes from plans/text_queries.py::SQL_CHAR_HASH
+    at the call site."""
+    from data_pipelines_using_llm_spark.plans.text_queries import SQL_CHAR_HASH
+
+    h = SQL_CHAR_HASH.format(s=key_expr)
+    return f"((({h}) + {row * CMS_SALT}) * {LEHMER_A} % {LEHMER_M}) % {width}"
+
+
+def cms_build(
+    keys: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Build the sketch from a (possibly repeated) key stream: one
+    exploded (row, bucket) projection + one grouped count.  At 100 TB the
+    count is a map-side partial over at most ``depth x width`` distinct
+    cells — the shuffle carries the SKETCH, not the keys; sketches from
+    disjoint batches merge by summing cells."""
+    cells = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        cms_bucket(key_col, r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c")
+    ).select("c.row", "c.bucket")
+    return cells.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("counter")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-estimate each query key: min over the key's ``depth`` cells.
+    The query side is small (broadcast); the sketch is depth×width rows.
+    Returns (key_col, cms_est)."""
+    probes = queries.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        cms_bucket(key_col, r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(key_col, "c.row", "c.bucket")
+    return (
+        F.broadcast(probes)
+        .join(sketch, ["row", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("counter").alias("cms_est"))
+    )

@@ -944,7 +944,95 @@ FROM agg
 """
 
 
+CMS_TOP_K = 20
+
+
+def term_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch heavy hitters with the exact verification column
+    inline (the ``approx_user_reach`` gate pattern): build a 4×256 CMS
+    over the exploded token stream, take the EXACT top-20 tokens, and
+    report exact count vs sketch estimate plus the one-sided-error
+    invariant flag (``est >= exact`` always, by construction).
+
+    Why CMS at 100 TB (operators/sketch.py): when the token dictionary
+    itself is too large to shuffle or store, the sketch is a fixed
+    depth×width integer grid — map-side partial counts, mergeable by
+    addition across batches — and heavy-hitter estimates never
+    undercount.  Every value is BIGINT end-to-end, so the cross-engine
+    hash gate needs no float caveat.
+    """
+    from data_pipelines_using_llm_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(TX.tokens("text")).alias("term"))
+    sketch = cms_build(toks, "term")
+    exact_top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("term"))
+        .limit(CMS_TOP_K)
+    )
+    est = cms_estimate(sketch, exact_top.select("term"), "term")
+    return exact_top.join(est, "term").select(
+        "term",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_cnt")).cast("int").alias(
+            "never_undercounts"
+        ),
+    )
+
+
+def _cms_oracle() -> str:
+    from data_pipelines_using_llm_spark.operators.sketch import (
+        CMS_DEPTH,
+        sql_cms_bucket,
+    )
+
+    toks = SQL_TOKENS.format(col="text")
+    cell_rows = "\nUNION ALL\n".join(
+        f"SELECT {r} AS row, {sql_cms_bucket('term', r)} AS bucket FROM toks"
+        for r in range(CMS_DEPTH)
+    )
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT term, {r} AS row, {sql_cms_bucket('term', r)} AS bucket "
+        "FROM exact_top"
+        for r in range(CMS_DEPTH)
+    )
+    return f"""
+WITH toks AS (
+    SELECT unnest({toks}) AS term FROM documents
+),
+cells AS (
+{cell_rows}
+),
+sketch AS (SELECT row, bucket, count(*) AS counter FROM cells GROUP BY 1, 2),
+exact_top AS (
+    SELECT term, count(*) AS exact_cnt FROM toks GROUP BY term
+    ORDER BY exact_cnt DESC, term LIMIT {CMS_TOP_K}
+),
+probes AS (
+{probe_rows}
+),
+est AS (
+    SELECT p.term, min(s.counter) AS cms_est
+    FROM probes p JOIN sketch s USING (row, bucket) GROUP BY p.term
+)
+SELECT t.term, t.exact_cnt, e.cms_est,
+       CAST(e.cms_est >= t.exact_cnt AS INT) AS never_undercounts
+FROM exact_top t JOIN est e USING (term)
+"""
+
+
 QUERIES = {
+    "term_cms_heavy_hitters": QuerySpec(
+        term_cms_heavy_hitters,
+        _cms_oracle(),
+        "Count-Min heavy hitters vs exact counts (integer-exact sketch)",
+    ),
     "doc_unigram_logprob": QuerySpec(
         doc_unigram_logprob,
         DOC_UNIGRAM_LOGPROB_ORACLE,
