@@ -165,3 +165,110 @@ def resize_image(media: DataFrame) -> DataFrame:
             )
 
     return media.filter(F.col("kind") == "image").mapInPandas(fn, RESIZE_SCHEMA)
+
+
+# ---- perceptual-hash near-dup detection (image dedup pipeline shape) ----
+
+PHASH_BITS = 20  # matches the cross-engine hash-arithmetic range
+PHASH_FRAME_CHARS = 8  # fake "tile": 8 decoded chars per signature bit
+PHASH_MAX_HAMMING = 4
+PHASH_SCHEMA = "media_id long, kind string, phash long"
+
+
+def phash(media: DataFrame) -> DataFrame:
+    """Fake perceptual hash over the decoded payload — one signature bit
+    per ``PHASH_FRAME_CHARS``-char tile (parity of the tile's polynomial
+    checksum), so payloads sharing a prefix share low bits: the locality
+    property a real pHash (DCT low-frequency signs) provides for pixels,
+    reproduced deterministically for the text-backed fake.  Runs as the
+    same Arrow ``mapInPandas`` shape a real pHash kernel would (payload
+    bytes stay on the executors; output is one long per media row)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for payload in pdf["payload"]:
+                text = bytes(payload).decode("utf-8")
+                h = 0
+                for j in range(PHASH_BITS):
+                    tile = text[
+                        j * PHASH_FRAME_CHARS : (j + 1) * PHASH_FRAME_CHARS
+                    ]
+                    if tile:
+                        h |= (_poly_hash(tile) & 1) << j
+                sigs.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "phash": sigs,
+                }
+            )
+
+    return media.mapInPandas(fn, PHASH_SCHEMA)
+
+
+def phash_pairs(
+    media: DataFrame,
+    bits: int = PHASH_BITS,
+    max_hamming: int = PHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Within-modality perceptual near-dup pairs:
+    ``hamming(phash_a, phash_b) <= max_hamming`` for media of the SAME
+    kind — the image-dedup pipeline stage, expressed with the lossless
+    pigeonhole bit-band blocking of operators/dedup.py::simhash_pairs
+    (a within-radius pair must agree exactly on one of
+    ``max_hamming + 1`` disjoint segments; first agreeing segment owns
+    the pair, so no dedup shuffle)."""
+    from data_pipelines_using_llm_spark.operators.dedup import simhash_segment
+
+    n_seg = max_hamming + 1
+
+    def seg(sh, s: int):
+        return simhash_segment(sh, s, bits, n_seg)
+
+    sig = phash(media)
+    banded = sig.select(
+        "media_id",
+        "kind",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seg_id"),
+                        seg(F.col("phash"), s).alias("seg_val"),
+                    )
+                    for s in range(n_seg)
+                ]
+            )
+        ).alias("sg"),
+    ).select("media_id", "kind", "phash", "sg.seg_id", "sg.seg_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    first_match = F.least(
+        *[
+            F.when(
+                seg(F.col("a.phash"), s) == seg(F.col("b.phash"), s), F.lit(s)
+            ).otherwise(F.lit(n_seg))
+            for s in range(n_seg)
+        ]
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.kind") == F.col("b.kind"))
+            & (F.col("a.seg_id") == F.col("b.seg_id"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .filter(F.col("a.seg_id") == first_match)
+        .select(
+            F.col("a.kind").alias("kind"),
+            F.col("a.media_id").alias("media_id_a"),
+            F.col("b.media_id").alias("media_id_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

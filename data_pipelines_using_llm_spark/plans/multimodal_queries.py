@@ -111,3 +111,48 @@ QUERIES = {
     "media_frame_sample": QuerySpec(media_frame_sample, MEDIA_FRAME_SAMPLE_ORACLE, "video frame sampling"),
     "media_resize_meta": QuerySpec(media_resize_meta, MEDIA_RESIZE_ORACLE, "fake image resize"),
 }
+
+
+def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-modality perceptual near-dup pairs (hamming <= 4 over
+    20-bit tile-parity signatures) — the image-dedup pipeline stage.
+    Signature extraction is the Arrow ``mapInPandas`` path; pairing is
+    the lossless pigeonhole bit-band join (operators/multimodal.py::
+    phash_pairs).  The oracle recomputes the signature per doc from the
+    source text and compares ALL same-kind pairs — blocking stays
+    invisible, the gate verifies the pigeonhole theorem."""
+    return MM.phash_pairs(_media(spark, sf_dir))
+
+
+def _phash_sql(col: str) -> str:
+    bits = []
+    for j in range(MM.PHASH_BITS):
+        tile = f"substr({col}, {j * MM.PHASH_FRAME_CHARS + 1}, {MM.PHASH_FRAME_CHARS})"
+        h = SQL_CHAR_HASH.format(s=tile)
+        bits.append(
+            f"(CASE WHEN len({tile}) > 0 THEN (({h}) % 2) << {j} "
+            f"ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+MEDIA_PHASH_DEDUP_ORACLE = f"""
+WITH sig AS (
+    SELECT doc_id AS media_id, {_SQL_KIND} AS kind,
+           {_phash_sql('text')} AS phash
+    FROM documents
+)
+SELECT a.kind,
+       a.media_id AS media_id_a,
+       b.media_id AS media_id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM sig a JOIN sig b
+  ON a.kind = b.kind AND a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {MM.PHASH_MAX_HAMMING}
+"""
+
+QUERIES["media_phash_dedup"] = QuerySpec(
+    media_phash_dedup,
+    MEDIA_PHASH_DEDUP_ORACLE,
+    "perceptual-hash near-dup pairs per modality (bit-band blocked)",
+)

@@ -46,3 +46,29 @@ def test_resize_clips_to_limit(spark):
     resized = MM.resize_image(_media(spark))
     assert resized.filter(F.col("new_n_chars") > MM.RESIZE_CHARS).count() == 0
     assert resized.select("media_id").distinct().count() == resized.count()
+
+
+def test_phash_pairs_identical_payloads_and_kind_isolation(spark):
+    """Identical payloads of the SAME kind pair at hamming 0; identical
+    payloads of different kinds never pair (dedup is per modality); a
+    heavily perturbed payload does not pair at the radius."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_using_llm_spark.operators import multimodal as MM
+
+    text = "the quick brown fox jumps over the lazy dog " * 5
+    other = "zzz qqq xxx xyzzy plugh grue lantern mailbox " * 5
+    docs = spark.createDataFrame(
+        [
+            (0, text, len(text)),   # image
+            (3, text, len(text)),   # image  -> pairs with 0 at hamming 0
+            (1, text, len(text)),   # audio  -> same payload, other kind
+            (6, other, len(other)),  # image -> far away, no pair
+        ],
+        "doc_id bigint, text string, n_chars bigint",
+    )
+    pairs = MM.phash_pairs(MM.media_table(docs)).collect()
+    keyed = {(r["media_id_a"], r["media_id_b"]): r for r in pairs}
+    assert (0, 3) in keyed and keyed[(0, 3)]["hamming"] == 0
+    assert all(a != 1 and b != 1 for a, b in keyed)  # kind isolation
+    assert (0, 6) not in keyed and (3, 6) not in keyed
