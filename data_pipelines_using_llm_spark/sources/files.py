@@ -19,6 +19,7 @@ pruning where the format supports it.  Format notes that matter at scale:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 CORRUPT_COL = "_corrupt_record"
@@ -93,3 +94,30 @@ def write_jsonl(df: DataFrame, path: str) -> None:
 
 def write_orc(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").orc(path)
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-media ingestion via Spark's built-in ``binaryFile`` source:
+    each matched file becomes one row of (path, modificationTime, length,
+    content binary) — the landing scan for image/audio/video corpora
+    that operators/multimodal.py then processes as opaque payloads.
+
+    Scale notes: the source is NOT splittable (one file = one row read by
+    one task), so media corpora should be stored as many moderate files —
+    which is how image datasets ship anyway; ``glob`` prunes by pattern
+    at listing time (partition-discovery level, before any read), and
+    ``max_bytes`` guards against a stray multi-GB file OOM-ing an
+    executor by filtering on the catalog ``length`` column, which Spark
+    evaluates from file metadata without reading content."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df

@@ -357,3 +357,36 @@ class TestHttpDataSource:
         finally:
             server.shutdown()
             server.server_close()
+
+
+def test_read_binary_dir_media_landing(spark, tmp_path):
+    """binaryFile landing scan: one row per file with content bytes;
+    glob prunes at listing time, max_bytes prunes from file metadata."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_using_llm_spark.operators.multimodal import (
+        decode_stats,
+        media_table,
+    )
+    from data_pipelines_using_llm_spark.sources.files import read_binary_dir
+
+    (tmp_path / "a.img").write_bytes(b"fake-image-bytes-aaaa")
+    (tmp_path / "b.img").write_bytes(b"bb")
+    (tmp_path / "c.wav").write_bytes(b"not-an-image")
+    df = read_binary_dir(spark, str(tmp_path), glob="*.img")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.img", "b.img"}
+    assert bytes(rows["a.img"]["content"]) == b"fake-image-bytes-aaaa"
+    assert rows["b.img"]["length"] == 2
+    small = read_binary_dir(spark, str(tmp_path), glob="*.img", max_bytes=5)
+    assert [r["length"] for r in small.collect()] == [2]
+    # payloads flow into the multimodal pipeline unchanged
+    media = media_table(
+        df.select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.decode("content", "UTF-8").alias("text"),
+            F.col("length").alias("n_chars"),
+        )
+    )
+    stats = {r["media_id"]: r["n_bytes"] for r in decode_stats(media).collect()}
+    assert sorted(stats.values()) == [2, 21]
