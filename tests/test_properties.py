@@ -248,3 +248,19 @@ def test_zorder_interleave_is_bijective(spark, pairs):
     assert len({r["z"] for r in got}) == len(pairs)
     for r in got:
         assert deinterleave(r["z"]) == (r["a"], r["b"])
+
+
+def test_quality_scores_bar():
+    """The reference's code-quality scoring utility, turned on ourselves:
+    every repo module must score >= 9/10 on both scales (the analogue of
+    getCodeQualityScores.py run in CI)."""
+    import subprocess
+    import sys
+
+    res = subprocess.run(
+        [sys.executable, "scripts/quality_scores.py"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert res.returncode == 0, res.stdout[-2000:]
