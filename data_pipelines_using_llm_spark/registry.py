@@ -116,7 +116,11 @@ def _verified_counts() -> dict[str, int]:
 # treat them as never-verified until the new gate earns a green row.
 # Prune an entry once a round's CORRECTNESS artifact shows it hash-green.
 _REVERIFY: frozenset[str] = frozenset({
-    "approx_user_reach",  # r5: rows-only HLL -> exact-count + bound-flag hash gate
+    # (pruned: approx_user_reach earned its hash-green row in
+    # CORRECTNESS_r05.json under the upgraded exact-count + bound-flag gate)
+    "knn_arrow",  # r6: rows-only -> rank + near-tie hash gate
+    "important_parts",  # r6: threshold 2x -> 1.25x; the 2x gate compared empty sets
+    "dedup_semantic",  # r6: k now derived from target cell size (same k at sf0.01)
 })
 
 
