@@ -27,7 +27,13 @@ from data_pipelines_using_llm_spark.operators.split import LEHMER_A, LEHMER_M
 from data_pipelines_using_llm_spark.operators.text import HASH_MOD, char_hash
 
 CMS_DEPTH = 4
-CMS_WIDTH = 256
+# width 16 against the testdata's 31-token vocabulary: small enough that
+# per-row collisions genuinely occur (the driver gate then hashes rows
+# where cms_est > exact_cnt — the one-sided error path is EXERCISED, not
+# vacuously green), large enough that the depth-4 min keeps heavy-hitter
+# estimates tight.  Production: width ~ e/epsilon for an epsilon*N error
+# bound — 2^20 cells for 1e-6 relative error, still kilobytes per row.
+CMS_WIDTH = 16
 #: per-row salt spacing; any constant < (2^63 - HASH_MOD) / LEHMER_A works
 CMS_SALT = 7919
 

@@ -144,6 +144,47 @@ def main() -> int:
                 .write.format("noop").mode("overwrite").save()
             )
 
+        def cms_census():
+            # term_cms_heavy_hitters shape: the shuffle carries the
+            # fixed depth x width sketch, never the token dictionary
+            from data_pipelines_using_llm_spark.operators.sketch import cms_build
+            from data_pipelines_using_llm_spark.operators.text import tokens
+
+            toks = docs.select(F.explode(tokens("text")).alias("term"))
+            cms_build(toks, "term").write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        def unigram_scoring():
+            # doc_unigram_logprob shape: vocab census + token-key join +
+            # per-doc sorted fold
+            from data_pipelines_using_llm_spark.operators.text import tokens
+
+            tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+            freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+            tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+            (
+                tf.join(freq, "token")
+                .groupBy("doc_id")
+                .agg(F.sum(F.col("tf") * F.log("cnt")).alias("s"))
+                .write.format("noop").mode("overwrite").save()
+            )
+
+        def phash_pair_join():
+            # media_phash_dedup shape: signature extraction (Arrow) +
+            # bit-band equi-join; bucket count is FIXED (16 values x 5
+            # segments x 3 kinds), so pair work grows ~quadratically with
+            # the corpus — the measured argument for widening signatures
+            # (64-bit, 16-bit bands) before the corpus grows 100x
+            from data_pipelines_using_llm_spark.operators.multimodal import (
+                media_table,
+                phash_pairs,
+            )
+
+            phash_pairs(media_table(docs)).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
         results[f"{factor}x"] = {
             "rows_lineitem": li.count(),
             "q1_agg": timed(q1_agg),
@@ -152,6 +193,9 @@ def main() -> int:
             "knn_int8": timed(knn_int8),
             "gram_census": timed(gram_census),
             "chunk_map": timed(chunk_map),
+            "cms_census": timed(cms_census),
+            "unigram_scoring": timed(unigram_scoring),
+            "phash_pair_join": timed(phash_pair_join),
         }
 
     print(json.dumps({"metric": "scale_curve", "sf_base": 0.1, "results": results}))
