@@ -105,6 +105,8 @@ HEADLINE = [
     "doc_unigram_logprob",
     "embedding_hard_negatives",
     "doc_temperature_mixture",
+    "term_cms_heavy_hitters",
+    "media_phash_dedup",
     # streaming
     "stream_hourly_counts",
     "stream_click_purchase_join",
