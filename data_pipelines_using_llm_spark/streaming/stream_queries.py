@@ -542,7 +542,50 @@ WHERE p.event_type = 'purchase'
 """
 
 
+def stream_user_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min maintenance: the 4×16 activity sketch over the
+    user-id stream, kept current by the streaming aggregation itself —
+    ``operators/sketch.py::cms_build`` applied verbatim to the streaming
+    DataFrame (explode to (row, bucket) cells → grouped count), complete
+    output.  The state store holds depth×width rows NO MATTER the
+    traffic: the sketch IS the state, which is exactly why CMS is the
+    streaming-frequency structure — and on bounded input the final table
+    equals the batch sketch, so the whole streaming path sits inside the
+    cross-engine hash gate (integer cells, no float caveat)."""
+    from data_pipelines_using_llm_spark.operators.sketch import cms_build
+
+    sdf = stream_events(spark, sf_dir)
+    keys = sdf.filter(F.col("user_id").isNotNull()).select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    sketch = cms_build(keys, "k")
+    return run_to_table(sketch, spark, "dpls_stream_user_cms", "complete")
+
+
+def _stream_user_cms_oracle() -> str:
+    from data_pipelines_using_llm_spark.operators.sketch import (
+        CMS_DEPTH,
+        sql_cms_bucket,
+    )
+
+    cell_rows = "\nUNION ALL\n".join(
+        f"SELECT {r} AS row, {sql_cms_bucket('k', r)} AS bucket FROM keys"
+        for r in range(CMS_DEPTH)
+    )
+    return f"""
+WITH keys AS (
+    SELECT CAST(user_id AS VARCHAR) AS k FROM events
+    WHERE user_id IS NOT NULL
+),
+cells AS (
+{cell_rows}
+)
+SELECT row, bucket, count(*) AS counter FROM cells GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "stream_user_cms": QuerySpec(stream_user_cms, _stream_user_cms_oracle(), "streaming CMS sketch maintenance (sketch = state)"),
     "stream_static_enrich": QuerySpec(stream_static_enrich, STREAM_STATIC_ENRICH_ORACLE, "stream-static broadcast join"),
     "stream_click_purchase_join": QuerySpec(stream_click_purchase_join, STREAM_CLICK_PURCHASE_ORACLE, "stream-stream interval join"),
     "stream_attributed_hourly": QuerySpec(stream_attributed_hourly, STREAM_ATTRIBUTED_HOURLY_ORACLE, "chained stateful: join then windowed agg"),
