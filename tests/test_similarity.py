@@ -320,3 +320,31 @@ def test_farthest_point_sample_properties(spark):
     # k exceeding the corpus stops early instead of failing
     tiny = e.limit(3)
     assert SIM.farthest_point_sample(tiny, "vec_id", "embedding", 10).count() == 3
+
+
+def test_ivf_nprobe8_matches_lsh_recall_sf01(spark):
+    """The SCALE.md frontier claim, pinned load-independently: at sf0.1,
+    k-means IVF with nprobe=8 must reach recall@10 >= 0.9 — the
+    recall-parity point where its serve path beat LSH (1.59s vs 1.83s,
+    scripts/ann_frontier.py).  Timing is not asserted (shared host);
+    recall is what the claim needs to keep holding."""
+    from data_pipelines_using_llm_spark.operators import similarity as SIM
+    from data_pipelines_using_llm_spark.plans.similarity_queries import (
+        QUERY_MOD,
+        knn_ivf_kmeans_train,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    truth: dict[int, set[int]] = {}
+    for r in SQ.knn_brute_force(spark, sf).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    emb, cells = knn_ivf_kmeans_train(spark, sf)
+    got: dict[int, set[int]] = {}
+    for r in SIM.knn_ivf(
+        emb.join(cells, "vec_id"), "vec_id", "embedding", "kcell",
+        QUERY_MOD, 10, nprobe=8,
+    ).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    recall = hits / sum(len(v) for v in truth.values())
+    assert recall >= 0.9, recall
