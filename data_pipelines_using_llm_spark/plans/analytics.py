@@ -290,6 +290,125 @@ WHERE rank <= {TOP_TERMS_K}
 """
 
 
+HIST_BUCKETS = 32
+HIST_STEP_CENTS = 1600  # 16.00-wide buckets; events.value < 512
+
+
+def value_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bucket histogram rollup — the quantile sibling of
+    the HLL reach rollup: per-(type, day) 32-bucket value histograms are
+    the STORED state (integer cell counts, merged by addition — the same
+    mergeability contract as ``reach_sketch_rollup``), and any coarser
+    grain answers quantile queries from the merged cells without
+    re-scanning values.  Median estimate = midpoint of the first bucket
+    whose cumulative count reaches half — by construction within one
+    bucket width (16.0) of the exact interpolated median, which is
+    emitted alongside with the bound flag (the ``approx_user_reach``
+    gate pattern: exact value hash-gated, approximation quality
+    asserted).
+
+    Determinism: buckets are exact integer arithmetic on cents
+    (``DIV``, no float division), cells are counts, the midpoint is an
+    exact double multiple of 8 — only the exact-median column touches
+    interpolation, and both engines share its ``p*(n-1)`` definition
+    (see ``value_percentiles``).
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bucket = F.least(
+        F.expr(
+            f"CAST(CAST(value AS DECIMAL(9,2)) * 100 AS BIGINT)"
+            f" DIV {HIST_STEP_CENTS}"
+        ),
+        F.lit(HIST_BUCKETS - 1),
+    ).cast("int")
+    daily = (
+        e.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            bucket.alias("bucket"),
+        )
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(F.sum("n").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("event_type")
+    ranked = merged.select(
+        "event_type",
+        "bucket",
+        "n",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(tot).alias("n_values"),
+    ).filter(F.col("cum") * 2 >= F.col("n_values"))
+    est = ranked.groupBy("event_type", "n_values").agg(
+        F.min("bucket").alias("p50_bucket")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("exact_p50")
+    )
+    step = HIST_STEP_CENTS / 100.0
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_values",
+            (F.col("p50_bucket") * F.lit(step) + F.lit(step / 2)).alias(
+                "est_p50"
+            ),
+            F.round("exact_p50", 6).alias("exact_p50"),
+            (
+                F.abs(
+                    F.col("p50_bucket") * F.lit(step)
+                    + F.lit(step / 2)
+                    - F.col("exact_p50")
+                )
+                <= F.lit(step)
+            ).cast("int").alias("within_bucket"),
+        )
+    )
+
+
+VALUE_HISTOGRAM_ROLLUP_ORACLE = f"""
+WITH e AS (SELECT event_type, ts, value FROM events WHERE value IS NOT NULL),
+daily AS (
+    SELECT event_type, date_trunc('day', ts) AS day,
+           least(CAST(CAST(value AS DECIMAL(9,2)) * 100 AS BIGINT)
+                 // {HIST_STEP_CENTS}, {HIST_BUCKETS - 1}) AS bucket,
+           count(*) AS n
+    FROM e GROUP BY 1, 2, 3
+),
+merged AS (
+    SELECT event_type, bucket, sum(n) AS n FROM daily GROUP BY 1, 2
+),
+ranked AS (
+    SELECT event_type, bucket, n,
+           sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+           sum(n) OVER (PARTITION BY event_type) AS n_values
+    FROM merged
+),
+est AS (
+    SELECT event_type, n_values, min(bucket) AS p50_bucket
+    FROM ranked WHERE cum * 2 >= n_values GROUP BY 1, 2
+),
+exact AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS exact_p50
+    FROM e GROUP BY 1
+)
+SELECT est.event_type, CAST(est.n_values AS BIGINT) AS n_values,
+       est.p50_bucket * {HIST_STEP_CENTS / 100.0}
+           + {HIST_STEP_CENTS / 200.0} AS est_p50,
+       round(exact.exact_p50, 6) AS exact_p50,
+       CAST(abs(est.p50_bucket * {HIST_STEP_CENTS / 100.0}
+                + {HIST_STEP_CENTS / 200.0} - exact.exact_p50)
+            <= {HIST_STEP_CENTS / 100.0} AS INT) AS within_bucket
+FROM est JOIN exact USING (event_type)
+"""
+
+
 _REACH_RSD = 0.02  # sketch rsd; the gate flag allows 0.05 (2.5 sigma slack)
 _REACH_TOL = 0.05
 
@@ -1073,6 +1192,11 @@ QUERIES = {
         approx_user_reach,
         APPROX_USER_REACH_ORACLE,
         "HLL sketch reach vs exact, error-bound flag (cross-engine gate)",
+    ),
+    "value_histogram_rollup": QuerySpec(
+        value_histogram_rollup,
+        VALUE_HISTOGRAM_ROLLUP_ORACLE,
+        "mergeable 32-bucket histogram rollup: median from cells + bound flag",
     ),
     "reach_sketch_rollup": QuerySpec(
         reach_sketch_rollup,

@@ -153,3 +153,46 @@ def test_crash_after_swap_makes_replay_noop(spark, tmp_path, monkeypatch):
     )
     rows = read_rollup(spark, path, ["value"]).collect()
     assert len(rows) == 1 and rows[0]["n_rows"] == 4
+
+
+def test_value_histogram_rollup_bound_and_merge(spark):
+    """The histogram median estimate is within one bucket width of the
+    exact median for every type (flag = 1), and daily cells merged by
+    addition equal the direct histogram (the stored-state contract)."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_using_llm_spark.plans.analytics import (
+        HIST_BUCKETS,
+        HIST_STEP_CENTS,
+        value_histogram_rollup,
+    )
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    out = value_histogram_rollup(spark, sf).collect()
+    assert out and all(r["within_bucket"] == 1 for r in out)
+
+    e = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    bucket = F.least(
+        F.expr(
+            f"CAST(CAST(value AS DECIMAL(9,2)) * 100 AS BIGINT)"
+            f" DIV {HIST_STEP_CENTS}"
+        ),
+        F.lit(HIST_BUCKETS - 1),
+    )
+    direct = (
+        e.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    via_daily = (
+        e.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day"),
+            bucket.alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, via_daily))
