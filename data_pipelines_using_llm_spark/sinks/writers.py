@@ -561,3 +561,56 @@ def compact_table(
     tmp = path.rstrip("/") + "__tmp_compact"
     write_table(compacted, tmp, mode="overwrite", partition_by=partition_by)
     _swap_in(path, tmp)
+
+
+def write_audit_publish(
+    df: DataFrame,
+    path: str,
+    rules: list,
+    max_violation_rate: float = 0.0,
+) -> DataFrame:
+    """Write-Audit-Publish: stage the batch, audit the STAGED files with
+    the expectation rules, and only then swap the snapshot live — the
+    lakehouse WAP pattern (Iceberg's branch-audit-publish, done here at
+    the directory-snapshot level with the same crash-recoverable
+    rename-aside swap as :func:`idempotent_upsert`).
+
+    Readers never observe an unaudited or partial batch: a failing audit
+    raises ``ValueError`` with the per-rule report in the message, the
+    stage directory is removed, and the live table is byte-identical to
+    before the call.  Auditing the staged READ-BACK (not the input plan)
+    means the checks cover what was actually serialized — a
+    nondeterministic upstream (e.g. an unseeded sample) cannot pass audit
+    as one dataset and publish as another.
+
+    Returns the expectation report (one row per rule), materialized
+    before the swap so its plan holds no reference to the staged path.
+    Partition-scoped incremental publishes compose differently — audit
+    the batch, then :func:`idempotent_upsert`.
+    """
+    import os
+    import shutil
+
+    from data_pipelines_using_llm_spark.operators.expectations import expect
+
+    spark = df.sparkSession
+    stage = path.rstrip("/") + "__stage"
+    if os.path.exists(stage):
+        shutil.rmtree(stage)
+    df.write.mode("overwrite").parquet(stage)
+    staged = spark.read.parquet(stage)
+    report_rows = expect(staged, rules, max_violation_rate).collect()
+    failed = [r for r in report_rows if not r["passed"]]
+    if failed:
+        shutil.rmtree(stage)
+        detail = "; ".join(
+            f"{r['rule']}: {r['n_violations']}/{r['n_rows']} violations"
+            for r in failed
+        )
+        raise ValueError(f"write_audit_publish: audit failed — {detail}")
+    if _has_data_files(path):
+        _swap_in(path, stage)
+    else:
+        os.makedirs(os.path.dirname(path.rstrip("/")) or ".", exist_ok=True)
+        os.rename(stage, path)
+    return spark.createDataFrame(report_rows)

@@ -453,3 +453,43 @@ def test_compact_table_morton_clusters_both_dimensions(spark, tmp_path):
     # lexicographic clusters x tightly but leaves y at ~full range
     assert avg_range_frac(lexpath, "x") < 0.2
     assert avg_range_frac(lexpath, "y") > 0.8
+
+
+def test_write_audit_publish_gates_the_swap(spark, tmp_path):
+    """WAP contract: a passing audit publishes the snapshot; a failing
+    audit raises, cleans the stage, and leaves the live table
+    byte-identical to before the call."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipelines_using_llm_spark.operators import expectations as EX
+    from data_pipelines_using_llm_spark.sinks.writers import (
+        write_audit_publish,
+    )
+
+    path = str(tmp_path / "wap_table")
+    good = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id bigint, v double"
+    )
+    rules = [EX.not_null("v"), EX.in_range("v", 0, 100), EX.unique("id")]
+    report = write_audit_publish(good, path, rules)
+    assert all(r["passed"] for r in report.collect())
+    assert spark.read.parquet(path).count() == 2
+
+    bad = spark.createDataFrame(
+        [(3, 10.0), (3, None), (4, 500.0)], "id bigint, v double"
+    )
+    with pytest.raises(ValueError, match="audit failed"):
+        write_audit_publish(bad, path, rules)
+    assert not os.path.exists(path + "__stage")  # stage cleaned
+    live = spark.read.parquet(path)  # previous snapshot intact
+    assert sorted(r["id"] for r in live.collect()) == [1, 2]
+    # and a second good batch still publishes over it
+    good2 = good.withColumn("v", F.col("v") + 1)
+    write_audit_publish(good2, path, rules)
+    assert sorted(r["v"] for r in spark.read.parquet(path).collect()) == [
+        11.0,
+        21.0,
+    ]
