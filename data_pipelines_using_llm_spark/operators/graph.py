@@ -11,9 +11,10 @@ Determinism discipline: per-vertex contribution sums are SORTED folds
 (``array_sort(collect_list(struct(src, c)))`` + ``aggregate``), matching
 the oracle's ``array_agg(... ORDER BY src)`` + ``list_reduce`` so the
 double summation order is bit-identical cross-engine.  At real scale the
-fold would be a plain ``sum()`` — PageRank tolerates summation-order noise
-— so the in-degree-bounded ``collect_list`` is a test-oracle choice, not
-the 100 TB hot path; swap one line to switch.
+fold is a plain ``sum()`` — PageRank tolerates summation-order noise —
+selected with ``exact_fold=False`` (tested equivalent to ~1e-12; the
+in-degree-bounded ``collect_list`` is the test-oracle choice, not the
+100 TB hot path).
 """
 
 from __future__ import annotations
@@ -33,6 +34,7 @@ def pagerank(
     iters: int = 2,
     damping: float = DAMPING,
     dangling: str = "error",
+    exact_fold: bool = True,
 ) -> DataFrame:
     """``iters`` rounds of PageRank over directed ``edges``.
 
@@ -93,13 +95,21 @@ def pagerank(
             .join(deg, "src")
             .select("dst", "src", (F.col("r") / F.col("deg")).alias("c"))
         )
-        summed = contrib.groupBy("dst").agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("src", "c"))),
-                F.lit(0.0),
-                lambda acc, s: acc + s["c"],
-            ).alias("s")
-        )
+        if exact_fold:
+            # oracle-determinism path: sorted fold, bit-identical to the
+            # unrolled SQL's array_agg(... ORDER BY src) + list_reduce
+            summed = contrib.groupBy("dst").agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("src", "c"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["c"],
+                ).alias("s")
+            )
+        else:
+            # production path: plain map-side-partial sum — PageRank
+            # tolerates summation-order noise; no per-dst array, so
+            # in-degree no longer bounds task memory
+            summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         if dangling == "redistribute":
             leak = (
                 rank.join(sinks, "node", "left_semi")

@@ -151,3 +151,20 @@ def test_user_value_ewma_chunked_bit_equal(spark):
         .count()
     )
     assert weeks >= 2
+
+
+def test_pagerank_production_sum_matches_exact_fold(spark):
+    """exact_fold=False (plain map-side sum — the 100 TB path) must agree
+    with the sorted-fold oracle path to float-noise tolerance."""
+    spokes = [2, 3, 4, 5, 6, 7]
+    rows = [(1, s) for s in spokes] + [(s, 1) for s in spokes]
+    rows += [(2, 3), (3, 2), (4, 5), (5, 4)]
+    edges = spark.createDataFrame(rows, "src bigint, dst bigint")
+    a = {r["node"]: r["r"] for r in pagerank(edges, iters=3).collect()}
+    b = {
+        r["node"]: r["r"]
+        for r in pagerank(edges, iters=3, exact_fold=False).collect()
+    }
+    assert a.keys() == b.keys()
+    for n in a:
+        assert abs(a[n] - b[n]) < 1e-12, n
