@@ -493,3 +493,43 @@ def test_write_audit_publish_gates_the_swap(spark, tmp_path):
         11.0,
         21.0,
     ]
+
+
+def test_manifest_prunes_files_and_preserves_semantics(spark, tmp_path):
+    """File-level min/max manifest: a narrow range over the z-ordered
+    value column must open strictly fewer files than the table holds,
+    return exactly the full-scan-filter rows, and an out-of-range probe
+    returns empty with the table schema."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_using_llm_spark.sinks.manifest import (
+        pruned_scan,
+        write_manifest,
+    )
+    from data_pipelines_using_llm_spark.sinks.writers import compact_table
+
+    path = str(tmp_path / "events_lay")
+    src = spark.range(0, 20000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 997).cast("double").alias("value"),
+    )
+    src.write.mode("overwrite").parquet(path)
+    compact_table(spark, path, zorder_by=["value"], target_partitions=16)
+    man = write_manifest(spark, path, ["value"])
+    n_files = man.count()
+    assert n_files >= 8
+
+    got = pruned_scan(spark, path, "value", 100.0, 120.0)
+    expect_rows = sorted(
+        r["event_id"]
+        for r in spark.read.parquet(path)
+        .filter((F.col("value") >= 100.0) & (F.col("value") <= 120.0))
+        .collect()
+    )
+    assert sorted(r["event_id"] for r in got.collect()) == expect_rows
+    opened = {r["file"] for r in got.select(F.input_file_name().alias("file")).distinct().collect()}
+    assert len(opened) < n_files  # skipping actually happened
+
+    empty = pruned_scan(spark, path, "value", 5000.0, 6000.0)
+    assert empty.count() == 0
+    assert empty.schema == spark.read.parquet(path).schema
