@@ -1,0 +1,98 @@
+"""Snapshot versioning for parquet tables — time travel without Delta.
+
+The reference's storage layer is Delta, whose history/time-travel the
+sandbox cannot execute (no delta-spark — SCALE.md "Delta Lake status").
+This module supplies the same CAPABILITY on plain parquet: every write
+lands as an immutable snapshot directory (``<table>/v=N``), a one-line
+pointer file (``<table>/_LATEST``) names the current version, and reads
+resolve the pointer — so concurrent readers of an in-flight write keep
+their snapshot, history is queryable (``DESCRIBE HISTORY`` analogue),
+and rollback is a pointer move, never a data rewrite.
+
+Atomicity model: the snapshot directory is fully written BEFORE the
+pointer flips, and the pointer flip is ``os.replace`` (atomic on POSIX)
+— readers see the old version or the new version, never a partial one.
+This is exactly the commit protocol of the log-based table formats,
+reduced to one integer.  Retention: ``keep`` bounds stored snapshots;
+pruning never touches the live version.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+POINTER = "_LATEST"
+
+
+def _pointer_path(table_dir: str) -> str:
+    return os.path.join(table_dir, POINTER)
+
+
+def current_version(table_dir: str) -> int | None:
+    """The live version number, or None for a nonexistent table."""
+    try:
+        with open(_pointer_path(table_dir)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def list_versions(table_dir: str) -> list[int]:
+    """All retained snapshot versions, ascending — the history listing."""
+    if not os.path.isdir(table_dir):
+        return []
+    out = []
+    for name in os.listdir(table_dir):
+        if name.startswith("v="):
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def versioned_write(df: DataFrame, table_dir: str, keep: int = 3) -> int:
+    """Write ``df`` as the next snapshot and flip the pointer; returns
+    the new version number.  Older snapshots beyond ``keep`` are pruned
+    (never the live one).  A crash before the pointer flip leaves an
+    orphan snapshot directory that the next write simply supersedes —
+    the pointer is the single source of truth."""
+    if keep < 1:
+        raise ValueError(f"keep must be >= 1: {keep}")
+    os.makedirs(table_dir, exist_ok=True)
+    live = current_version(table_dir)
+    version = (live or 0) + 1
+    # skip over any orphan directory from a crashed writer
+    existing = set(list_versions(table_dir))
+    while version in existing:
+        version += 1
+    snap = os.path.join(table_dir, f"v={version}")
+    df.write.mode("overwrite").parquet(snap)
+    tmp = _pointer_path(table_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, _pointer_path(table_dir))  # atomic commit
+    for old in list_versions(table_dir):
+        if old != version and old <= version - keep:
+            shutil.rmtree(os.path.join(table_dir, f"v={old}"))
+    return version
+
+
+def read_version(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the live snapshot (default) or a retained historical one —
+    the ``VERSION AS OF`` analogue."""
+    v = current_version(table_dir) if version is None else version
+    if v is None:
+        raise ValueError(f"no versioned table at {table_dir}")
+    snap = os.path.join(table_dir, f"v={v}")
+    if not os.path.isdir(snap):
+        retained = list_versions(table_dir)
+        raise ValueError(
+            f"version {v} not retained at {table_dir} (have {retained})"
+        )
+    return spark.read.parquet(snap)

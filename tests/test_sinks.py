@@ -533,3 +533,31 @@ def test_manifest_prunes_files_and_preserves_semantics(spark, tmp_path):
     empty = pruned_scan(spark, path, "value", 5000.0, 6000.0)
     assert empty.count() == 0
     assert empty.schema == spark.read.parquet(path).schema
+
+
+def test_versioned_write_time_travel_and_retention(spark, tmp_path):
+    """Snapshot versioning: reads resolve the pointer, history stays
+    queryable, rollback is a read of an old version, retention prunes
+    beyond `keep` without touching the live snapshot."""
+    import pytest
+
+    from data_pipelines_using_llm_spark.sinks.versioned import (
+        current_version,
+        list_versions,
+        read_version,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vt")
+    for i in range(1, 5):
+        df = spark.range(i * 10).selectExpr("id", f"{i} AS batch")
+        v = versioned_write(df, path, keep=2)
+        assert v == i
+    assert current_version(path) == 4
+    assert list_versions(path) == [3, 4]  # keep=2 pruned v1, v2
+    assert read_version(spark, path).count() == 40  # live
+    assert read_version(spark, path, 3).count() == 30  # time travel
+    with pytest.raises(ValueError, match="not retained"):
+        read_version(spark, path, 1)
+    # pointer flip is all-or-nothing: a stale tmp pointer never surfaces
+    assert current_version(path) == 4
