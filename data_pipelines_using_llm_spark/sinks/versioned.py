@@ -96,3 +96,25 @@ def read_version(
             f"version {v} not retained at {table_dir} (have {retained})"
         )
     return spark.read.parquet(snap)
+
+
+def diff_versions(
+    spark: SparkSession,
+    table_dir: str,
+    keys: list[str],
+    old_version: int,
+    new_version: int | None = None,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level change feed between two retained snapshots — Delta's
+    CDF (``table_changes``) analogue: composes :func:`read_version` with
+    operators/cdc.py::snapshot_diff, so "what changed between v3 and
+    now" is one full-outer join of two immutable directories."""
+    from data_pipelines_using_llm_spark.operators.cdc import snapshot_diff
+
+    return snapshot_diff(
+        read_version(spark, table_dir, old_version),
+        read_version(spark, table_dir, new_version),
+        keys,
+        compare_cols,
+    )

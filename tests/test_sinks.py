@@ -561,3 +561,27 @@ def test_versioned_write_time_travel_and_retention(spark, tmp_path):
         read_version(spark, path, 1)
     # pointer flip is all-or-nothing: a stale tmp pointer never surfaces
     assert current_version(path) == 4
+
+
+def test_diff_versions_change_feed(spark, tmp_path):
+    """Change feed between snapshots: added/removed/changed keys between
+    two retained versions come from one diff of immutable directories."""
+    from data_pipelines_using_llm_spark.sinks.versioned import (
+        diff_versions,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "cdf")
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id bigint, val string"
+    )
+    v2 = spark.createDataFrame(
+        [(2, "b"), (3, "C"), (4, "d")], "id bigint, val string"
+    )
+    versioned_write(v1, path)
+    versioned_write(v2, path)
+    changes = {
+        r["id"]: r["change"]
+        for r in diff_versions(spark, path, ["id"], 1).collect()
+    }
+    assert changes == {1: "removed", 3: "changed", 4: "added"}
