@@ -217,3 +217,66 @@ def run_pipeline(
         else:
             raise ValueError(f"unknown sink mode {mode!r}")
     return df
+
+
+# ---- the spec compiler itself under the driver's hash gate ----
+
+from data_pipelines_using_llm_spark.registry import QuerySpec  # noqa: E402
+
+#: The medallion archetype as data: clean -> deterministic dedup ->
+#: monthly gold.  Registered so the COMPILER (not just the operators it
+#: lowers to) is verified cross-engine every round.
+MEDALLION_SPEC: dict = {
+    "source": "events",
+    "steps": [
+        {"op": "drop_nulls", "cols": ["user_id", "ts", "value"]},
+        {
+            "op": "dedup",
+            "key": ["event_id"],
+            "order_by": ["ts desc", "user_id"],
+        },
+        {"op": "derive", "cols": {"month": "date_trunc('month', ts)"}},
+        {
+            "op": "aggregate",
+            "group_by": ["event_type", "month"],
+            "metrics": {
+                "n_events": "count(1)",
+                "sum_value": (
+                    "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+                ),
+            },
+        },
+    ],
+}
+
+
+def spec_monthly_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative-spec medallion pipeline, end to end."""
+    return run_pipeline(spark, MEDALLION_SPEC, sf_dir=sf_dir)
+
+
+SPEC_MONTHLY_GOLD_ORACLE = """
+WITH clean AS (
+    SELECT * FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+d AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY event_id ORDER BY ts DESC, user_id
+    ) AS rn
+    FROM clean
+)
+SELECT event_type, date_trunc('month', ts) AS month,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM d WHERE rn = 1
+GROUP BY 1, 2
+"""
+
+QUERIES: dict[str, QuerySpec] = {
+    "spec_monthly_gold": QuerySpec(
+        spec_monthly_gold,
+        SPEC_MONTHLY_GOLD_ORACLE,
+        "declarative-spec medallion pipeline (compiler under the gate)",
+    ),
+}

@@ -44,6 +44,7 @@ def all_queries() -> dict[str, QuerySpec]:
         retrieval_queries,
         similarity_queries,
         skew_queries,
+        spec,
         split_queries,
         statistics,
         text_queries,
@@ -69,6 +70,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal_queries,
         llm_queries,
         skew_queries,
+        spec,
         split_queries,
         statistics,
         pipelines,
