@@ -107,6 +107,8 @@ HEADLINE = [
     "doc_temperature_mixture",
     "term_cms_heavy_hitters",
     "media_phash_dedup",
+    "value_histogram_rollup",
+    "spec_monthly_gold",
     # streaming
     "stream_hourly_counts",
     "stream_click_purchase_join",
