@@ -264,3 +264,42 @@ def test_quality_scores_bar():
         cwd="/root/repo",
     )
     assert res.returncode == 0, res.stdout[-2000:]
+
+
+@settings(**SETTINGS)
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcxyz", min_size=1, max_size=5),
+        st.integers(1, 6),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_cms_one_sided_error_property(spark, counts):
+    """For ANY key multiset and a deliberately tiny sketch (depth 2,
+    width 2 — maximal collisions), every estimate >= its true count and
+    every row's cells sum to the stream length."""
+    from data_pipelines_using_llm_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    rows = [(k,) for k, n in counts.items() for _ in range(n)]
+    s = spark.createDataFrame(rows, "term string")
+    sketch = cms_build(s, "term", depth=2, width=2)
+    total = sum(counts.values())
+    per_row = {
+        r["row"]: r["s"]
+        for r in sketch.groupBy("row")
+        .agg(F.sum("counter").alias("s"))
+        .collect()
+    }
+    assert per_row == {0: total, 1: total}
+    est = {
+        r["term"]: r["cms_est"]
+        for r in cms_estimate(
+            sketch, s.select("term").distinct(), "term", depth=2, width=2
+        ).collect()
+    }
+    assert est.keys() == counts.keys()
+    assert all(est[k] >= counts[k] for k in counts)
