@@ -135,7 +135,20 @@ def _step_aggregate(df: DataFrame, step: dict, _: dict) -> DataFrame:
     aggs = [
         F.expr(expr).alias(name) for name, expr in step["metrics"].items()
     ]
-    return df.groupBy(*step.get("group_by", [])).agg(*aggs)
+    keys = list(step.get("group_by", []))
+    win = step.get("window")
+    if win:
+        # time-windowed grouping: F.window works identically on batch
+        # and streaming DataFrames, which is what lets ONE spec run both
+        # ways (see run_pipeline_streaming)
+        wcol = F.window(win["col"], win["duration"]).alias("_w")
+        out = df.groupBy(wcol, *keys).agg(*aggs)
+        return out.select(
+            F.col("_w.start").alias("window_start"),
+            *keys,
+            *step["metrics"].keys(),
+        )
+    return df.groupBy(*keys).agg(*aggs)
 
 
 _STEPS: dict[str, Callable[[DataFrame, dict, dict], DataFrame]] = {
@@ -280,3 +293,114 @@ QUERIES: dict[str, QuerySpec] = {
         "declarative-spec medallion pipeline (compiler under the gate)",
     ),
 }
+
+
+#: steps whose semantics are identical on a streaming DataFrame — the
+#: subset one spec can run in BOTH engines' modes (stateful streaming
+#: ops with distinct semantics — join/dedup/expect — are refused so a
+#: spec can't silently mean two different things)
+_STREAMING_SAFE = frozenset(
+    {"filter", "select", "derive", "rename", "cast", "drop_nulls",
+     "aggregate"}
+)
+
+
+def run_pipeline_streaming(
+    spark: SparkSession,
+    spec: dict,
+    sf_dir: str,
+    sink_table: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Execute the SAME spec as a Structured Streaming job: readStream
+    source (+ watermark from ``spec['streaming']``), the streaming-safe
+    step subset, AvailableNow to a memory sink — on bounded input the
+    result equals :func:`run_pipeline`'s batch execution of the same
+    spec, which is exactly what the registered query pair
+    ``spec_batch_hourly`` / ``spec_stream_hourly`` proves under the
+    driver's cross-engine gate (one spec, two execution modes, one
+    oracle).
+
+    Only the ``events`` source has a streaming adapter in this repo
+    (streaming/ingest.py); non-stateless ops raise rather than silently
+    changing meaning between modes.
+    """
+    from data_pipelines_using_llm_spark.streaming.ingest import (
+        run_to_table,
+        stream_events,
+    )
+
+    src = spec["source"]
+    name = src if isinstance(src, str) else src["table"]
+    if name != "events":
+        raise ValueError(
+            f"streaming source adapter exists only for 'events': {name!r}"
+        )
+    df = stream_events(spark, sf_dir)
+    wm = spec.get("streaming", {}).get("watermark")
+    if wm:
+        df = df.withWatermark(wm["col"], wm["delay"])
+    for i, step in enumerate(spec.get("steps", [])):
+        op = step.get("op")
+        if op not in _STREAMING_SAFE:
+            raise ValueError(
+                f"step {i}: op {op!r} is not streaming-safe "
+                f"(allowed: {sorted(_STREAMING_SAFE)})"
+            )
+        df = _STEPS[op](df, step, {})
+    return run_to_table(df, spark, sink_table, output_mode)
+
+
+HOURLY_SPEC: dict = {
+    "source": "events",
+    "streaming": {"watermark": {"col": "ts", "delay": "10 minutes"}},
+    "steps": [
+        {"op": "filter", "predicate": "value IS NOT NULL"},
+        {
+            "op": "aggregate",
+            "window": {"col": "ts", "duration": "1 hour"},
+            "group_by": ["event_type"],
+            "metrics": {
+                "n_events": "count(1)",
+                "sum_value": (
+                    "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+                ),
+            },
+        },
+    ],
+}
+
+
+def spec_batch_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOURLY_SPEC executed by the BATCH compiler."""
+    return run_pipeline(spark, HOURLY_SPEC, sf_dir=sf_dir)
+
+
+def spec_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOURLY_SPEC executed as a Structured Streaming job — same spec,
+    same oracle as ``spec_batch_hourly``."""
+    return run_pipeline_streaming(
+        spark, HOURLY_SPEC, sf_dir, "dpls_spec_stream_hourly"
+    )
+
+
+SPEC_HOURLY_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1, 2
+"""
+
+QUERIES["spec_batch_hourly"] = QuerySpec(
+    spec_batch_hourly,
+    SPEC_HOURLY_ORACLE,
+    "one spec, batch execution (windowed aggregate via F.window)",
+)
+QUERIES["spec_stream_hourly"] = QuerySpec(
+    spec_stream_hourly,
+    SPEC_HOURLY_ORACLE,
+    "the SAME spec, streaming execution — one oracle gates both modes",
+)

@@ -155,3 +155,34 @@ def test_spec_expect_gate_fails_loudly(spark):
     # on_fail="report" downgrades the same violation to a pass-through
     spec["steps"][0]["on_fail"] = "report"
     assert run_pipeline(spark, spec, sf_dir=SF).count() > 0
+
+
+def test_spec_same_spec_batch_equals_streaming(spark):
+    """The unification claim, asserted directly: HOURLY_SPEC executed by
+    the batch compiler and as a Structured Streaming job produce the
+    same rows; non-stateless ops are refused in streaming mode."""
+    from data_pipelines_using_llm_spark.plans.spec import (
+        HOURLY_SPEC,
+        run_pipeline,
+        run_pipeline_streaming,
+    )
+
+    batch = sorted(
+        map(tuple, run_pipeline(spark, HOURLY_SPEC, sf_dir=SF).collect())
+    )
+    stream = sorted(
+        map(
+            tuple,
+            run_pipeline_streaming(
+                spark, HOURLY_SPEC, SF, "t_spec_mode_eq"
+            ).collect(),
+        )
+    )
+    assert batch == stream and batch
+
+    unsafe = {
+        "source": "events",
+        "steps": [{"op": "dedup", "key": ["event_id"], "order_by": ["ts"]}],
+    }
+    with pytest.raises(ValueError, match="not streaming-safe"):
+        run_pipeline_streaming(spark, unsafe, SF, "t_spec_unsafe")
