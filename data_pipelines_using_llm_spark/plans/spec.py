@@ -179,7 +179,8 @@ def run_pipeline(
     If the spec carries a ``sink``, the result is also published:
     ``mode`` "append"/"overwrite" use the plain writer, "wap" stages,
     audits with ``sink.rules`` and snapshot-swaps
-    (sinks/writers.py::write_audit_publish).
+    (sinks/writers.py::write_audit_publish), "versioned" lands an
+    immutable time-travel snapshot (sinks/versioned.py).
     """
     sources = dict(sources or {})
 
@@ -221,6 +222,12 @@ def run_pipeline(
                 _rules(sink.get("rules", [])),
                 sink.get("max_violation_rate", 0.0),
             )
+        elif mode == "versioned":
+            from data_pipelines_using_llm_spark.sinks.versioned import (
+                versioned_write,
+            )
+
+            versioned_write(df, sink["path"], sink.get("keep", 3))
         elif mode in ("append", "overwrite"):
             from data_pipelines_using_llm_spark.sinks.writers import write_table
 

@@ -186,3 +186,23 @@ def test_spec_same_spec_batch_equals_streaming(spark):
     }
     with pytest.raises(ValueError, match="not streaming-safe"):
         run_pipeline_streaming(spark, unsafe, SF, "t_spec_unsafe")
+
+
+def test_spec_versioned_sink_time_travel(spark, tmp_path):
+    from data_pipelines_using_llm_spark.sinks.versioned import (
+        list_versions,
+        read_version,
+    )
+
+    path = str(tmp_path / "vspec")
+    spec = {
+        "source": "region",
+        "steps": [{"op": "select", "cols": ["r_regionkey", "r_name"]}],
+        "sink": {"path": path, "mode": "versioned", "keep": 2},
+    }
+    run_pipeline(spark, spec, sf_dir=SF)
+    run_pipeline(spark, spec, sf_dir=SF)
+    assert list_versions(path) == [1, 2]
+    assert read_version(spark, path, 1).count() == read_version(
+        spark, path
+    ).count()
