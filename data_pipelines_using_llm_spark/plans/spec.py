@@ -411,3 +411,56 @@ QUERIES["spec_stream_hourly"] = QuerySpec(
     SPEC_HOURLY_ORACLE,
     "the SAME spec, streaming execution — one oracle gates both modes",
 )
+
+
+#: Third-experiment archetype as data: two sources, broadcast-joined,
+#: filtered, derived — the "merge two feeds into a silver table" shape.
+ENRICHED_ORDERS_SPEC: dict = {
+    "source": "orders",
+    "steps": [
+        {"op": "filter", "predicate": "o_totalprice > 1000"},
+        {"op": "rename", "map": {"o_custkey": "c_custkey"}},
+        {
+            "op": "join",
+            "source": "customer",
+            "select": ["c_custkey", "c_name", "c_nationkey"],
+            "on": ["c_custkey"],
+            "how": "inner",
+            "broadcast": True,
+        },
+        {
+            "op": "derive",
+            "cols": {"order_year": "year(o_orderdate)"},
+        },
+        {
+            "op": "select",
+            "cols": [
+                "o_orderkey",
+                "c_custkey",
+                "c_name",
+                "c_nationkey",
+                "order_year",
+                "o_totalprice",
+            ],
+        },
+    ],
+}
+
+
+def spec_enriched_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-source join archetype (Third experiment) as a spec."""
+    return run_pipeline(spark, ENRICHED_ORDERS_SPEC, sf_dir=sf_dir)
+
+
+SPEC_ENRICHED_ORDERS_ORACLE = """
+SELECT o.o_orderkey, c.c_custkey, c.c_name, c.c_nationkey,
+       CAST(year(o.o_orderdate) AS INT) AS order_year, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice > 1000
+"""
+
+QUERIES["spec_enriched_orders"] = QuerySpec(
+    spec_enriched_orders,
+    SPEC_ENRICHED_ORDERS_ORACLE,
+    "two-source broadcast-join archetype as a spec (Third experiment)",
+)
