@@ -148,3 +148,69 @@ def pagerank(
                 )
             )
     return rank
+
+
+def triangle_counts(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> DataFrame:
+    """Per-vertex triangle participation counts over an undirected graph
+    given as canonical edges (``u < v``, deduplicated by the caller).
+
+    Algorithm: degree-ordered enumeration (Latapy's compact-forward /
+    the MapReduce formulation of Suri & Vassilvitskii's "Counting
+    Triangles and the Curse of the Last Reducer").  Every edge is
+    oriented from its lower-rank endpoint to its higher-rank endpoint
+    under the total order ``(degree, vertex_id)``; a triangle is then
+    counted exactly once as a wedge ``x→y, x→z`` (with rank(y) <
+    rank(z)) closed by the oriented edge ``y→z``.
+
+    Why the orientation matters at 100 TB: with arbitrary orientation a
+    celebrity vertex of degree d yields O(d²) wedges in one task — the
+    "curse of the last reducer".  Ordering by degree bounds every
+    out-degree by O(√m), so total wedge count is O(m^{3/2}) and no
+    single key dominates; both wedge-build and closure are plain
+    equi-joins (wedge join on the low vertex, closure on the (y, z)
+    pair) that AQE can further split.  The output is
+    orientation-invariant — the oracle may enumerate ``a<b<c`` directly.
+
+    Returns (node, n_triangles) for vertices in >= 1 triangle.
+    """
+    e = barrier(
+        edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    u_first = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    oriented = barrier(
+        with_deg.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dhi"),
+        )
+    )
+    e1 = oriented.select(
+        F.col("lo").alias("x"), F.col("hi").alias("y"), F.col("dhi").alias("dy")
+    )
+    e2 = oriented.select(
+        F.col("lo").alias("x"), F.col("hi").alias("z"), F.col("dhi").alias("dz")
+    )
+    wedges = e1.join(e2, "x").filter(
+        F.struct(F.col("dy"), F.col("y")) < F.struct(F.col("dz"), F.col("z"))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z")),
+        ["y", "z"],
+    )
+    return (
+        closed.select(
+            F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

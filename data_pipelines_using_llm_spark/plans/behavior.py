@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_pipelines_using_llm_spark.functions.exact import dec
+from data_pipelines_using_llm_spark.functions.exact import dec, exact_sum
 from data_pipelines_using_llm_spark.operators.caching import barrier
 from data_pipelines_using_llm_spark.plans.relational import (
     HOURLY_TREND_DENSE_ORACLE,
@@ -495,6 +495,108 @@ GROUP BY 1, 2
 """
 
 
+PEAK_BACK_MIN = 30
+PEAK_FWD_MIN = 90
+
+
+def peak_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join archetype: per (event_type, day) the peak
+    event (max value, event_id tiebreak) defines a variable-length
+    attention window ``[peak_ts - 30min, peak_ts + 90min)``; every event
+    of that type falling inside the window is attributed to it — the
+    "what happened around the spike" report.
+
+    Spark has no range-join operator, so this uses BIN-AND-FILTER, the
+    scalable formulation: windows explode to the hour buckets they
+    cover (a 2h window touches <= 3 buckets — fanout is bounded by
+    ``len/bucket + 1``, independent of data volume), events compute
+    their bucket for free, and the join becomes a plain EQUI-join on
+    (event_type, hour_bucket) followed by the residual ``ts ∈ [start,
+    end)`` predicate.  No inequality-only join condition ever reaches
+    the optimizer, so no BroadcastNestedLoop/cartesian fallback
+    (plan-gated); the window table is days x types — broadcast-sized
+    here, and still shuffle-joinable at any scale since the bucket key
+    is equi.  The oracle states the inequality join directly.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("event_type", F.date_trunc("day", "ts")).orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    peaks = (
+        ev.select(
+            "event_type",
+            "ts",
+            "value",
+            "event_id",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("ts").alias("peak_ts"),
+            (F.col("ts") - F.expr(f"INTERVAL {PEAK_BACK_MIN} MINUTES")).alias(
+                "w_start"
+            ),
+            (F.col("ts") + F.expr(f"INTERVAL {PEAK_FWD_MIN} MINUTES")).alias(
+                "w_end"
+            ),
+        )
+    )
+    buckets = peaks.select(
+        "event_type",
+        "peak_ts",
+        "w_start",
+        "w_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "w_start"),
+                F.date_trunc("hour", "w_end"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hb"),
+    )
+    tagged = ev.withColumn("hb", F.date_trunc("hour", "ts"))
+    joined = tagged.join(F.broadcast(buckets), ["event_type", "hb"]).filter(
+        (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end"))
+    )
+    return joined.groupBy("event_type", "peak_ts").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum("value").alias("window_value"),
+    )
+
+
+PEAK_WINDOW_TRAFFIC_ORACLE = f"""
+WITH ranked AS (
+    SELECT event_type, ts, value,
+           row_number() OVER (
+               PARTITION BY event_type, date_trunc('day', ts)
+               ORDER BY value DESC, event_id
+           ) AS rn
+    FROM events
+    WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+peaks AS (
+    SELECT event_type,
+           ts AS peak_ts,
+           ts - INTERVAL {PEAK_BACK_MIN} MINUTE AS w_start,
+           ts + INTERVAL {PEAK_FWD_MIN} MINUTE AS w_end
+    FROM ranked WHERE rn = 1
+)
+SELECT e.event_type,
+       p.peak_ts,
+       count(*) AS n_events,
+       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS window_value
+FROM events e
+JOIN peaks p
+  ON p.event_type = e.event_type
+ AND e.ts >= p.w_start AND e.ts < p.w_end
+WHERE e.ts IS NOT NULL AND e.value IS NOT NULL
+GROUP BY e.event_type, p.peak_ts
+"""
+
+
 QUERIES = {
     "purchase_funnel": QuerySpec(
         purchase_funnel, PURCHASE_FUNNEL_ORACLE, "ordered view->click->purchase funnel"
@@ -528,5 +630,10 @@ QUERIES = {
         hourly_ohlc_bars,
         HOURLY_OHLC_BARS_ORACLE,
         "OHLC bar downsampling per hour x type",
+    ),
+    "peak_window_traffic": QuerySpec(
+        peak_window_traffic,
+        PEAK_WINDOW_TRAFFIC_ORACLE,
+        "bin-and-filter range join: events inside per-day peak windows",
     ),
 }

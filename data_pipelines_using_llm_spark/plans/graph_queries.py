@@ -98,10 +98,76 @@ FROM {prev} CROSS JOIN nn
 """
 
 
+def basket_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase ("market basket") graph:
+    parts are linked when they appear in the same order; the output is
+    each part's triangle participation count — the local clustering
+    signal a recommender uses to find stable product cliques.
+
+    The graph is sparse by construction (baskets are small: edge count
+    is Σ C(items_per_order, 2) ≈ 6x orders, nodes = parts), which is
+    exactly the regime triangle counting is meant for — unlike the
+    co-supplier projection, which is near-complete and degenerate.
+
+    Scale: pair generation is a self-equi-join on l_orderkey (per-order
+    fanout bounded by basket size); enumeration is degree-ordered
+    (operators/graph.py::triangle_counts) so wedge volume is O(m^1.5)
+    with no celebrity-key blowup.  The oracle enumerates a<b<c directly
+    — the degree orientation is a physical optimization whose output is
+    provably orientation-invariant.
+    """
+    from data_pipelines_using_llm_spark.operators.graph import triangle_counts
+
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    return triangle_counts(edges).select(
+        F.col("node").alias("part_id"), "n_triangles"
+    )
+
+
+BASKET_TRIANGLES_ORACLE = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (
+    SELECT DISTINCT a.p AS u, b.p AS v
+    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+tri AS (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT part_id, count(*) AS n_triangles
+FROM (
+    SELECT a AS part_id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+GROUP BY part_id
+"""
+
+
 QUERIES = {
     "supplier_pagerank": QuerySpec(
         supplier_pagerank,
         _pagerank_oracle(),
         "PageRank over the customer-supplier trade graph (2 damped rounds)",
+    ),
+    "basket_triangles": QuerySpec(
+        basket_triangles,
+        BASKET_TRIANGLES_ORACLE,
+        "degree-ordered triangle census of the part co-purchase graph",
     ),
 }

@@ -336,6 +336,47 @@ FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
 """
 
 
+DOMAIN_QUOTA = 15
+
+
+def doc_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — keep at most ``DOMAIN_QUOTA`` docs per
+    source, best-first (longest text wins, doc_id tiebreak): the
+    domain-balancing pass web-corpus curation runs so that no single
+    crawl domain dominates the training mixture.
+
+    Scale: ``row_number() <= k`` after a partitioned window compiles to
+    Spark's ``WindowGroupLimit`` — each map task keeps only its local
+    top-k per source BEFORE the shuffle, so the exchange carries
+    O(sources x k) rows per task, not the corpus (plan-gated in
+    tests/test_plans.py).  No global sort anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return docs.select(
+        "*", F.row_number().over(w).alias("quota_rank")
+    ).filter(F.col("quota_rank") <= DOMAIN_QUOTA)
+
+
+DOC_DOMAIN_QUOTA_ORACLE = f"""
+WITH r AS (
+    SELECT doc_id, source, n_chars,
+           row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+           ) AS quota_rank
+    FROM documents
+)
+SELECT doc_id, source, n_chars, quota_rank
+FROM r WHERE quota_rank <= {DOMAIN_QUOTA}
+"""
+
+
 QUERIES = {
     "doc_split_report": QuerySpec(
         doc_split_report,
@@ -376,6 +417,11 @@ QUERIES = {
         doc_token_budget,
         _token_budget_oracle(),
         "per-source token-quota fill via distributed prefix sum",
+    ),
+    "doc_domain_quota": QuerySpec(
+        doc_domain_quota,
+        DOC_DOMAIN_QUOTA_ORACLE,
+        "per-domain doc cap, best-first (WindowGroupLimit top-k per source)",
     ),
 }
 

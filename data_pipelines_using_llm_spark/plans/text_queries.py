@@ -413,6 +413,101 @@ LIMIT {BIGRAM_TOP_K}
 """
 
 
+COLLOC_MIN_PAIR = 5
+COLLOC_TOP_K = 30
+
+
+def doc_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the top word bigrams by LIFT — the ratio
+    ``P(w1 w2) / (P(w1)·P(w2))`` whose log is pointwise mutual
+    information (log is monotone, so ranking by lift IS ranking by PMI
+    while staying in exact integer-derived arithmetic: the three counts
+    and the corpus total are exact longs, each converts exactly to
+    double below 2^53, and IEEE multiply/divide are correctly rounded,
+    so both engines produce bit-identical doubles).
+
+    Scale: two token-count aggregations (unigram, bigram), both with
+    map-side partial combine — only distinct grams shuffle.  The
+    ``min_pair`` filter prunes the pair table BEFORE the two vocabulary
+    joins, so the joins touch only candidate collocations; the corpus
+    total is a one-row broadcast.  At trillion-token scale the long
+    products in the lift numerator approach 2^63 — the double cast
+    happens before the multiply precisely so the math degrades to
+    correctly-rounded floating point instead of overflowing.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    pair_t = "array<struct<w1:string,w2:string>>"
+    pairs = d.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.expr(f"CAST(array() AS {pair_t})"))
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    uni = (
+        d.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = uni.agg(F.sum("c").alias("n_total"))
+    bg = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .filter(F.col("c_pair") >= COLLOC_MIN_PAIR)
+    )
+    j = (
+        bg.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(total))
+    )
+    lift = (F.col("c_pair").cast("double") * F.col("n_total")) / (
+        F.col("c1").cast("double") * F.col("c2")
+    )
+    return (
+        j.select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("c_pair"),
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("bigram"))
+        .limit(COLLOC_TOP_K)
+    )
+
+
+def _collocations_oracle() -> str:
+    toks = SQL_TOKENS.format(col="text")
+    return f"""
+WITH tok AS (SELECT doc_id, {toks} AS t FROM documents),
+uni AS (SELECT u.w AS w, count(*) AS c FROM tok, UNNEST(t) AS u(w) GROUP BY u.w),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni),
+bg AS (
+    SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS c_pair
+    FROM tok, UNNEST(range(1, len(t))) AS r(i)
+    WHERE len(t) >= 2
+    GROUP BY 1, 2
+    HAVING count(*) >= {COLLOC_MIN_PAIR}
+)
+SELECT bg.w1 || ' ' || bg.w2 AS bigram,
+       bg.c_pair AS c_pair,
+       round((CAST(bg.c_pair AS DOUBLE) * tot.n_total)
+             / (CAST(u1.c AS DOUBLE) * u2.c), 6) AS lift
+FROM bg
+JOIN uni u1 ON u1.w = bg.w1
+JOIN uni u2 ON u2.w = bg.w2
+CROSS JOIN tot
+ORDER BY lift DESC, bigram
+LIMIT {COLLOC_TOP_K}
+"""
+
+
 PREP_MIN_QUALITY = 0.7
 PREP_LANG = "en"
 
@@ -1045,6 +1140,11 @@ QUERIES = {
     ),
     "doc_bigram_freq": QuerySpec(
         doc_bigram_freq, _bigram_oracle(), "corpus bigram document-frequency census"
+    ),
+    "doc_collocations": QuerySpec(
+        doc_collocations,
+        _collocations_oracle(),
+        "top bigram collocations by lift (monotone-equivalent to PMI)",
     ),
     "doc_token_stats": QuerySpec(doc_token_stats, DOC_TOKEN_STATS_ORACLE, "token counting"),
     "doc_quality_scores": QuerySpec(doc_quality_scores, DOC_QUALITY_ORACLE, "quality scoring"),

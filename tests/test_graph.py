@@ -153,6 +153,39 @@ def test_user_value_ewma_chunked_bit_equal(spark):
     assert weeks >= 2
 
 
+def test_triangle_counts_hand_computed(spark):
+    """K4 minus one edge: nodes {1,2,3,4}, edges all pairs except (3,4).
+    Triangles: (1,2,3) and (1,2,4) — so 1 and 2 sit in 2 each, 3 and 4
+    in 1 each.  A pendant vertex (5) must not appear at all."""
+    from data_pipelines_using_llm_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (4, 5)],
+        "u bigint, v bigint",
+    )
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert out == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangle_counts_star_has_none(spark):
+    """A star graph has wedges everywhere but zero triangles — the case
+    the degree orientation exists for (the hub never fans out)."""
+    from data_pipelines_using_llm_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, h) for h in range(2, 12)], "u bigint, v bigint"
+    )
+    assert triangle_counts(edges).count() == 0
+
+
+def test_basket_triangles_pack_runs(spark):
+    df = GQ.basket_triangles(spark, "/root/testdata/sf0.001").toPandas()
+    # every participating part is counted at least once, and the
+    # membership total is a multiple of 3 (each triangle names 3 parts)
+    assert (df["n_triangles"] >= 1).all()
+    assert int(df["n_triangles"].sum()) % 3 == 0
+
+
 def test_pagerank_production_sum_matches_exact_fold(spark):
     """exact_fold=False (plain map-side sum — the 100 TB path) must agree
     with the sorted-fold oracle path to float-noise tolerance."""

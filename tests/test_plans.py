@@ -54,10 +54,30 @@ def test_aggregates_are_partial_before_exchange(spark):
         "dedup_simhash",
         "salted_nation_revenue",
         "purchase_click_attribution",
+        "basket_triangles",
+        "doc_collocations",
     ],
 )
 def test_no_cartesian_products(spark, name):
     assert "CartesianProduct" not in _plan(spark, name)
+
+
+def test_peak_window_range_join_is_equi(spark):
+    """The bin-and-filter range join must reach the optimizer as an
+    EQUI-join on (event_type, hour_bucket) — an inequality-only join
+    would fall back to BroadcastNestedLoopJoin and die at scale."""
+    plan = _plan(spark, "peak_window_traffic")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_domain_quota_uses_window_group_limit(spark):
+    """row_number() <= k must compile to WindowGroupLimit so each map
+    task pre-truncates to its local top-k per source before the
+    exchange — the property that keeps the cap cheap at corpus scale."""
+    plan = _plan(spark, "doc_domain_quota")
+    assert "WindowGroupLimit" in plan
 
 
 def test_knn_broadcasts_query_side(spark):
