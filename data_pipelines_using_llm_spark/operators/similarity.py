@@ -1204,3 +1204,311 @@ def semantic_dedup(
             F.coalesce("dup_of", F.lit(-1).cast("long")).alias("dup_of"),
         )
     )
+
+
+# ---- product quantization (PQ / ADC serving path) ----
+
+PQ_M = 4  # subspaces
+PQ_SUBDIM = DIM // PQ_M  # 16 dims each
+PQ_K = 16  # codewords per sub-codebook (codes fit 4 bits)
+PQ_ITERS = 2
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization training (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011): split each vector into
+    ``m`` contiguous subvectors and run an independent deterministic
+    k-means (:func:`kmeans_assign`: lowest-id seeding, decimal-exact
+    centroid means) in each subspace.
+
+    Returns ``(codes, cents)``:
+    - ``codes`` (vec_id, m, code) — the compressed corpus: m small ints
+      per vector (m·log2(k) bits ≈ 2 bytes here vs 256 bytes float32 —
+      the 100 TB corpus becomes ~1 TB of codes).
+    - ``cents`` (m, code, cv, cn2) — sub-codebooks re-derived from the
+      FINAL assignment by decimal-exact per-dimension means (the same
+      assignment→centroid convention :func:`ivf_centroids` uses), plus
+      each codeword's exact-fold squared norm for reconstruction norms.
+
+    Training cost is m independent small k-means runs over
+    (N x subdim) slices — each a broadcast-centroid argmin plus one
+    (code, pos) shuffle per iteration; nothing here scales worse than
+    linear in the corpus.
+    """
+    from functools import reduce
+
+    base = barrier(
+        df.select(F.col(id_col).alias("vec_id"), to_double(vec_col).alias("v"))
+    )
+    subdim = DIM // m
+    code_parts, sub_parts = [], []
+    for mi in range(m):
+        sub = base.select(
+            "vec_id", F.slice("v", mi * subdim + 1, subdim).alias("sv")
+        )
+        asg = kmeans_assign(sub, "vec_id", "sv", k=k, iters=iters).select(
+            "vec_id",
+            F.lit(mi).alias("m"),
+            F.col("cluster_id").alias("code"),
+        )
+        code_parts.append(asg)
+        sub_parts.append(
+            sub.select("vec_id", F.lit(mi).alias("m"), F.col("sv"))
+        )
+    codes = barrier(reduce(lambda a, b: a.unionByName(b), code_parts))
+    subs = reduce(lambda a, b: a.unionByName(b), sub_parts)
+    comp = codes.join(subs, ["vec_id", "m"]).select(
+        "m", "code", F.posexplode("sv").alias("pos", "x")
+    )
+    sums = comp.groupBy("m", "code", "pos").agg(
+        F.sum(F.col("x").cast("decimal(28,10)")).cast("double").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cents = (
+        sums.select("m", "code", "pos", (F.col("s") / F.col("n")).alias("c"))
+        .groupBy("m", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cv")
+        )
+        .select("m", "code", "cv", dot(F.col("cv"), F.col("cv")).alias("cn2"))
+    )
+    return codes, barrier(cents)
+
+
+def _sorted_fold_sum(key: str, val: str) -> Column:
+    """Order-exact sum of ``val`` over a group, sequenced by ``key`` —
+    matches the oracle's ``list_reduce(list_prepend(0.0, array_agg(val
+    ORDER BY key)), +)`` bit-for-bit.  Group size here is m (tiny)."""
+    return F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(key, val))),
+            lambda s: s[val],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def knn_pq(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_mod: int = 100,
+    k: int = DEFAULT_K,
+    m: int = PQ_M,
+    kcodes: int = PQ_K,
+    iters: int = PQ_ITERS,
+    pq: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Exhaustive PQ search with ASYMMETRIC DISTANCE COMPUTATION (ADC) —
+    FAISS's ``IndexPQ`` re-expressed as a dataflow: queries stay float,
+    the corpus is scanned as codes, and each (query, codeword) partial
+    dot product is computed ONCE in a lookup table instead of once per
+    corpus vector.
+
+    Plan shape: the LUT is |queries| x m x k rows (query-side only —
+    broadcast), the corpus-side scan is an equi-join of the (vec_id, m,
+    code) table against it on (m, code), then a per-(query, vector)
+    fold of exactly m partials.  The full-precision corpus is never
+    read at serve time — only ``pq_train``'s code table — and nothing
+    joins on an inequality.  Approximate cosine uses the reconstruction
+    norm ``sqrt(Σ_m |c_{m,code}|²)`` (centroid cross-terms vanish:
+    subspaces are disjoint coordinate blocks).
+
+    Determinism: every float reduction is a sequenced fold (the m-way
+    partial sum via :func:`_sorted_fold_sum`), all other arithmetic is
+    exact — so the ADC scores hash-gate cross-engine like the int8
+    family.  Composition with an IVF coarse quantizer (scan only probed
+    cells' codes) is the FAISS IVFPQ layout; the cell equi-join of
+    :func:`knn_ivf_int8` composes unchanged with this scorer.
+    """
+    subdim = DIM // m
+    base = normed(df, id_col, vec_col)
+    codes, cents = (
+        pq if pq is not None else pq_train(df, id_col, vec_col, m, kcodes, iters)
+    )
+    queries = base.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    # LUT: partial = Σ_i qv[m·subdim + i] · cv[i] — the same product
+    # sequence the oracle states, left-folded
+    partial = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(subdim)),
+            lambda i: F.element_at(
+                F.col("qv"), (F.col("m") * subdim + i).cast("int")
+            )
+            * F.element_at(F.col("cv"), i.cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qnrm",
+            "m",
+            "code",
+            partial.alias("partial"),
+            "cn2",
+        )
+    )
+    scored_parts = codes.join(F.broadcast(lut), ["m", "code"]).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    agg = scored_parts.groupBy("query_id", "vec_id").agg(
+        _sorted_fold_sum("m", "partial").alias("adc"),
+        _sorted_fold_sum("m", "cn2").alias("rn2"),
+        F.min("qnrm").alias("qnrm"),
+    )
+    scored = agg.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (F.col("adc") / (F.col("qnrm") * F.sqrt("rn2"))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+def knn_ivfpq(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    query_mod: int = 100,
+    k: int = DEFAULT_K,
+    nprobe: int = 2,
+    m: int = PQ_M,
+    kcodes: int = PQ_K,
+    iters: int = PQ_ITERS,
+    pq: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """IVF + PQ — the FAISS ``IVFPQ`` layout, the standard billion-scale
+    serving stack: a learned coarse quantizer bounds WHICH vectors are
+    scored (nprobe of the cells, float centroid probe exactly as
+    :func:`knn_ivf`), and product-quantized codes bound the BYTES per
+    scored vector (m·log2(k) bits via the :func:`knn_pq` ADC lookup
+    table).  The two factors compound: a query touches nprobe/k_cells of
+    a corpus that is itself ~128x compressed.
+
+    Serve-time reads: cell membership (vec_id, cell) and the code table
+    (vec_id, m, code) — never the float corpus; full-precision vectors
+    exist only in the two training paths.  Every join is an equi-join
+    (cell; vec_id; (query_id, m, code) against the broadcast LUT), and
+    every float reduction is a sequenced fold, so the whole stack
+    hash-gates cross-engine like its factors.
+
+    Pass ``pq=(codes, cents)`` (from :func:`pq_train`, ideally behind a
+    ``localCheckpoint`` lineage cut) to serve from a pre-trained code
+    table — production trains once and amortizes, and without the cut
+    the serve plan drags five k-means lineages (coarse + m sub-spaces)
+    through analysis/codegen, which is driver-heap-hostile even though
+    execution hits the persisted blocks (measured: 41s/OOM-at-1g
+    composed vs seconds with checkpointed training artifacts).
+    """
+    subdim = DIM // m
+    base = normed(df, id_col, vec_col).join(
+        df.select(F.col(id_col).alias("vec_id"), F.col(cell_col).alias("cell")),
+        "vec_id",
+    )
+    cents = ivf_centroids(base, "cell")
+    codes, pqcents = (
+        pq if pq is not None else pq_train(df, id_col, vec_col, m, kcodes, iters)
+    )
+    queries = base.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("cell")
+    )
+    probes = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "cell",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cnrm"))).alias(
+                "ccos"
+            ),
+        )
+        .withColumn("crank", F.row_number().over(wprobe))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "cell")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(base.select("vec_id", "cell"), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    partial = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(subdim)),
+            lambda i: F.element_at(
+                F.col("qv"), (F.col("m") * subdim + i).cast("int")
+            )
+            * F.element_at(F.col("cv"), i.cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(pqcents))
+        .select(
+            "query_id", "qnrm", "m", "code", partial.alias("partial"), "cn2"
+        )
+    )
+    sp = cand.join(codes, "vec_id").join(
+        F.broadcast(lut), ["query_id", "m", "code"]
+    )
+    agg = sp.groupBy("query_id", "vec_id").agg(
+        _sorted_fold_sum("m", "partial").alias("adc"),
+        _sorted_fold_sum("m", "cn2").alias("rn2"),
+        F.min("qnrm").alias("qnrm"),
+    )
+    final = agg.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (F.col("adc") / (F.col("qnrm") * F.sqrt("rn2"))).alias("cos"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        final.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )

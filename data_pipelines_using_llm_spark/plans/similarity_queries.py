@@ -340,6 +340,15 @@ def _kmeans_lbl_prefix(k: int = 10, iters: int = 2) -> str:
     CTE (vec_id, v, nrm, cell).  Shared by the IVF probe oracles (via
     :func:`_ivf_kmeans_prefix`) and the semantic-dedup oracle so the
     quantizer definition cannot drift between them."""
+    return f"""
+WITH {_SQL_BASE},
+{_kmeans_lbl_body(k, iters)}"""
+
+
+def _kmeans_lbl_body(k: int = 10, iters: int = 2) -> str:
+    """CTE chain of :func:`_kmeans_lbl_prefix` WITHOUT the ``WITH base``
+    header — composable with other CTE families (the IVFPQ oracle needs
+    both this and :func:`_pq_prefix` under one ``WITH``)."""
     ctes = [f"c0 AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < {k})"]
     prev = "c0"
     for it in range(1, iters + 1):
@@ -368,9 +377,7 @@ def _kmeans_lbl_prefix(k: int = 10, iters: int = 2) -> str:
         )
         prev = f"c{it}"
     kmeans_ctes = ",\n".join(ctes)
-    return f"""
-WITH {_SQL_BASE},
-{kmeans_ctes},
+    return f"""{kmeans_ctes},
 asg AS (
     SELECT vec_id, cid AS cell FROM (
         SELECT b.vec_id, c.cid,
@@ -389,7 +396,14 @@ def _ivf_kmeans_prefix(k: int = 10, iters: int = 2) -> str:
     Consumed by both the float-scored (``knn_ivf_kmeans``) and
     int8-scored (``knn_ivf_int8``) oracles."""
     return f"""{_kmeans_lbl_prefix(k, iters)},
-comp AS (
+{_ivf_probe_body()}"""
+
+
+def _ivf_probe_body() -> str:
+    """Cell centroids + float probe ranking CTEs (everything between
+    ``lbl`` and ``probes``), composable under an existing ``WITH`` —
+    shared by :func:`_ivf_kmeans_prefix` and the IVFPQ oracle."""
+    return f"""comp AS (
     SELECT cell, t.i AS pos, v[t.i] AS x
     FROM lbl, range(1, {SIM.DIM + 1}) t(i)
 ),
@@ -783,6 +797,256 @@ FROM ranked WHERE rank <= {K}
 """
 
 
+def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k — FAISS ``IndexPQ`` as a dataflow:
+    m=4 sub-codebooks of 16 codewords trained per subspace, queries
+    scored against the 2-byte code table via a broadcast lookup table.
+    See operators/similarity.py::knn_pq for the 100 TB plan argument."""
+    e = load_table(spark, sf_dir, "embeddings")
+    codes, cents = SIM.pq_train(e, "vec_id", "embedding")
+    pq = (codes.localCheckpoint(eager=True), cents.localCheckpoint(eager=True))
+    return SIM.knn_pq(e, "vec_id", "embedding", QUERY_MOD, K, pq=pq)
+
+
+def _sql_dot_n(a: str, b: str, dim: int) -> str:
+    """Sequential-fold dot product over the first ``dim`` positions."""
+    return (
+        f"list_reduce(list_prepend(0.0, "
+        f"list_transform(range(1, {dim + 1}), i -> ({a})[i] * ({b})[i])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _sql_d2_n(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, "
+        f"list_transform(range(1, {dim + 1}), "
+        f"i -> (({a})[i] - ({b})[i]) * (({a})[i] - ({b})[i]))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _pq_prefix(m: int, k: int, iters: int) -> str:
+    """Per-subspace k-means unrolled (same CTE pattern as
+    :func:`_kmeans_lbl_prefix`, parameterized by subspace), then the
+    code table, final-assignment sub-codebooks, and codeword norms."""
+    sd = SIM.DIM // m
+    ctes = []
+    for mi in range(m):
+        lo = mi * sd + 1
+        ctes.append(
+            f"sub{mi} AS (SELECT vec_id, "
+            f"list_transform(range({lo}, {lo + sd}), i -> v[i]) AS sv "
+            f"FROM base)"
+        )
+        ctes.append(
+            f"p{mi}c0 AS (SELECT vec_id AS cid, sv AS cv FROM sub{mi} "
+            f"WHERE vec_id < {k})"
+        )
+        prev = f"p{mi}c0"
+        for it in range(1, iters + 1):
+            ctes.append(
+                f"""p{mi}a{it} AS (
+    SELECT vec_id, sv, cid FROM (
+        SELECT vec_id, sv, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM (SELECT b.vec_id, b.sv, c.cid, {_sql_d2_n('b.sv', 'c.cv', sd)} AS d2
+              FROM sub{mi} b CROSS JOIN {prev} c)
+    ) WHERE rn = 1
+)"""
+            )
+            ctes.append(
+                f"""p{mi}s{it} AS (
+    SELECT cid, t.i AS pos,
+           CAST(sum(CAST(sv[t.i] AS DECIMAL(28,10))) AS DOUBLE) AS s,
+           count(*) AS n
+    FROM p{mi}a{it}, range(1, {sd + 1}) t(i)
+    GROUP BY cid, t.i
+)"""
+            )
+            ctes.append(
+                f"p{mi}c{it} AS (SELECT cid, array_agg(s / n ORDER BY pos) AS cv "
+                f"FROM p{mi}s{it} GROUP BY cid)"
+            )
+            prev = f"p{mi}c{it}"
+        ctes.append(
+            f"""p{mi}asg AS (
+    SELECT vec_id, cid AS code FROM (
+        SELECT b.vec_id, c.cid,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {_sql_d2_n('b.sv', 'c.cv', sd)}, c.cid) AS rn
+        FROM sub{mi} b CROSS JOIN {prev} c
+    ) WHERE rn = 1
+)"""
+        )
+    codes_sel = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {mi} AS m, code FROM p{mi}asg" for mi in range(m)
+    )
+    subs_sel = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {mi} AS m, sv FROM sub{mi}" for mi in range(m)
+    )
+    ctes.append(f"codes AS (\n{codes_sel}\n)")
+    ctes.append(f"subs AS (\n{subs_sel}\n)")
+    ctes.append(
+        f"""pcomp AS (
+    SELECT c.m, c.code, t.i AS pos, s.sv[t.i] AS x
+    FROM codes c
+    JOIN subs s ON s.vec_id = c.vec_id AND s.m = c.m,
+         range(1, {sd + 1}) t(i)
+)"""
+    )
+    ctes.append(
+        """psums AS (
+    SELECT m, code, pos,
+           CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS s,
+           count(*) AS n
+    FROM pcomp GROUP BY m, code, pos
+)"""
+    )
+    ctes.append(
+        "pcents AS (SELECT m, code, array_agg(s / n ORDER BY pos) AS cv "
+        "FROM psums GROUP BY m, code)"
+    )
+    ctes.append(
+        f"pcentn AS (SELECT m, code, cv, {_sql_dot_n('cv', 'cv', sd)} AS cn2 "
+        f"FROM pcents)"
+    )
+    return ",\n".join(ctes)
+
+
+def _knn_pq_oracle(
+    m: int = SIM.PQ_M, kcodes: int = SIM.PQ_K, iters: int = SIM.PQ_ITERS
+) -> str:
+    sd = SIM.DIM // m
+    return f"""
+WITH {_SQL_BASE},
+{_pq_prefix(m, kcodes, iters)},
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+      WHERE vec_id % {QUERY_MOD} = 0),
+lut AS (
+    SELECT q.query_id, q.qnrm, c.m, c.code,
+           list_reduce(list_prepend(0.0,
+               list_transform(range(1, {sd + 1}),
+                   i -> q.qv[c.m * {sd} + i] * c.cv[i])),
+               (acc, x) -> acc + x) AS partial,
+           c.cn2
+    FROM q CROSS JOIN pcentn c
+),
+sp AS (
+    SELECT l.query_id, c.vec_id, l.qnrm, l.m, l.partial, l.cn2
+    FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+    WHERE c.vec_id != l.query_id
+),
+pagg AS (
+    SELECT query_id, vec_id,
+           list_reduce(list_prepend(0.0, array_agg(partial ORDER BY m)),
+                       (acc, x) -> acc + x) AS adc,
+           list_reduce(list_prepend(0.0, array_agg(cn2 ORDER BY m)),
+                       (acc, x) -> acc + x) AS rn2,
+           min(qnrm) AS qnrm
+    FROM sp GROUP BY query_id, vec_id
+),
+ranked AS (
+    SELECT query_id, vec_id AS neighbor_id,
+           adc / (qnrm * sqrt(rn2)) AS cos,
+           row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY adc / (qnrm * sqrt(rn2)) DESC, vec_id
+           ) AS rank
+    FROM pagg
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine_sim,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {K}
+"""
+
+
+def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means cells) + PQ codes — the FAISS IVFPQ serving stack:
+    probe float, score compressed via the ADC lookup table.  Training
+    artifacts (cell assignment, code table, sub-codebooks) are
+    materialized behind ``localCheckpoint`` lineage cuts — the batch
+    analogue of writing the index between train and serve, and the
+    thing that keeps six k-means lineages out of the serve plan's
+    analysis (see operators/similarity.py::knn_ivfpq)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = (
+        SIM.kmeans_assign(e, "vec_id", "embedding", k=10, iters=2)
+        .select("vec_id", F.col("cluster_id").alias("kcell"))
+        .localCheckpoint(eager=True)
+    )
+    codes, pqcents = SIM.pq_train(e, "vec_id", "embedding")
+    pq = (
+        codes.localCheckpoint(eager=True),
+        pqcents.localCheckpoint(eager=True),
+    )
+    return SIM.knn_ivfpq(
+        e.join(cells, "vec_id"), "vec_id", "embedding", "kcell", QUERY_MOD, K,
+        IVF_KMEANS_NPROBE, pq=pq,
+    )
+
+
+def _knn_ivfpq_oracle(
+    k: int = 10,
+    iters: int = 2,
+    m: int = SIM.PQ_M,
+    kcodes: int = SIM.PQ_K,
+    pq_iters: int = SIM.PQ_ITERS,
+) -> str:
+    """IVFPQ oracle: the k-means cell/probe CTE family and the PQ
+    codebook CTE family composed under one WITH — candidates come from
+    the probed cells, scores from the ADC lookup table."""
+    sd = SIM.DIM // m
+    return f"""
+WITH {_SQL_BASE},
+{_kmeans_lbl_body(k, iters)},
+{_ivf_probe_body()},
+{_pq_prefix(m, kcodes, pq_iters)},
+cand AS (
+    SELECT p.query_id, c.vec_id
+    FROM probes p JOIN lbl c ON c.cell = p.cell
+    WHERE p.crank <= {IVF_KMEANS_NPROBE} AND c.vec_id != p.query_id
+),
+lut AS (
+    SELECT q.query_id, q.qnrm, c.m, c.code,
+           list_reduce(list_prepend(0.0,
+               list_transform(range(1, {sd + 1}),
+                   i -> q.qv[c.m * {sd} + i] * c.cv[i])),
+               (acc, x) -> acc + x) AS partial,
+           c.cn2
+    FROM q CROSS JOIN pcentn c
+),
+sp AS (
+    SELECT cd.query_id, cd.vec_id, l.qnrm, co.m, l.partial, l.cn2
+    FROM cand cd
+    JOIN codes co ON co.vec_id = cd.vec_id
+    JOIN lut l ON l.query_id = cd.query_id
+             AND l.m = co.m AND l.code = co.code
+),
+pagg AS (
+    SELECT query_id, vec_id,
+           list_reduce(list_prepend(0.0, array_agg(partial ORDER BY m)),
+                       (acc, x) -> acc + x) AS adc,
+           list_reduce(list_prepend(0.0, array_agg(cn2 ORDER BY m)),
+                       (acc, x) -> acc + x) AS rn2,
+           min(qnrm) AS qnrm
+    FROM sp GROUP BY query_id, vec_id
+),
+ranked AS (
+    SELECT query_id, vec_id AS neighbor_id,
+           adc / (qnrm * sqrt(rn2)) AS cos,
+           row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY adc / (qnrm * sqrt(rn2)) DESC, vec_id
+           ) AS rank
+    FROM pagg
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine_sim,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {K}
+"""
+
+
 QUERIES = {
     "kmeans_clusters": QuerySpec(kmeans_clusters, _kmeans_oracle(), "Lloyd's k-means (2 iters)"),
     "knn_brute_force": QuerySpec(knn_brute_force, KNN_BRUTE_FORCE_ORACLE, "exact cosine top-k"),
@@ -792,6 +1056,8 @@ QUERIES = {
     "knn_ivf_kmeans": QuerySpec(knn_ivf_kmeans, _knn_ivf_kmeans_oracle(), "IVF ANN top-k (k-means cells; recommended)"),
     "knn_ivf_int8": QuerySpec(knn_ivf_int8, _knn_ivf_int8_oracle(), "IVF (k-means) + int8 codes: probe float, score compressed"),
     "knn_int8": QuerySpec(knn_int8, KNN_INT8_ORACLE, "int8-quantized cosine top-k (exact integer kernel)"),
+    "knn_pq": QuerySpec(knn_pq, _knn_pq_oracle(), "product-quantization ADC top-k (FAISS IndexPQ shape)"),
+    "knn_ivfpq": QuerySpec(knn_ivfpq, _knn_ivfpq_oracle(), "IVF cells + PQ codes: probe float, ADC-score compressed (FAISS IVFPQ)"),
     "embedding_cosine_pairs": QuerySpec(embedding_cosine_pairs, _pairs_oracle(), "cosine near-dup pairs"),
     "embedding_hard_negatives": QuerySpec(embedding_hard_negatives, _hard_negatives_oracle(), "contrastive hard-negative mining via LSH buckets"),
     "embedding_coreset": QuerySpec(embedding_coreset, _coreset_oracle(), "greedy farthest-point exemplar selection (unrolled-round oracle)"),
