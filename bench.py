@@ -109,6 +109,14 @@ HEADLINE = [
     "media_phash_dedup",
     "value_histogram_rollup",
     "spec_monthly_gold",
+    # r6 second wave: graph triangles, range join, collocations, domain
+    # quota, PQ/IVFPQ compressed ANN
+    "basket_triangles",
+    "peak_window_traffic",
+    "doc_collocations",
+    "doc_domain_quota",
+    "knn_pq",
+    "knn_ivfpq",
     # streaming
     "stream_hourly_counts",
     "stream_click_purchase_join",

@@ -72,6 +72,14 @@ def test_peak_window_range_join_is_equi(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
+def test_skew_profile_topk_never_globally_sorts(spark):
+    """The heavy-hitter top-k must compile to TakeOrderedAndProject
+    (per-partition heaps) — a global Sort over the per-key table would
+    single-task at billion-key cardinality."""
+    plan = _plan(spark, "events_skew_profile")
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_domain_quota_uses_window_group_limit(spark):
     """row_number() <= k must compile to WindowGroupLimit so each map
     task pre-truncates to its local top-k per source before the

@@ -303,3 +303,38 @@ def test_cms_one_sided_error_property(spark, counts):
     }
     assert est.keys() == counts.keys()
     assert all(est[k] >= counts[k] for k in counts)
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_triangle_counts_match_bruteforce(spark, edges):
+    """Degree-ordered enumeration must agree with naive per-node triangle
+    membership on ANY small graph — the orientation trick is a physical
+    optimization, so miscounting under any degree distribution (ties,
+    hubs, disconnected pieces) is a bug.  Self-loops are dropped and
+    edges canonicalized (u<v, deduped) before both computations."""
+    from itertools import combinations
+
+    from data_pipelines_using_llm_spark.operators.graph import triangle_counts
+
+    canon = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    if not canon:
+        return
+    eset = set(canon)
+    nodes = {x for e in canon for x in e}
+    expected: dict[int, int] = {}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if ((a, b) in eset) and ((b, c) in eset) and ((a, c) in eset):
+            for x in (a, b, c):
+                expected[x] = expected.get(x, 0) + 1
+    df = spark.createDataFrame(sorted(canon), "u bigint, v bigint")
+    got = {
+        r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()
+    }
+    assert got == expected
