@@ -323,6 +323,34 @@ def main() -> int:
         errors["stage:knn_ivf_kmeans_split"] = f"{type(exc).__name__}: {exc}"[:400]
         _safe_release()
 
+    # Same split for the PQ family: codebook training (m k-means runs,
+    # amortized once in production) vs the ADC serve scan.
+    try:
+        from data_pipelines_using_llm_spark.operators import similarity as SIM
+        from data_pipelines_using_llm_spark.plans.similarity_queries import (
+            K as SQ_K,
+            QUERY_MOD as SQ_MOD,
+        )
+        from data_pipelines_using_llm_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        t0 = time.perf_counter()
+        codes, pqcents = SIM.pq_train(emb, "vec_id", "embedding")
+        pq = (
+            codes.localCheckpoint(eager=True),
+            pqcents.localCheckpoint(eager=True),
+        )
+        stages["knn_pq_train"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        SIM.knn_pq(
+            emb, "vec_id", "embedding", SQ_MOD, SQ_K, pq=pq
+        ).write.format("noop").mode("overwrite").save()
+        stages["knn_pq_serve"] = round(time.perf_counter() - t0, 4)
+        _safe_release()
+    except Exception as exc:
+        errors["stage:knn_pq_split"] = f"{type(exc).__name__}: {exc}"[:400]
+        _safe_release()
+
     # Plan-audit sweep (plans/audit.py): count fatal/warn findings across
     # the headline plans so a lost broadcast / new cartesian / stray
     # row-UDF shows up in the per-round artifact, not just in pytest.

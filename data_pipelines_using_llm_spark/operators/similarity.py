@@ -1237,33 +1237,79 @@ def pq_train(
       assignment→centroid convention :func:`ivf_centroids` uses), plus
       each codeword's exact-fold squared norm for reconstruction norms.
 
-    Training cost is m independent small k-means runs over
-    (N x subdim) slices — each a broadcast-centroid argmin plus one
-    (code, pos) shuffle per iteration; nothing here scales worse than
-    linear in the corpus.
+    The m sub-quantizers are mathematically independent, so they are
+    trained JOINTLY over one exploded (vec_id, m, sv) table: every
+    Lloyd round is ONE broadcast-centroid argmin (the m x k centroid
+    table is k·DIM doubles total — same bytes as one full-space k-means)
+    plus ONE (m, code, pos) centroid-update shuffle, instead of m
+    sequential k-means jobs.  Per-(vec, m) argmin ties break to the
+    lowest code id and centroid means are decimal-exact, bit-identical
+    to running :func:`kmeans_assign` per subspace (the oracle unrolls
+    the per-subspace formulation and the gate agrees).
     """
-    from functools import reduce
-
-    base = barrier(
-        df.select(F.col(id_col).alias("vec_id"), to_double(vec_col).alias("v"))
-    )
     subdim = DIM // m
-    code_parts, sub_parts = [], []
-    for mi in range(m):
-        sub = base.select(
-            "vec_id", F.slice("v", mi * subdim + 1, subdim).alias("sv")
-        )
-        asg = kmeans_assign(sub, "vec_id", "sv", k=k, iters=iters).select(
+    base = df.select(
+        F.col(id_col).alias("vec_id"), to_double(vec_col).alias("v")
+    )
+    subs = barrier(
+        base.select(
             "vec_id",
-            F.lit(mi).alias("m"),
-            F.col("cluster_id").alias("code"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(mi).alias("m"),
+                            F.slice("v", mi * subdim + 1, subdim).alias("sv"),
+                        )
+                        for mi in range(m)
+                    ]
+                )
+            ).alias("ms"),
+        ).select("vec_id", "ms.m", "ms.sv")
+    )
+    cents = subs.filter(F.col("vec_id") < k).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
+    for _ in range(iters):
+        assigned = barrier(
+            subs.join(F.broadcast(cents), "m")
+            .select(
+                "vec_id",
+                "m",
+                "sv",
+                "cid",
+                dist2(F.col("sv"), F.col("cv")).alias("d2"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn", "d2")
         )
-        code_parts.append(asg)
-        sub_parts.append(
-            sub.select("vec_id", F.lit(mi).alias("m"), F.col("sv"))
+        ccomp = assigned.select("m", "cid", F.posexplode("sv").alias("pos", "x"))
+        cents = (
+            ccomp.groupBy("m", "cid", "pos")
+            .agg(
+                F.sum(F.col("x").cast("decimal(28,10)")).cast("double").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select("m", "cid", "pos", (F.col("s") / F.col("n")).alias("c"))
+            .groupBy("m", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"],
+                ).alias("cv")
+            )
         )
-    codes = barrier(reduce(lambda a, b: a.unionByName(b), code_parts))
-    subs = reduce(lambda a, b: a.unionByName(b), sub_parts)
+    codes = barrier(
+        subs.join(F.broadcast(cents), "m")
+        .select(
+            "vec_id", "m", "cid", dist2(F.col("sv"), F.col("cv")).alias("d2")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("cid").alias("code"))
+    )
     comp = codes.join(subs, ["vec_id", "m"]).select(
         "m", "code", F.posexplode("sv").alias("pos", "x")
     )

@@ -436,24 +436,25 @@ def doc_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly-rounded floating point instead of overflowing.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = TX.tokens("text")
     pair_t = "array<struct<w1:string,w2:string>>"
-    pairs = d.select(
-        F.explode(
-            F.when(
-                F.size(toks) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 1),
-                    lambda i: F.struct(
-                        F.element_at(toks, i).alias("w1"),
-                        F.element_at(toks, i + 1).alias("w2"),
-                    ),
+    # let-bind the token array: element_at inside the HOF otherwise
+    # re-runs the regexp split per element (operators/text.py::let)
+    bigrams = TX.let(
+        TX.tokens("text"),
+        lambda t: F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("w1"),
+                    F.element_at(t, i + 1).alias("w2"),
                 ),
-            ).otherwise(F.expr(f"CAST(array() AS {pair_t})"))
-        ).alias("bg")
-    ).select("bg.w1", "bg.w2")
+            ),
+        ).otherwise(F.expr(f"CAST(array() AS {pair_t})")),
+    )
+    pairs = d.select(F.explode(bigrams).alias("bg")).select("bg.w1", "bg.w2")
     uni = (
-        d.select(F.explode(toks).alias("w"))
+        d.select(F.explode(TX.tokens("text")).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -144,6 +144,31 @@ def main() -> None:
             )
         )
 
+    # PQ family: codes trained once behind a lineage cut (the serve-time
+    # contract of knn_pq/knn_ivfpq), excluded from serve timings like IVF
+    codes, pqcents = SIM.pq_train(e, "vec_id", "embedding")
+    pq = (
+        codes.localCheckpoint(eager=True),
+        pqcents.localCheckpoint(eager=True),
+    )
+    mk_pq = lambda: SIM.knn_pq(  # noqa: E731
+        e, "vec_id", "embedding", SQ.QUERY_MOD, SQ.K, pq=pq
+    )
+    rows.append(("pq m=4 (ADC, full scan)", timed(mk_pq), recall(mk_pq()), 1.0))
+    for nprobe in (4, 8):
+        mk = lambda: SIM.knn_ivfpq(  # noqa: E731
+            labeled, "vec_id", "embedding", "kcell", SQ.QUERY_MOD, SQ.K,
+            nprobe, pq=pq,
+        )
+        rows.append(
+            (
+                f"ivfpq m=4 nprobe={nprobe}",
+                timed(mk),
+                recall(mk()),
+                scan_frac(nprobe),
+            )
+        )
+
     print()
     print("| config | serve sec (median of 3) | recall@10 | scan frac |")
     print("|---|---|---|---|")
