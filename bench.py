@@ -117,6 +117,10 @@ HEADLINE = [
     "doc_domain_quota",
     "knn_pq",
     "knn_ivfpq",
+    "events_skew_profile",
+    "bloom_customer_prune",
+    "revenue_holt_forecast",
+    "props_variant_stats",
     # streaming
     "stream_hourly_counts",
     "stream_click_purchase_join",

@@ -131,3 +131,110 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("counter").alias("cms_est"))
     )
+
+
+# ---- Bloom filter (approximate set membership, mergeable) ----
+
+#: sized against the testdata so false positives genuinely occur at the
+#: driver's sf0.01 gate (the FP path is exercised, not vacuously green);
+#: production sizing is bits ≈ -n·ln(p)/ln(2)² — still kilobytes for
+#: millions of keys at p=1%.
+BLOOM_BITS = 1024
+BLOOM_K = 3
+BLOOM_SALT = 104729
+_WORD = 32  # bits per mask word; masks stay < 2^32, shift-safe on BIGINT
+
+
+def bloom_pos(h: Column, probe: int, bits: int = BLOOM_BITS) -> Column:
+    """Bit position of probe ``probe`` for an already-computed key hash —
+    the CMS row-mix discipline (:func:`_mix`) with its own salt."""
+    return (
+        (h + F.lit(probe * BLOOM_SALT)) * F.lit(LEHMER_A) % F.lit(LEHMER_M)
+    ) % F.lit(bits)
+
+
+def sql_bloom_pos(h_expr: str, probe: int, bits: int = BLOOM_BITS) -> str:
+    """DuckDB twin of :func:`bloom_pos` (same ops, same order)."""
+    return (
+        f"((({h_expr}) + {probe * BLOOM_SALT}) * {LEHMER_A} % {LEHMER_M})"
+        f" % {bits}"
+    )
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    k: int = BLOOM_K,
+    bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """Build the filter as (word, mask) rows: each key sets ``k`` bits;
+    words are 32-bit lanes OR-merged by ``bit_or`` — a map-side partial
+    over at most ``bits/32`` distinct words, so the shuffle carries the
+    FILTER, not the keys, and filters from disjoint batches merge by
+    OR-ing words (same mergeability contract as the CMS cells).
+
+    Everything is BIGINT (hash fold, Lehmer mix, shifts below 2^32), so
+    the filter is bit-identical cross-engine and hash-gates."""
+    positions = keys.select(
+        char_hash(F.col(key_col).cast("string")).alias("h")
+    ).select(
+        F.explode(
+            F.array(
+                *[bloom_pos(F.col("h"), r, bits).alias("p") for r in range(k)]
+            )
+        ).alias("pos")
+    )
+    return (
+        positions.select(
+            F.floor(F.col("pos") / _WORD).cast("long").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_WORD} AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("mask"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    k: int = BLOOM_K,
+    bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """Membership test: a key is a (possible) member iff ALL ``k`` of its
+    bits are set.  The filter broadcasts (≤ bits/32 rows); the probe side
+    explodes to k rows per key, left-joins its word lane, and a key is a
+    member when its minimum per-probe hit is 1 — no false negatives by
+    construction, false positives bounded by (1-e^{-kn/bits})^k.
+
+    Returns (key_col, bloom_member: int)."""
+    pr = probes.select(
+        F.col(key_col),
+        char_hash(F.col(key_col).cast("string")).alias("h"),
+    ).select(
+        key_col,
+        F.explode(
+            F.array(
+                *[bloom_pos(F.col("h"), r, bits).alias("p") for r in range(k)]
+            )
+        ).alias("pos"),
+    ).select(
+        key_col,
+        F.floor(F.col("pos") / _WORD).cast("long").alias("word"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_WORD} AS INT))"
+        ).alias("m"),
+    )
+    joined = pr.join(F.broadcast(bloom), "word", "left").select(
+        key_col,
+        F.when(
+            F.col("mask").isNotNull()
+            & (F.col("mask").bitwiseAND(F.col("m")) == F.col("m")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("hit"),
+    )
+    return joined.groupBy(key_col).agg(F.min("hit").alias("bloom_member"))

@@ -582,6 +582,131 @@ GROUP BY event_type
 """
 
 
+BLOOM_PRUNE_THRESHOLD = 490_000  # ~18% of customers: the filter must
+# actually discriminate (the BIG_ORDER_THRESHOLD set covers ~87% of
+# customers — any filter saturates on it)
+
+
+def bloom_customer_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, measured end to end: the
+    big-order customer keys build a 128-bit Bloom filter (mergeable
+    (word, mask) rows — operators/sketch.py::bloom_build), every
+    customer is probed, and the output is the filter's confusion
+    summary: probe count, true members, Bloom positives, false
+    positives (the filter is deliberately undersized so the FP path is
+    EXERCISED at the driver's gate), false negatives (must be 0 — the
+    gate proves the no-false-negative contract on both engines), and
+    the realized FP rate.
+
+    This is the runtime-filter pattern Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter`` applies inside joins
+    (plan-gated in tests/test_plans.py), exposed as an OPERATOR so a
+    pipeline can ship a filter to a different system — the filter
+    travels as ≤ bits/32 integer rows and merges by OR.  Everything is
+    BIGINT (char-hash fold, Lehmer mix, sub-2^32 masks), so the whole
+    confusion table hash-gates cross-engine.
+    """
+    from data_pipelines_using_llm_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        orders.filter(F.col("o_totalprice") > BLOOM_PRUNE_THRESHOLD)
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    bloom = bloom_build(big, "key")
+    probed = bloom_probe(
+        bloom, customer.select(F.col("c_custkey").alias("key")), "key"
+    )
+    flagged = probed.join(
+        big.withColumn("actual", F.lit(1)), "key", "left"
+    ).select(
+        "bloom_member", F.coalesce("actual", F.lit(0)).alias("actual")
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum("actual").alias("n_members"),
+        F.sum("bloom_member").alias("n_bloom_positive"),
+        F.sum(F.col("bloom_member") * (1 - F.col("actual"))).alias(
+            "n_false_positive"
+        ),
+        F.sum(F.col("actual") * (1 - F.col("bloom_member"))).alias(
+            "n_false_negative"
+        ),
+        F.round(
+            F.sum(F.col("bloom_member") * (1 - F.col("actual")))
+            / (F.count(F.lit(1)) - F.sum("actual")),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
+def _bloom_prune_oracle() -> str:
+    from data_pipelines_using_llm_spark.operators.sketch import (
+        BLOOM_BITS,
+        BLOOM_K,
+        sql_bloom_pos,
+    )
+    from data_pipelines_using_llm_spark.plans.text_queries import SQL_CHAR_HASH
+
+    h_big = SQL_CHAR_HASH.format(s="CAST(key AS VARCHAR)")
+    build_pos = "\nUNION ALL\n".join(
+        f"SELECT {sql_bloom_pos('h', r, BLOOM_BITS)} AS pos FROM bh"
+        for r in range(BLOOM_K)
+    )
+    probe_pos = "\nUNION ALL\n".join(
+        f"SELECT key, {sql_bloom_pos('h', r, BLOOM_BITS)} AS pos FROM ph"
+        for r in range(BLOOM_K)
+    )
+    return f"""
+WITH big AS (
+    SELECT DISTINCT o_custkey AS key FROM orders
+    WHERE o_totalprice > {BLOOM_PRUNE_THRESHOLD}
+),
+bh AS (SELECT key, {h_big} AS h FROM big),
+bpos AS (
+{build_pos}
+),
+words AS (
+    SELECT pos // 32 AS word,
+           bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS mask
+    FROM bpos GROUP BY 1
+),
+ph AS (SELECT c_custkey AS key, {SQL_CHAR_HASH.format(s='CAST(c_custkey AS VARCHAR)')} AS h
+       FROM customer),
+ppos AS (
+{probe_pos}
+),
+hits AS (
+    SELECT p.key,
+           CASE WHEN w.mask IS NOT NULL
+                 AND (w.mask & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INT)))
+                     = (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INT))
+                THEN 1 ELSE 0 END AS hit
+    FROM ppos p LEFT JOIN words w ON w.word = p.pos // 32
+),
+mem AS (SELECT key, min(hit) AS bloom_member FROM hits GROUP BY key),
+flag AS (
+    SELECT m.bloom_member,
+           CASE WHEN b.key IS NOT NULL THEN 1 ELSE 0 END AS actual
+    FROM mem m LEFT JOIN big b ON b.key = m.key
+)
+SELECT CAST(count(*) AS BIGINT) AS n_probed,
+       CAST(sum(actual) AS BIGINT) AS n_members,
+       CAST(sum(bloom_member) AS BIGINT) AS n_bloom_positive,
+       CAST(sum(bloom_member * (1 - actual)) AS BIGINT) AS n_false_positive,
+       CAST(sum(actual * (1 - bloom_member)) AS BIGINT) AS n_false_negative,
+       round(CAST(sum(bloom_member * (1 - actual)) AS BIGINT)
+             / (CAST(count(*) AS BIGINT) - CAST(sum(actual) AS BIGINT)), 6)
+           AS fp_rate
+FROM flag
+"""
+
+
 def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured analytics via Spark 4's VARIANT type: ``props``
     is parsed ONCE into the binary variant encoding
@@ -805,6 +930,11 @@ QUERIES = {
     ),
     "props_k_stats": QuerySpec(
         props_k_stats, PROPS_K_STATS_ORACLE, "JSON field extraction + agg"
+    ),
+    "bloom_customer_prune": QuerySpec(
+        bloom_customer_prune,
+        _bloom_prune_oracle(),
+        "Bloom-filter semi-join prune: integer-exact confusion summary",
     ),
     "props_variant_stats": QuerySpec(
         props_variant_stats,

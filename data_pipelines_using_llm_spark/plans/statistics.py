@@ -321,6 +321,131 @@ FROM seq
 """
 
 
+HOLT_ALPHA = 0.5  # exactly representable: every smoothing product is one
+HOLT_BETA = 0.5  # IEEE multiply by 0.5, bit-identical on any engine
+
+
+def revenue_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (level + trend) exponential smoothing over each
+    order priority's daily-revenue series, with a one-step-ahead
+    forecast — the two-component recursive state
+    (``l_t = α·y_t + (1-α)(l_{t-1}+b_{t-1})``,
+    ``b_t = β(l_t - l_{t-1}) + (1-β)b_{t-1}``) that generalizes the
+    single-state EWMA and that no associative aggregate can express.
+
+    Implemented as a SORTED FOLD whose accumulator is a 2-element
+    ``[l, b]`` ARRAY: the daily series is exact decimal revenue
+    (order-independent), the fold seeds with ``[y₂, y₂-y₁]`` and
+    consumes y₃.., and both engines state the identical arithmetic in
+    the identical sequence (elements are lifted into ``[y, 0.0]``
+    because DuckDB's ``list_reduce`` requires accumulator and element
+    types to match).  The state is an array, NOT a struct, by necessity:
+    DuckDB 1.0.0's ``list_reduce`` miscomputes the SECOND field of a
+    struct accumulator from the second iteration on (first field right,
+    second stale — reproduced on a 3-step fold); the list-typed state
+    folds correctly and Spark mirrors it verbatim.  Series with fewer
+    than 3 days are excluded on both sides.
+
+    Scale: per-key state is the (days × 16 bytes) series — the same
+    bounded-sequence contract as `user_value_ewma`, with the same
+    chunk-and-carry escape hatch (the fold of a concatenation is the
+    fold of the tail seeded with the fold of the head — the struct
+    state carries across chunks exactly like the scalar one).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("day", "o_orderdate").alias("d"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    arr = (
+        daily.groupBy("priority")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "y"))),
+                lambda s: s["y"],
+            ).alias("ys")
+        )
+        .filter(F.size("ys") >= 3)
+    )
+    a, b = HOLT_ALPHA, HOLT_BETA
+    lifted = F.transform(
+        F.expr("slice(ys, 3, size(ys) - 2)"),
+        lambda y: F.array(y, F.lit(0.0)),
+    )
+    init = F.array(
+        F.element_at("ys", 2),
+        F.element_at("ys", 2) - F.element_at("ys", 1),
+    )
+    al = lambda c: F.element_at(c, 1)  # noqa: E731 — state accessors
+    ab = lambda c: F.element_at(c, 2)  # noqa: E731
+    state = F.aggregate(
+        lifted,
+        init,
+        lambda acc, x: F.array(
+            F.lit(a) * al(x) + F.lit(1 - a) * (al(acc) + ab(acc)),
+            F.lit(b)
+            * (
+                (F.lit(a) * al(x) + F.lit(1 - a) * (al(acc) + ab(acc)))
+                - al(acc)
+            )
+            + F.lit(1 - b) * ab(acc),
+        ),
+    )
+    return arr.select(
+        "priority",
+        F.size("ys").alias("n_days"),
+        F.round(al(state), 6).alias("level"),
+        F.round(ab(state), 6).alias("trend"),
+        F.round(al(state) + ab(state), 6).alias("forecast_next"),
+    )
+
+
+REVENUE_HOLT_FORECAST_ORACLE = f"""
+WITH daily AS (
+    SELECT o_orderpriority AS priority,
+           date_trunc('day', o_orderdate) AS d,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+    FROM orders GROUP BY 1, 2
+),
+s AS (
+    SELECT priority, array_agg(y ORDER BY d) AS ys
+    FROM daily GROUP BY priority
+),
+f AS (
+    SELECT priority, len(ys) AS n_days,
+           list_reduce(
+               list_prepend(
+                   [ys[2], ys[2] - ys[1]],
+                   list_transform(ys[3:], y -> [y, CAST(0.0 AS DOUBLE)])
+               ),
+               (acc, x) -> [
+                   {HOLT_ALPHA!r} * x[1]
+                       + {1 - HOLT_ALPHA!r} * (acc[1] + acc[2]),
+                   {HOLT_BETA!r}
+                       * (({HOLT_ALPHA!r} * x[1]
+                           + {1 - HOLT_ALPHA!r} * (acc[1] + acc[2]))
+                          - acc[1])
+                       + {1 - HOLT_BETA!r} * acc[2]
+               ]
+           ) AS st
+    FROM s WHERE len(ys) >= 3
+)
+SELECT priority,
+       CAST(n_days AS INT) AS n_days,
+       round(st[1], 6) AS level,
+       round(st[2], 6) AS trend,
+       round(st[1] + st[2], 6) AS forecast_next
+FROM f
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "value_hour_correlation": QuerySpec(
         value_hour_correlation,
@@ -346,5 +471,10 @@ QUERIES: dict[str, QuerySpec] = {
         user_value_ewma_chunked,
         USER_VALUE_EWMA_ORACLE,
         "bounded-memory EWMA: week chunks, carried seed, same oracle",
+    ),
+    "revenue_holt_forecast": QuerySpec(
+        revenue_holt_forecast,
+        REVENUE_HOLT_FORECAST_ORACLE,
+        "Holt level+trend smoothing: struct-state sorted fold + forecast",
     ),
 }

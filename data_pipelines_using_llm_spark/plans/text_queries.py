@@ -373,17 +373,21 @@ def doc_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate-robust (a bigram repeated 1000x in one doc counts once).
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = TX.tokens("text")
+    # let-bound token array — element_at would otherwise re-run the
+    # regexp split per element inside the HOF (operators/text.py::let)
     bigrams = F.array_distinct(
-        F.when(
-            F.size(toks) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        TX.let(
+            TX.tokens("text"),
+            lambda t: F.when(
+                F.size(t) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(t, i), F.element_at(t, i + 1)
+                    ),
                 ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+            ).otherwise(F.array().cast("array<string>")),
+        )
     )
     return (
         d.select(F.explode(bigrams).alias("bigram"))

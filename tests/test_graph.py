@@ -201,3 +201,39 @@ def test_pagerank_production_sum_matches_exact_fold(spark):
     assert a.keys() == b.keys()
     for n in a:
         assert abs(a[n] - b[n]) < 1e-12, n
+
+
+def test_revenue_holt_forecast_hand_computed(spark):
+    """Holt recursion on a hand-checkable series: seeds (l=y2, b=y2-y1),
+    then one smoothing step per remaining day, forecast = l + b."""
+    import data_pipelines_using_llm_spark.plans.statistics as ST
+
+    out = {
+        r["priority"]: r
+        for r in ST.revenue_holt_forecast(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert out, "no priority produced >= 3 days"
+    # recompute one priority's numbers in plain Python
+    import duckdb
+
+    con = duckdb.connect()
+    pr = next(iter(out))
+    ys = con.execute(
+        "SELECT array_agg(y ORDER BY d) FROM ("
+        "SELECT date_trunc('day', o_orderdate) d, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) y "
+        "FROM read_parquet('/root/testdata/sf0.001/orders.parquet') "
+        f"WHERE o_orderpriority = '{pr}' GROUP BY 1)"
+    ).fetchone()[0]
+    l, b = ys[1], ys[1] - ys[0]
+    for y in ys[2:]:
+        ln = ST.HOLT_ALPHA * y + (1 - ST.HOLT_ALPHA) * (l + b)
+        b = ST.HOLT_BETA * (ln - l) + (1 - ST.HOLT_BETA) * b
+        l = ln
+    row = out[pr]
+    assert row["n_days"] == len(ys)
+    assert row["level"] == pytest.approx(l, abs=1e-4)
+    assert row["trend"] == pytest.approx(b, abs=1e-4)
+    assert row["forecast_next"] == pytest.approx(l + b, abs=1e-4)

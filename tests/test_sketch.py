@@ -67,3 +67,33 @@ def test_cms_merges_by_addition(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Every inserted key must probe positive (no false negatives — the
+    Bloom contract), non-members may false-positive but never error,
+    and filters from disjoint batches merged by OR-ing word masks must
+    equal the filter built from the union."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_using_llm_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    a = spark.createDataFrame([(f"k{i}",) for i in range(40)], "key string")
+    b = spark.createDataFrame([(f"k{i}",) for i in range(40, 80)], "key string")
+    both = a.unionByName(b)
+    bloom = bloom_build(both, "key")
+    members = bloom_probe(bloom, both, "key").collect()
+    assert all(r["bloom_member"] == 1 for r in members)
+    # mergeability: build per batch, OR the words, identical filter
+    merged = (
+        bloom_build(a, "key")
+        .unionByName(bloom_build(b, "key"))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("mask"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, bloom.collect())
+    )
