@@ -157,3 +157,54 @@ def read_rollup(
 ) -> DataFrame:
     """The finalized (sums-as-double + averages) view of the rollup."""
     return finalize_rollup(spark.read.parquet(path), sum_cols)
+
+
+def incremental_join_view(
+    left_old: DataFrame,
+    right_old: DataFrame,
+    left_delta: DataFrame,
+    right_delta: DataFrame,
+    on: list[str],
+    view_dir: str,
+    batch_id: str,
+) -> None:
+    """Incremental maintenance of an INNER-JOIN view for append-only
+    sources — the delta-join identity:
+
+        (A ∪ ΔA) ⋈ (B ∪ ΔB)
+          = A⋈B  ∪  ΔA⋈B  ∪  A⋈ΔB  ∪  ΔA⋈ΔB
+
+    so the refresh joins each (small) delta against the other side's
+    PRE-batch snapshot plus the delta-delta term — never full ⋈ full
+    after initialization.  At 100 TB the deltas broadcast (or shuffle
+    one side only), which is the whole point: the reference recomputes
+    joins from scratch every run.
+
+    Idempotency/atomicity: each batch's contribution lands as the
+    partition directory ``view_dir/batch=<id>`` via mode=overwrite — a
+    retried batch overwrites its own directory instead of appending a
+    duplicate, and a crashed partial write is superseded the same way.
+    The batch directory IS the ledger.  Append-only sources only:
+    deletions need counting-multiset IVM (each view row carries a
+    multiplicity that deltas increment/decrement) — out of scope here
+    and asserted nowhere, so do not feed retractions in.
+
+    Initialization: call once with empty "old" sides and the full
+    initial tables as the deltas (the identity degenerates to ΔA⋈ΔB).
+    """
+    dv = (
+        left_delta.join(right_old, on)
+        .unionByName(left_old.join(right_delta, on))
+        .unionByName(left_delta.join(right_delta, on))
+    )
+    dv.write.mode("overwrite").parquet(
+        os.path.join(view_dir, f"batch={batch_id}")
+    )
+
+
+def read_join_view(spark: SparkSession, view_dir: str) -> DataFrame:
+    """The maintained join view: union of all batch contributions (the
+    ``batch`` partition column is maintenance metadata, dropped)."""
+    return spark.read.option("basePath", view_dir).parquet(view_dir).drop(
+        "batch"
+    )

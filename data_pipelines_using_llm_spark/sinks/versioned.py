@@ -118,3 +118,66 @@ def diff_versions(
         keys,
         compare_cols,
     )
+
+
+def versioned_merge(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    keys: list[str],
+    when_matched: str = "update",
+    keep: int = 3,
+) -> int:
+    """``MERGE INTO`` on the snapshot layer — the Delta upsert the
+    reference writes (`First experiment/Claude Opus 4.py:128-132`)
+    re-expressed as copy-on-write over immutable versions: matched
+    target rows are replaced by their source row (``when_matched=
+    "update"``) or dropped (``"delete"``), unmatched source rows are
+    inserted, and the result commits as the next snapshot with the same
+    atomic pointer flip as :func:`versioned_write` — readers see the
+    pre-merge or post-merge table, never a half-merged one, and the
+    pre-merge version stays time-travelable.
+
+    Delta's conflict contract is enforced: a source with MULTIPLE rows
+    per key raises (one cheap aggregate) exactly like Delta's
+    "multiple source rows matched" error, because last-writer-wins
+    among duplicate sources is nondeterministic.
+
+    Scale note: this is whole-snapshot copy-on-write — one anti-join +
+    union, the right shape when merges touch a meaningful fraction of
+    the table.  For narrow merges into a partitioned table use
+    ``sinks/writers.py::idempotent_upsert`` (dynamic partition
+    overwrite of only the touched partitions); the two compose — run
+    the partition-scoped upsert inside a staged directory, then commit
+    it as a snapshot.
+    """
+    from pyspark.sql import functions as F
+
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"when_matched must be update|delete: {when_matched!r}")
+    target = read_version(spark, table_dir)
+    if sorted(target.columns) != sorted(updates.columns):
+        raise ValueError(
+            f"merge source columns {sorted(updates.columns)} != target "
+            f"{sorted(target.columns)} — align schemas first "
+            "(append_with_evolution handles additive drift)"
+        )
+    dup = (
+        updates.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            f"merge source has {dup} key(s) with multiple rows — "
+            "nondeterministic merge (Delta raises here too); "
+            "deduplicate the source first (operators/cleaning.py)"
+        )
+    untouched = target.join(updates.select(*keys), keys, "left_anti")
+    merged = (
+        untouched.unionByName(updates.select(*target.columns))
+        if when_matched == "update"
+        else untouched
+    )
+    return versioned_write(merged, table_dir, keep=keep)

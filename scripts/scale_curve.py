@@ -185,6 +185,95 @@ def main() -> int:
                 "overwrite"
             ).save()
 
+        li_graph = inflate(li0, ["l_orderkey", "l_partkey"], factor)
+
+        def triangle_census():
+            # basket_triangles shape: both keys offset per copy, so each
+            # copy is a DISJOINT co-purchase graph — nodes, edges, and
+            # triangles all scale linearly while density stays fixed
+            # (offsetting only orders would collapse duplicate part
+            # pairs in the distinct and fake sublinearity)
+            from data_pipelines_using_llm_spark.operators.graph import (
+                triangle_counts,
+            )
+
+            op = li_graph.select(
+                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+            ).distinct()
+            a, b = op.alias("a"), op.alias("b")
+            edges = (
+                a.join(
+                    b,
+                    (F.col("a.o") == F.col("b.o"))
+                    & (F.col("a.p") < F.col("b.p")),
+                )
+                .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+                .distinct()
+            )
+            triangle_counts(edges).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            release_barriers()
+
+        # PQ/ADC serve: codes trained once per factor OUTSIDE the timer
+        # (production amortizes training; the curve measures the scan)
+        pq_codes, pq_cents = SIM.pq_train(emb, "vec_id", "embedding")
+        pq_state = (
+            pq_codes.localCheckpoint(eager=True),
+            pq_cents.localCheckpoint(eager=True),
+        )
+
+        def pq_adc_serve():
+            SIM.knn_pq(
+                emb, "vec_id", "embedding", query_mod=1000, pq=pq_state
+            ).write.format("noop").mode("overwrite").save()
+
+        ev = inflate(
+            load_table(spark, SF_DIR, "events"), ["event_id", "user_id"], factor
+        ).repartition(32)
+
+        def range_bin_join():
+            # peak_window_traffic shape: windows from per-(type, day)
+            # peaks, exploded to hour buckets, equi-join + residual —
+            # the window table grows with distinct (type, day) (fixed
+            # here), the probe side linearly
+            from pyspark.sql import Window as W
+
+            w = W.partitionBy("event_type", F.date_trunc("day", "ts")).orderBy(
+                F.col("value").desc(), F.col("event_id")
+            )
+            peaks = (
+                ev.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+                .select(
+                    "event_type", "ts", "value", "event_id",
+                    F.row_number().over(w).alias("rn"),
+                )
+                .filter(F.col("rn") == 1)
+                .select(
+                    "event_type",
+                    (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("ws"),
+                    (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("we"),
+                )
+            )
+            buckets = peaks.select(
+                "event_type", "ws", "we",
+                F.explode(
+                    F.sequence(
+                        F.date_trunc("hour", "ws"),
+                        F.date_trunc("hour", "we"),
+                        F.expr("INTERVAL 1 HOUR"),
+                    )
+                ).alias("hb"),
+            )
+            (
+                ev.withColumn("hb", F.date_trunc("hour", "ts"))
+                .join(F.broadcast(buckets), ["event_type", "hb"])
+                .filter((F.col("ts") >= F.col("ws")) & (F.col("ts") < F.col("we")))
+                .groupBy("event_type", "ws")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .write.format("noop").mode("overwrite").save()
+            )
+
         results[f"{factor}x"] = {
             "rows_lineitem": li.count(),
             "q1_agg": timed(q1_agg),
@@ -196,7 +285,11 @@ def main() -> int:
             "cms_census": timed(cms_census),
             "unigram_scoring": timed(unigram_scoring),
             "phash_pair_join": timed(phash_pair_join),
+            "triangle_census": timed(triangle_census),
+            "pq_adc_serve": timed(pq_adc_serve),
+            "range_bin_join": timed(range_bin_join),
         }
+        release_barriers()
 
     print(json.dumps({"metric": "scale_curve", "sf_base": 0.1, "results": results}))
     return 0

@@ -196,3 +196,35 @@ def test_value_histogram_rollup_bound_and_merge(spark):
         .collect()
     )
     assert sorted(map(tuple, direct)) == sorted(map(tuple, via_daily))
+
+
+def test_incremental_join_view_matches_full_recompute(spark, tmp_path):
+    """Delta-join maintenance must equal the from-scratch join after
+    every batch, and a replayed batch id must not double-count."""
+    from data_pipelines_using_llm_spark.sinks.rollup import (
+        incremental_join_view,
+        read_join_view,
+    )
+
+    view = str(tmp_path / "jv")
+    a0 = spark.createDataFrame([(1, "x"), (2, "y")], "k bigint, va string")
+    b0 = spark.createDataFrame([(1, 10), (3, 30)], "k bigint, vb bigint")
+    empty_a = a0.limit(0)
+    empty_b = b0.limit(0)
+    # initialization batch: old sides empty, full tables as deltas
+    incremental_join_view(empty_a, empty_b, a0, b0, ["k"], view, "b0")
+    got0 = sorted(map(tuple, read_join_view(spark, view).collect()))
+    want0 = sorted(map(tuple, a0.join(b0, ["k"]).collect()))
+    assert got0 == want0
+    # batch 1: both sides append
+    da = spark.createDataFrame([(3, "z")], "k bigint, va string")
+    db = spark.createDataFrame([(2, 20), (3, 31)], "k bigint, vb bigint")
+    incremental_join_view(a0, b0, da, db, ["k"], view, "b1")
+    a1, b1 = a0.unionByName(da), b0.unionByName(db)
+    got1 = sorted(map(tuple, read_join_view(spark, view).collect()))
+    want1 = sorted(map(tuple, a1.join(b1, ["k"]).collect()))
+    assert got1 == want1
+    # replaying batch 1 overwrites its own directory — no duplicates
+    incremental_join_view(a0, b0, da, db, ["k"], view, "b1")
+    got1r = sorted(map(tuple, read_join_view(spark, view).collect()))
+    assert got1r == want1

@@ -585,3 +585,51 @@ def test_diff_versions_change_feed(spark, tmp_path):
         for r in diff_versions(spark, path, ["id"], 1).collect()
     }
     assert changes == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_versioned_merge_upsert_and_time_travel(spark, tmp_path):
+    """MERGE analogue on the snapshot layer: matched rows update,
+    unmatched insert, the pre-merge version stays readable, and a
+    duplicate-key source raises like Delta's multiple-match error."""
+    import pytest
+
+    from data_pipelines_using_llm_spark.sinks.versioned import (
+        read_version,
+        versioned_merge,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vm")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id bigint, val string"
+    )
+    versioned_write(base, path)
+    upd = spark.createDataFrame(
+        [(2, "B"), (4, "d")], "id bigint, val string"
+    )
+    v = versioned_merge(spark, path, upd, ["id"])
+    assert v == 2
+    now = {r["id"]: r["val"] for r in read_version(spark, path).collect()}
+    assert now == {1: "a", 2: "B", 3: "c", 4: "d"}
+    # time travel: the pre-merge snapshot is untouched
+    old = {r["id"]: r["val"] for r in read_version(spark, path, 1).collect()}
+    assert old == {1: "a", 2: "b", 3: "c"}
+    # delete-mode merge drops matched keys and inserts nothing
+    versioned_merge(
+        spark, path,
+        spark.createDataFrame([(1, "x")], "id bigint, val string"),
+        ["id"], when_matched="delete",
+    )
+    assert {r["id"] for r in read_version(spark, path).collect()} == {2, 3, 4}
+    # Delta's contract: multiple source rows per key is an error
+    dup = spark.createDataFrame(
+        [(2, "y"), (2, "z")], "id bigint, val string"
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        versioned_merge(spark, path, dup, ["id"])
+    # schema drift is refused, not silently mis-bound
+    with pytest.raises(ValueError, match="columns"):
+        versioned_merge(
+            spark, path,
+            spark.createDataFrame([(9,)], "id bigint"), ["id"],
+        )
