@@ -121,6 +121,15 @@ HEADLINE = [
     "bloom_customer_prune",
     "revenue_holt_forecast",
     "props_variant_stats",
+    # r6 third wave: governance audits, association/dependence reports,
+    # hybrid retrieval, vocabulary coverage, robust rolling statistics
+    "k_anonymity_profile",
+    "benford_digit_profile",
+    "part_affinity_lift",
+    "event_type_mutual_info",
+    "rolling_median_revenue",
+    "hybrid_rrf_search",
+    "vocab_oov_rate",
     # streaming
     "stream_hourly_counts",
     "stream_click_purchase_join",

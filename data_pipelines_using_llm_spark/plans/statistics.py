@@ -21,7 +21,7 @@ across 1000 executors.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipelines_using_llm_spark.registry import QuerySpec
@@ -446,6 +446,57 @@ FROM f
 """
 
 
+def rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling EXACT median of daily order revenue — the robust
+    sibling of ``rolling_daily_revenue``'s moving average (a single
+    outlier day drags a mean; it cannot drag a median).
+
+    Exactness: daily revenue is carried as integer CENTS (exact decimal
+    sum x 100), and the median of the <= 7-row frame is computed from
+    the sorted frame array as ``(arr[(n+1)/2] + arr[n/2+1]) / 2.0`` —
+    for odd n both indexes hit the middle element, for even n they
+    bracket it; the half-sum of two exact integers is an exact double.
+    DuckDB's ``median`` over BIGINT interpolates identically.
+
+    Scale: same argument as ``rolling_daily_revenue``
+    (plans/relational.py:366) — the global-ordered window runs on ONE
+    row per day, bounded by the calendar, after a map-side-combinable
+    corpus aggregation; the frame array holds <= 7 bigints.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("order_date")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("day_cents")
+    )
+    w = Window.orderBy("order_date").rowsBetween(-6, 0)
+    arr = F.array_sort(F.collect_list("day_cents").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, F.floor((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, F.floor(n / 2 + 1).cast("int"))
+    return daily.select(
+        "order_date",
+        "day_cents",
+        ((lo + hi) / 2.0).alias("median_7d_cents"),
+    )
+
+
+ROLLING_MEDIAN_REVENUE_ORACLE = """
+WITH daily AS (
+    SELECT date_trunc('day', o_orderdate) AS order_date,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS day_cents
+    FROM orders GROUP BY 1
+)
+SELECT order_date, day_cents,
+       median(day_cents) OVER (ORDER BY order_date
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS median_7d_cents
+FROM daily
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "value_hour_correlation": QuerySpec(
         value_hour_correlation,
@@ -476,5 +527,10 @@ QUERIES: dict[str, QuerySpec] = {
         revenue_holt_forecast,
         REVENUE_HOLT_FORECAST_ORACLE,
         "Holt level+trend smoothing: struct-state sorted fold + forecast",
+    ),
+    "rolling_median_revenue": QuerySpec(
+        rolling_median_revenue,
+        ROLLING_MEDIAN_REVENUE_ORACLE,
+        "7-day rolling exact median over integer cents",
     ),
 }

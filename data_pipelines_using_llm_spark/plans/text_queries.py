@@ -1127,7 +1127,82 @@ FROM exact_top t JOIN est e USING (term)
 """
 
 
+VOCAB_N = 20  # top-N vocabulary cap; production = tokenizer vocab (1e5-1e6).
+# The driver corpus has 31 distinct whitespace terms, so 20 keeps the
+# OOV branch NON-VACUOUS at every SF (tokens of the 11 tail terms are
+# out-of-vocabulary) — same no-empty-gate discipline as important_parts.
+
+
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary token rate per (lang, source) against the
+    corpus top-``VOCAB_N`` term vocabulary — the coverage check run
+    before committing to a tokenizer vocab: which slices of the corpus
+    would a frequency-truncated vocabulary serve worst?
+
+    Plan: one exploded-token groupBy builds term counts (|vocab| rows);
+    the top-N cut uses the range-repartition exact rank
+    (operators/ranking.py — no unpartitioned window over the vocab
+    table); the resulting N-row vocabulary broadcasts into a left join
+    against the token stream, and the OOV flags aggregate per
+    (lang, source).  Corpus-sized work = the token explode + two
+    grouped aggregations; nothing vocabulary-sized ever shuffles the
+    corpus side.
+    """
+    from data_pipelines_using_llm_spark.operators.ranking import with_exact_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", "source", F.explode(TX.tokens("text")).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        with_exact_rank(
+            counts, [F.col("cnt").desc(), F.col("term").asc()], rank_col="r"
+        )
+        .filter(F.col("r") <= VOCAB_N)
+        .select("term")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "term", "left"
+    )
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return flagged.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        oov.alias("oov_tokens"),
+        F.round(oov / F.count(F.lit(1)), 6).alias("oov_rate"),
+    )
+
+
+VOCAB_OOV_RATE_ORACLE = f"""
+WITH tok AS (
+    SELECT lang, source,
+           unnest({SQL_TOKENS.format(col='text')}) AS term
+    FROM documents
+),
+counts AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+vocab AS (
+    SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY cnt DESC, term) AS r
+        FROM counts
+    ) WHERE r <= {VOCAB_N}
+)
+SELECT t.lang, t.source,
+       count(*) AS total_tokens,
+       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS oov_tokens,
+       round(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS oov_rate
+FROM tok t LEFT JOIN vocab v ON v.term = t.term
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "vocab_oov_rate": QuerySpec(
+        vocab_oov_rate,
+        VOCAB_OOV_RATE_ORACLE,
+        "OOV token rate vs corpus top-N vocabulary",
+    ),
     "term_cms_heavy_hitters": QuerySpec(
         term_cms_heavy_hitters,
         _cms_oracle(),

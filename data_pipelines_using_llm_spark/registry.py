@@ -30,8 +30,10 @@ def all_queries() -> dict[str, QuerySpec]:
     # Imported lazily so `import data_pipelines_using_llm_spark` stays cheap.
     from data_pipelines_using_llm_spark.plans import (
         analytics,
+        association,
         behavior,
         cdc_queries,
+        governance,
         decision_support,
         dedup_queries,
         expectation_queries,
@@ -56,8 +58,10 @@ def all_queries() -> dict[str, QuerySpec]:
     for mod in (
         relational,
         analytics,
+        association,
         behavior,
         decision_support,
+        governance,
         warehouse,
         cdc_queries,
         expectation_queries,
