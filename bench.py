@@ -55,6 +55,7 @@ HEADLINE = [
     # training-data operators: dedup / text / similarity / multimodal / llm
     "training_corpus_prep",
     "dedup_exact_docs",
+    "dedup_normalized",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -79,6 +80,7 @@ HEADLINE = [
     "doc_split_report",
     "doc_pii_redaction",
     "doc_decontamination",
+    "doc_decontamination_fuzzy",
     "doc_shuffle_shards",
     "doc_filter_funnel",
     "doc_token_budget",

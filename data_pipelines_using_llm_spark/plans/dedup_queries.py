@@ -445,8 +445,76 @@ LEFT JOIN hist h USING (digest)
 """
 
 
+# ---- Normalized exact dedup (canonicalize, then hash-group) ----
+
+# The corpus has no raw exact duplicates (see dedup_incremental_batch's
+# docstring), so — same discipline as doc_pii_redaction's seeded PII —
+# the query splices in deterministic case/punctuation variants of every
+# 7th document.  Normalization MUST merge each variant with its source
+# (n_copies = 2 groups), so the merge branch of the gate has teeth at
+# every SF instead of comparing 100% singleton groups.
+NORM_SEED_MOD = 7
+NORM_SEED_OFFSET = 10_000_000
+
+
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup MODULO text normalization (lowercase, punctuation →
+    space, whitespace collapse, trim) — the canonicalize-then-dedup pass
+    corpus pipelines run before byte-exact hashing, so trivially
+    reformatted copies (case, punctuation, spacing) collapse into one
+    group that raw ``md5(text)`` would keep apart.
+
+    Scale: the normalization is a per-row JVM expression chain fused
+    into the scan; the groupBy shuffles 16-byte digests with map-side
+    partial aggregation — identical shape to ``dedup_exact_docs``.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = d.filter(F.col("doc_id") % NORM_SEED_MOD == 0).select(
+        (F.col("doc_id") + NORM_SEED_OFFSET).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("!!")).alias("text"),
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    n = d.unionByName(variants).select("doc_id", norm.alias("norm_text"))
+    return n.groupBy(F.md5("norm_text").alias("norm_digest")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.max(F.length("norm_text")).cast("long").alias("n_norm_chars"),
+    )
+
+
+DEDUP_NORMALIZED_ORACLE = f"""
+WITH spliced AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {NORM_SEED_OFFSET}, upper(text) || '!!'
+    FROM documents WHERE doc_id % {NORM_SEED_MOD} = 0
+), n AS (
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+    FROM spliced
+)
+SELECT md5(norm_text) AS norm_digest,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies,
+       max(length(norm_text)) AS n_norm_chars
+FROM n GROUP BY 1
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": QuerySpec(dedup_exact_docs, DEDUP_EXACT_ORACLE, "exact hash-groupBy dedup"),
+    "dedup_normalized": QuerySpec(
+        dedup_normalized,
+        DEDUP_NORMALIZED_ORACLE,
+        "canonicalize-then-dedup (normalization-modulo exact dedup)",
+    ),
     "dedup_incremental_batch": QuerySpec(
         dedup_incremental_batch,
         DEDUP_INCREMENTAL_ORACLE,

@@ -357,6 +357,145 @@ WHERE d.doc_id % {DECON_EVAL_MOD} != 0
 """
 
 
+# Fuzzy decontamination: MinHash-estimated Jaccard vs the eval set at a
+# LOWER bar than dedup (paraphrased/partially-copied eval material, not
+# just verbatim shingle overlap).  8 bands x 2 rows instead of dedup's
+# 4x4: band-collision probability at similarity s is 1-(1-s^r)^b, so at
+# the 0.35 bar r=2/b=8 catches ~0.66 of threshold pairs and essentially
+# all pairs >=0.6, where 4x4 would catch only ~0.06 at the bar.  Both
+# engines replicate the banding exactly, so the gate verifies the
+# algorithm (banding included), not a recall claim.
+FUZZY_DECON_THRESHOLD = 0.35
+FUZZY_DECON_BANDS = 8
+
+
+def doc_decontamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination: per training document, the eval
+    documents whose 3-gram Jaccard similarity clears
+    ``FUZZY_DECON_THRESHOLD``, found via MinHash-LSH banding — the
+    near-dup complement of :func:`doc_decontamination`'s exact shingle
+    membership (which misses lightly edited eval copies).
+
+    Plan shape: shingle + sign once behind persist barriers (the
+    projection-collapse discipline of operators/dedup.py), band with
+    8x2 LSH, then join TRAIN bands against BROADCAST eval bands — the
+    eval side is the benchmark corpus, tiny at any training-corpus
+    scale, so the corpus-sized side never shuffles for the candidate
+    step.  The first-matching-band owner filter replaces a distinct()
+    over candidates; the verify join fetches train grams by id (one
+    hash shuffle) against broadcast eval grams.  Final report is one
+    grouped aggregation per flagged training doc.
+    """
+    from data_pipelines_using_llm_spark.operators import dedup as DD
+    from data_pipelines_using_llm_spark.operators.caching import barrier
+    from data_pipelines_using_llm_spark.plans.dedup_queries import NGRAM_N
+
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    base = barrier(
+        DD.gram_hash_df(d, "doc_id", "text", NGRAM_N).filter(F.size("grams") > 0)
+    )
+    sigs = barrier(
+        base.withColumn("sig", DD.minhash_signature(F.col("grams")))
+    )
+    bands_arr = F.transform(
+        DD.lsh_bands(F.col("sig"), FUZZY_DECON_BANDS), lambda b: b["band_key"]
+    )
+    banded = sigs.select(
+        "doc_id",
+        bands_arr.alias("bands"),
+        F.posexplode(bands_arr).alias("band_id", "band_key"),
+    )
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    ev = banded.filter(is_eval).select(
+        F.col("doc_id").alias("eval_doc_id"),
+        F.col("bands").alias("ev_bands"),
+        "band_id",
+        "band_key",
+    )
+    tr = banded.filter(~is_eval)
+    # First-matching-band ownership: a (train, eval) pair colliding in
+    # several bands is emitted only by its lowest shared band — no
+    # distinct() shuffle over collision-sized candidates.
+    owner = F.least(
+        *[
+            F.when(
+                F.element_at(F.col("bands"), b + 1)
+                == F.element_at(F.col("ev_bands"), b + 1),
+                F.lit(b),
+            ).otherwise(F.lit(FUZZY_DECON_BANDS))
+            for b in range(FUZZY_DECON_BANDS)
+        ]
+    )
+    cand = (
+        tr.join(F.broadcast(ev), ["band_id", "band_key"])
+        .filter(F.col("band_id") == owner)
+        .select("doc_id", "eval_doc_id")
+    )
+    ga = sigs.select("doc_id", F.col("grams").alias("grams_t"))
+    gb = sigs.filter(is_eval).select(
+        F.col("doc_id").alias("eval_doc_id"), F.col("grams").alias("grams_e")
+    )
+    pairs = (
+        cand.join(ga, "doc_id")
+        .join(F.broadcast(gb), "eval_doc_id")
+        .select(
+            "doc_id",
+            "eval_doc_id",
+            F.round(
+                DD.jaccard(F.col("grams_t"), F.col("grams_e")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= FUZZY_DECON_THRESHOLD)
+    )
+    worst = F.max(F.struct("jaccard", "eval_doc_id"))
+    return pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_eval_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+        worst["eval_doc_id"].alias("worst_eval_doc_id"),
+    )
+
+
+def _fuzzy_decontamination_oracle() -> str:
+    from data_pipelines_using_llm_spark.plans.dedup_queries import (
+        _sql_band_keys,
+        _sql_grams_cte,
+        _SQL_JACCARD,
+    )
+
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sigs"
+        for b, key in enumerate(_sql_band_keys(FUZZY_DECON_BANDS))
+    )
+    return f"""
+WITH {_sql_grams_cte()}, sigs AS (
+    SELECT * FROM base WHERE len(grams) > 0
+), banded AS (
+{band_selects}
+), cand AS (
+    SELECT DISTINCT t.doc_id AS doc_id, e.doc_id AS eval_doc_id
+    FROM banded t JOIN banded e
+      ON t.band_id = e.band_id AND t.band_key = e.band_key
+    WHERE t.doc_id % {DECON_EVAL_MOD} != 0
+      AND e.doc_id % {DECON_EVAL_MOD} = 0
+), pairs AS (
+    SELECT cand.doc_id, cand.eval_doc_id, {_SQL_JACCARD} AS jaccard
+    FROM cand
+    JOIN sigs a ON a.doc_id = cand.doc_id
+    JOIN sigs b ON b.doc_id = cand.eval_doc_id
+    WHERE {_SQL_JACCARD} >= {FUZZY_DECON_THRESHOLD}
+)
+SELECT doc_id,
+       count(*) AS n_eval_matches,
+       max(jaccard) AS max_jaccard,
+       (max(struct_pack(j := jaccard, e := eval_doc_id))).e
+           AS worst_eval_doc_id
+FROM pairs
+GROUP BY doc_id
+"""
+
+
 BIGRAM_TOP_K = 20
 
 
@@ -1240,6 +1379,11 @@ QUERIES = {
         doc_decontamination,
         _decontamination_oracle(),
         "benchmark decontamination: eval-shingle broadcast semi-join",
+    ),
+    "doc_decontamination_fuzzy": QuerySpec(
+        doc_decontamination_fuzzy,
+        _fuzzy_decontamination_oracle(),
+        "fuzzy decontamination: MinHash-LSH vs broadcast eval bands",
     ),
     "doc_filter_funnel": QuerySpec(
         doc_filter_funnel,

@@ -96,3 +96,71 @@ def test_components_convergence_guard(spark):
     ok = DD.connected_components(chain, iters=8)
     labels = {r["component_id"] for r in ok.collect()}
     assert labels == {1}
+
+
+def test_fuzzy_decontamination_catches_edited_eval_copy(spark):
+    """A lightly edited copy of an eval document (doc_id % 20 == 0) must
+    be flagged by the MinHash path even though exact shingle membership
+    (doc_decontamination's bar) would see few hits; an unrelated doc
+    must not be flagged."""
+    from data_pipelines_using_llm_spark.plans.text_queries import (
+        doc_decontamination_fuzzy,
+    )
+
+    eval_text = " ".join(WORDS[:24])
+    edited = " ".join(WORDS[:20] + ["zzz1", "zzz2"] + WORDS[22:24])
+    unrelated = " ".join(reversed(WORDS[8:28]))
+    df = spark.createDataFrame(
+        [(20, eval_text), (3, edited), (7, unrelated)],
+        "doc_id long, text string",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = {
+            r["doc_id"]: r
+            for r in doc_decontamination_fuzzy(spark, tmp).collect()
+        }
+    assert 3 in out and out[3]["worst_eval_doc_id"] == 20
+    assert out[3]["max_jaccard"] >= 0.35
+    assert 7 not in out
+    assert 20 not in out  # eval docs are never reported as training docs
+
+
+def test_fuzzy_decontamination_nonvacuous_at_test_sf(spark):
+    """The driver-gate corpus must exercise the >=threshold branch (the
+    important_parts lesson: an empty result set verifies nothing)."""
+    from data_pipelines_using_llm_spark.plans.text_queries import (
+        FUZZY_DECON_THRESHOLD,
+        doc_decontamination_fuzzy,
+    )
+
+    rows = doc_decontamination_fuzzy(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "fuzzy decontamination found no pairs at sf0.001"
+    assert all(r["max_jaccard"] >= FUZZY_DECON_THRESHOLD for r in rows)
+
+
+def test_dedup_normalized_merges_seeded_variants(spark):
+    """Every seeded case/punctuation variant must land in a group with
+    its source doc (the merge branch the raw corpus cannot exercise —
+    it has no exact duplicates)."""
+    from data_pipelines_using_llm_spark.plans.dedup_queries import (
+        NORM_SEED_MOD,
+        NORM_SEED_OFFSET,
+        dedup_normalized,
+    )
+
+    out = dedup_normalized(spark, "/root/testdata/sf0.001").collect()
+    merged = [r for r in out if r["n_copies"] >= 2]
+    assert merged, "no merged groups — the seeding is broken"
+    # keeper of a merged seeded group is the ORIGINAL id (min wins)
+    assert all(r["keep_doc_id"] < NORM_SEED_OFFSET for r in merged)
+    n_seeded = sum(r["n_copies"] - 1 for r in merged)
+    import duckdb
+
+    expect = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('/root/testdata/sf0.001/documents.parquet') "
+        f"WHERE doc_id % {NORM_SEED_MOD} = 0"
+    ).fetchone()[0]
+    assert n_seeded == expect

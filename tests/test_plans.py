@@ -532,3 +532,14 @@ def test_audit_report_counts_scans_and_pushdown(spark):
     assert "GreaterThanOrEqual(l_shipdate" in r.scans[0]["pushed_filters"]
     assert r.partial_aggregates >= 1
     assert r.cartesian_products == 0 and r.python_row_udfs == 0
+
+
+def test_fuzzy_decontamination_eval_side_broadcasts(spark):
+    """Candidate generation and verify must both broadcast the eval side
+    (the benchmark corpus is tiny at any training scale); the corpus side
+    must never appear under an Exchange for the candidate join, and no
+    all-pairs product may exist anywhere in the plan."""
+    plan = _plan(spark, "doc_decontamination_fuzzy")
+    assert plan.count("BroadcastHashJoin") >= 2  # band join + grams verify
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
