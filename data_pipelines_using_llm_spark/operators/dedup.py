@@ -177,6 +177,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     n_bands: int = DEFAULT_BANDS,
     threshold: float = 0.8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: shingle → sign → band → bucket-join →
     verify with true Jaccard.
@@ -186,6 +187,23 @@ def minhash_lsh_pairs(
     proportional to bucket collisions (linear-ish for real corpora), never
     all-pairs.  The verify join re-fetches the two shingle sets by id —
     two hash-shuffles on the id, each row tiny.
+
+    ``max_bucket`` is the HOT-KEY GUARD for boilerplate-heavy corpora: a
+    band bucket holding B near-identical docs (template pages, license
+    headers) would emit B²/2 pairs into ONE join task — the degenerate
+    case AQE's skew split only chunks, never shrinks.  With the cap set,
+    buckets larger than ``max_bucket`` switch to hub-and-spoke: every doc
+    pairs with the bucket's min-id representative only (B-1 pairs, linear).
+    The output is then a CONNECTIVITY-PRESERVING subset of the threshold
+    pairs — each oversized bucket contributes a star, so downstream
+    connected-components clustering (dedup_components/survivors) is
+    unchanged, but the exhaustive pair list is not; hence the default is
+    None (exact semantics, what the oracle-gated query uses) and
+    production corpus runs opt in.  Small buckets pay a bounded
+    ``distinct()`` over their candidates in capped mode (≤ n_bands ·
+    max_bucket²/2 rows per bucket) instead of the first-matching-band
+    ownership trick, whose precomputed owner would mis-assign pairs whose
+    first collision happens in an oversized band.
     """
     # Materialize the shingle sets ONCE.  Without the persist barriers,
     # Catalyst's projection collapse inlines the shingle expression into
@@ -208,30 +226,66 @@ def minhash_lsh_pairs(
         F.posexplode(bands_arr).alias("band_id", "band_key"),
     )
 
-    left = banded.alias("l")
-    right = banded.alias("r")
-    owner = F.least(
-        *[
-            F.when(
-                F.element_at(F.col("l.bands"), b + 1)
-                == F.element_at(F.col("r.bands"), b + 1),
-                F.lit(b),
-            ).otherwise(F.lit(n_bands))
-            for b in range(n_bands)
-        ]
-    )
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+    if max_bucket is not None:
+        stats = banded.groupBy("band_id", "band_key").agg(
+            F.count(F.lit(1)).alias("bucket_n"), F.min("doc_id").alias("rep_id")
         )
-        .filter(F.col("l.band_id") == owner)
-        .select(
-            F.col("l.doc_id").alias("doc_id_a"), F.col("r.doc_id").alias("doc_id_b")
+        big = stats.filter(F.col("bucket_n") > max_bucket)
+        small_banded = banded.join(
+            big.select("band_id", "band_key"), ["band_id", "band_key"], "left_anti"
         )
-    )
+        left = small_banded.alias("l")
+        right = small_banded.alias("r")
+        small_pairs = (
+            left.join(
+                right,
+                (F.col("l.band_id") == F.col("r.band_id"))
+                & (F.col("l.band_key") == F.col("r.band_key"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(
+                F.col("l.doc_id").alias("doc_id_a"),
+                F.col("r.doc_id").alias("doc_id_b"),
+            )
+            .distinct()  # bounded: every surviving bucket is <= max_bucket
+        )
+        hub_pairs = (
+            banded.join(big.select("band_id", "band_key", "rep_id"),
+                        ["band_id", "band_key"])
+            .filter(F.col("doc_id") != F.col("rep_id"))
+            .select(
+                F.col("rep_id").alias("doc_id_a"),
+                F.col("doc_id").alias("doc_id_b"),
+            )
+            .distinct()  # linear in bucket size, n_bands-fold at most
+        )
+        cand = small_pairs.unionByName(hub_pairs).distinct()
+    else:
+        left = banded.alias("l")
+        right = banded.alias("r")
+        owner = F.least(
+            *[
+                F.when(
+                    F.element_at(F.col("l.bands"), b + 1)
+                    == F.element_at(F.col("r.bands"), b + 1),
+                    F.lit(b),
+                ).otherwise(F.lit(n_bands))
+                for b in range(n_bands)
+            ]
+        )
+        cand = (
+            left.join(
+                right,
+                (F.col("l.band_id") == F.col("r.band_id"))
+                & (F.col("l.band_key") == F.col("r.band_key"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .filter(F.col("l.band_id") == owner)
+            .select(
+                F.col("l.doc_id").alias("doc_id_a"),
+                F.col("r.doc_id").alias("doc_id_b"),
+            )
+        )
 
     ga = sigs.select(F.col("doc_id").alias("doc_id_a"), F.col("grams").alias("grams_a"))
     gb = sigs.select(F.col("doc_id").alias("doc_id_b"), F.col("grams").alias("grams_b"))

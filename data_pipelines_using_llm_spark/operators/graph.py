@@ -111,10 +111,25 @@ def pagerank(
             # in-degree no longer bounds task memory
             summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         if dangling == "redistribute":
-            leak = (
-                rank.join(sinks, "node", "left_semi")
-                .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("leak"))
-            )
+            sink_ranks = rank.join(sinks, "node", "left_semi")
+            if exact_fold:
+                # oracle-determinism path: the leak scalar is a SORTED
+                # fold over (node, r) — bit-identical to the oracle's
+                # array_agg(r ORDER BY node) + list_reduce.  Production
+                # (exact_fold=False) uses the plain sum below: PageRank
+                # tolerates the ~1e-16 summation-order noise and a
+                # collect_list over ALL sinks has no business at 100 TB.
+                leak = sink_ranks.agg(
+                    F.aggregate(
+                        F.array_sort(F.collect_list(F.struct("node", "r"))),
+                        F.lit(0.0),
+                        lambda acc, s: acc + s["r"],
+                    ).alias("leak")
+                )
+            else:
+                leak = sink_ranks.agg(
+                    F.coalesce(F.sum("r"), F.lit(0.0)).alias("leak")
+                )
             rank = (
                 nodes.join(
                     summed.withColumnRenamed("dst", "node"), "node", "left"

@@ -73,9 +73,12 @@ def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "part_a",
             "part_b",
             "pair_cnt",
+            # Double multiply, same rationale as event_type_mutual_info:
+            # BIGINT*BIGINT wraps silently in non-ANSI Spark at extreme
+            # counts while DuckDB raises; doubles are cross-engine exact.
             F.round(
-                (F.col("pair_cnt") * F.col("n_baskets"))
-                / (F.col("cnt_a") * F.col("cnt_b")),
+                (F.col("pair_cnt").cast("double") * F.col("n_baskets").cast("double"))
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b").cast("double")),
                 6,
             ).alias("lift"),
         )
@@ -97,7 +100,8 @@ pairs AS (
 item AS (SELECT l_partkey, count(*) AS item_cnt FROM li GROUP BY 1),
 tot AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM li)
 SELECT part_a, part_b, pair_cnt,
-       round((pair_cnt * n_baskets) / (ia.item_cnt * ib.item_cnt), 6)
+       round((CAST(pair_cnt AS DOUBLE) * CAST(n_baskets AS DOUBLE))
+             / (CAST(ia.item_cnt AS DOUBLE) * CAST(ib.item_cnt AS DOUBLE)), 6)
            AS lift
 FROM pairs
 JOIN item ia ON ia.l_partkey = part_a
@@ -133,9 +137,13 @@ def event_type_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     margin_y = cells.groupBy("hour").agg(F.sum("n_xy").alias("n_y"))
     total = cells.agg(F.sum("n_xy").alias("n_total"))
+    # Multiply in DOUBLE on both engines: BIGINT*BIGINT overflows int64
+    # once n_xy~1e10 meets n_total~1e12 (100 TB corpus counts), where
+    # non-ANSI Spark silently wraps while DuckDB raises — double products
+    # are IEEE-identical cross-engine and never wrap.
     pmi = F.log(
-        (F.col("n_xy") * F.col("n_total"))
-        / (F.col("n_x") * F.col("n_y"))
+        (F.col("n_xy").cast("double") * F.col("n_total").cast("double"))
+        / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
     )
     return (
         cells.join(F.broadcast(margin_x), "event_type")
@@ -165,9 +173,12 @@ mx AS (SELECT event_type, CAST(sum(n_xy) AS BIGINT) AS n_x
 my AS (SELECT hour, CAST(sum(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY 1),
 tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n_total FROM cells)
 SELECT c.event_type, c.hour, c.n_xy,
-       round(ln((c.n_xy * n_total) / (n_x * n_y)), 6) AS pmi,
+       round(ln((CAST(c.n_xy AS DOUBLE) * CAST(n_total AS DOUBLE))
+                / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))), 6) AS pmi,
        round((CAST(c.n_xy AS DOUBLE) / n_total)
-             * ln((c.n_xy * n_total) / (n_x * n_y)), 6) AS mi_contrib
+             * ln((CAST(c.n_xy AS DOUBLE) * CAST(n_total AS DOUBLE))
+                  / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))), 6)
+           AS mi_contrib
 FROM cells c
 JOIN mx ON mx.event_type = c.event_type
 JOIN my ON my.hour = c.hour

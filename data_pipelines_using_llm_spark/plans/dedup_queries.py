@@ -469,9 +469,19 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregation — identical shape to ``dedup_exact_docs``.
     """
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Seed perturbation must be NORMALIZATION-INVARIANT for any input:
+    # ASCII-only translate-uppercase (not upper(), whose Unicode case
+    # folding is not an involution — 'ß' -> 'SS' -> 'ss' survives the
+    # [^a-z0-9 ] strip while 'ß' itself is stripped, so an upper()-seeded
+    # variant would fail to merge with its source on non-ASCII text).
+    ascii_upper = F.translate(
+        F.col("text"),
+        "abcdefghijklmnopqrstuvwxyz",
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+    )
     variants = d.filter(F.col("doc_id") % NORM_SEED_MOD == 0).select(
         (F.col("doc_id") + NORM_SEED_OFFSET).alias("doc_id"),
-        F.concat(F.upper(F.col("text")), F.lit("!!")).alias("text"),
+        F.concat(ascii_upper, F.lit("!!")).alias("text"),
     )
     norm = F.trim(
         F.regexp_replace(
@@ -492,7 +502,9 @@ DEDUP_NORMALIZED_ORACLE = f"""
 WITH spliced AS (
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + {NORM_SEED_OFFSET}, upper(text) || '!!'
+    SELECT doc_id + {NORM_SEED_OFFSET},
+           translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                     'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || '!!'
     FROM documents WHERE doc_id % {NORM_SEED_MOD} = 0
 ), n AS (
     SELECT doc_id,

@@ -98,6 +98,108 @@ FROM {prev} CROSS JOIN nn
 """
 
 
+def money_flow_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the DIRECTED money-flow graph (customer → every
+    supplier that shipped one of its orders): suppliers never buy, so
+    every supplier vertex is a genuine sink — the query that hash-gates
+    the ``dangling="redistribute"`` random-surfer completion
+    (operators/graph.py) rather than the error-on-dangling contract
+    ``supplier_pagerank`` exercises.
+
+    Per iteration the rank mass stranded on sinks is folded into one
+    scalar (sorted fold for oracle determinism; plain sum in production)
+    and redistributed uniformly, so ranks keep summing to ~1.  Scale
+    shape is identical to ``supplier_pagerank``: one equi-join + one
+    keyed aggregation per round, loop-invariant graph behind a barrier;
+    the leak is a one-row broadcast.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, iters=PR_ITERS, damping=DAMPING, dangling="redistribute")
+    n_df = pr.agg(F.count(F.lit(1)).alias("n"))
+    return pr.crossJoin(F.broadcast(n_df)).select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        (F.col("node") / 2).cast("long").alias("node_key"),
+        F.round(F.col("r") * F.col("n"), 6).alias("pr_score"),
+    )
+
+
+def _pagerank_redistribute_oracle(
+    iters: int = PR_ITERS, damping: float = DAMPING
+) -> str:
+    """Unrolled redistribute-mode oracle: each round adds a ``leak{it}``
+    scalar CTE (sorted fold of the previous round's rank over the sink
+    set, ORDER BY node — mirroring the operator's
+    ``array_sort(collect_list(struct(node, r)))`` fold) whose uniform
+    share joins the damped update."""
+    ctes = [
+        """edges AS (
+    SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)""",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        """nodes AS (
+    SELECT DISTINCT src AS node FROM edges
+    UNION
+    SELECT DISTINCT dst AS node FROM edges
+)""",
+        """sinks AS (
+    SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM edges)
+)""",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "r0 AS (SELECT node, 1.0 / n AS r FROM nodes CROSS JOIN nn)",
+    ]
+    prev = "r0"
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"""c{it} AS (
+    SELECT e.dst AS node,
+           list_reduce(list_prepend(0.0,
+               array_agg(r.r / d.deg ORDER BY e.src)), (acc, x) -> acc + x) AS s
+    FROM edges e
+    JOIN {prev} r ON r.node = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+)"""
+        )
+        ctes.append(
+            f"""leak{it} AS (
+    SELECT coalesce(list_reduce(list_prepend(0.0,
+               array_agg(r.r ORDER BY r.node)), (acc, x) -> acc + x), 0.0)
+           AS leak
+    FROM {prev} r JOIN sinks s ON s.node = r.node
+)"""
+        )
+        ctes.append(
+            f"""r{it} AS (
+    SELECT nd.node,
+           {1 - damping!r} / nn.n
+           + {damping!r} * (coalesce(c.s, 0.0) + lk.leak / nn.n) AS r
+    FROM nodes nd CROSS JOIN nn CROSS JOIN leak{it} lk
+    LEFT JOIN c{it} c ON c.node = nd.node
+)"""
+        )
+        prev = f"r{it}"
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       CAST(node // 2 AS BIGINT) AS node_key,
+       round(r * nn.n, 6) AS pr_score
+FROM {prev} CROSS JOIN nn
+"""
+
+
 def basket_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the part co-purchase ("market basket") graph:
     parts are linked when they appear in the same order; the output is
@@ -169,5 +271,11 @@ QUERIES = {
         basket_triangles,
         BASKET_TRIANGLES_ORACLE,
         "degree-ordered triangle census of the part co-purchase graph",
+    ),
+    "money_flow_pagerank": QuerySpec(
+        money_flow_pagerank,
+        _pagerank_redistribute_oracle(),
+        "PageRank with dangling-mass redistribution over the directed "
+        "customer->supplier purchase graph (every supplier is a sink)",
     ),
 }

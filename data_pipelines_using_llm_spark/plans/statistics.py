@@ -177,23 +177,31 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded keys use :func:`user_value_ewma_chunked`, which bounds the
     array per time chunk and carries the seed forward.
 
-    Determinism note: the sort key is ``struct(ts, event_id, value)``
-    while the oracle orders by ``(ts, event_id)`` only — equivalent
-    because ``event_id`` is UNIQUE (enforced by the
-    ``unique_event_id`` expectation, plans/expectation_queries.py), so
-    the comparison never reaches the ``value`` field.  A duplicate
-    (ts, event_id) pair with different values would be flagged there
-    long before it could reorder this fold.
+    Determinism note: the sort comparator consults ``(ts, event_id)``
+    ONLY — exactly the oracle's ``ORDER BY ts, event_id`` — with
+    ``value`` as pure payload, so the fold order is identical
+    cross-engine by construction rather than by relying on
+    ``event_id`` uniqueness.
     """
     e = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull()
         & F.col("ts").isNotNull()
         & F.col("value").isNotNull()
     )
-    arr = e.groupBy("user_id").agg(
-        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias(
-            "seq"
+
+    def _by_ts_then_id(a, b):
+        return (
+            F.when(a["ts"] < b["ts"], F.lit(-1))
+            .when(a["ts"] > b["ts"], F.lit(1))
+            .when(a["event_id"] < b["event_id"], F.lit(-1))
+            .when(a["event_id"] > b["event_id"], F.lit(1))
+            .otherwise(F.lit(0))
         )
+
+    arr = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value")), _by_ts_then_id
+        ).alias("seq")
     )
     ewma = F.aggregate(
         F.expr("slice(seq, 2, size(seq) - 1)"),

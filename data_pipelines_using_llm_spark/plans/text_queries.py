@@ -378,10 +378,17 @@ def doc_decontamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: shingle + sign once behind persist barriers (the
     projection-collapse discipline of operators/dedup.py), band with
-    8x2 LSH, then join TRAIN bands against BROADCAST eval bands — the
-    eval side is the benchmark corpus, tiny at any training-corpus
-    scale, so the corpus-sized side never shuffles for the candidate
-    step.  The first-matching-band owner filter replaces a distinct()
+    8x2 LSH, then join TRAIN bands against BROADCAST eval bands.  SCALE
+    CAVEAT (same as :func:`doc_decontamination`): here the "eval set" is
+    simulated as a fixed slice of the corpus (``doc_id % 20 == 0``), so
+    the broadcast side — band arrays plus shingle sets — grows linearly
+    with the corpus and the broadcast is only safe because the test
+    corpus is small.  In production the eval set is a SEPARATE benchmark
+    table whose size is fixed (MMLU/GSM8K-sized, a few 100k shingles),
+    which is what makes broadcasting it correct at 100 TB; with a large
+    eval table, drop the broadcast hints and let the band join shuffle
+    both sides.  The corpus-sized side never shuffles for the candidate
+    step either way.  The first-matching-band owner filter replaces a distinct()
     over candidates; the verify join fetches train grams by id (one
     hash shuffle) against broadcast eval grams.  Final report is one
     grouped aggregation per flagged training doc.

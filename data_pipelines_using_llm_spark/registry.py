@@ -121,13 +121,12 @@ def _verified_counts() -> dict[str, int]:
 # -> full hash gate): their past green rows verified a weaker contract, so
 # treat them as never-verified until the new gate earns a green row.
 # Prune an entry once a round's CORRECTNESS artifact shows it hash-green.
-_REVERIFY: frozenset[str] = frozenset({
-    # (pruned: approx_user_reach earned its hash-green row in
-    # CORRECTNESS_r05.json under the upgraded exact-count + bound-flag gate)
-    "knn_arrow",  # r6: rows-only -> rank + near-tie hash gate
-    "important_parts",  # r6: threshold 2x -> 1.25x; the 2x gate compared empty sets
-    "dedup_semantic",  # r6: k now derived from target cell size (same k at sf0.01)
-})
+_REVERIFY: frozenset[str] = frozenset(
+    # (pruned r7: knn_arrow, important_parts and dedup_semantic all earned
+    # hash-green rows in CORRECTNESS_r06.json under their upgraded gates,
+    # as approx_user_reach did in r05 — rotation returns to pure
+    # least-verified order.)
+)
 
 
 def rotate_for_verification(merged: dict[str, QuerySpec]) -> dict[str, QuerySpec]:

@@ -164,3 +164,57 @@ def test_dedup_normalized_merges_seeded_variants(spark):
         f"WHERE doc_id % {NORM_SEED_MOD} = 0"
     ).fetchone()[0]
     assert n_seeded == expect
+
+
+def test_lsh_capped_bucket_bounds_pairs_on_degenerate_corpus(spark):
+    """Adversarial boilerplate corpus: N identical docs put ALL of them in
+    one band bucket per band — uncapped LSH emits C(N,2) pairs into one
+    join key (the 'curse of the last reducer'), while ``max_bucket``
+    switches oversized buckets to hub-and-spoke (N-1 pairs, linear) and
+    preserves the connectivity downstream components clustering needs."""
+    n = 60
+    boiler = "all work and no play makes jack a dull boy " * 4
+    rows = [(i, boiler) for i in range(n)] + [
+        (1000, "a genuinely unique document about rivers and copper"),
+        (1001, "another distinct text concerning harbors and meadows"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = DD.minhash_lsh_pairs(df, "doc_id", "text").collect()
+    assert len(uncapped) == n * (n - 1) // 2  # quadratic blowup, exact
+
+    capped = DD.minhash_lsh_pairs(df, "doc_id", "text", max_bucket=10)
+    capped_rows = capped.collect()
+    # linear: every identical doc pairs with the bucket representative only
+    assert len(capped_rows) == n - 1
+    assert all(r["doc_id_a"] == 0 for r in capped_rows)
+    assert all(r["jaccard"] == 1.0 for r in capped_rows)
+    # connectivity preserved: one component spanning all n docs
+    comp = DD.connected_components(
+        capped.select("doc_id_a", "doc_id_b")
+    ).collect()
+    labels = {r[0]: r[1] for r in comp}
+    assert len({labels[i] for i in range(n)}) == 1
+
+
+def test_lsh_capped_mode_keeps_small_bucket_pairs_exact(spark):
+    """A corpus with NO oversized buckets must produce identical pairs in
+    capped and uncapped mode — the cap only changes degenerate buckets."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the river",
+        "the quick brown fox jumps over the lazy dog near the stone",
+        "completely different content about copper harbors and signals",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {
+        (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+        for r in DD.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.3).collect()
+    }
+    capped = {
+        (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+        for r in DD.minhash_lsh_pairs(
+            df, "doc_id", "text", threshold=0.3, max_bucket=10
+        ).collect()
+    }
+    assert base == capped
