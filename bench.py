@@ -329,9 +329,18 @@ def main() -> int:
     tier2_cold: dict[str, float] = {}
     t2_start = time.perf_counter()
     tier2_names = [n for n in registry if n not in set(names)]
+    # Wall budget so tier 2 can never starve the driver's artifact of the
+    # headline result (measured ~100-200s for the full pass; the budget
+    # only bites if the host degrades).  Skipped names are RECORDED — a
+    # truncated pass must not read as full coverage.
+    tier2_budget = float(os.environ.get("SPARK_GRAFT_TIER2_BUDGET_SEC", "300"))
+    tier2_skipped: list[str] = []
     saved_timings, saved_cold = timings, cold_timings
     timings, cold_timings = tier2, tier2_cold
     for i, name in enumerate(tier2_names):
+        if time.perf_counter() - t2_start > tier2_budget:
+            tier2_skipped = tier2_names[i:]
+            break
         _time_query(name)
         if i % 10 == 9:
             _jvm_gc()
@@ -537,6 +546,7 @@ def main() -> int:
         "tier2_queries": tier2,
         "tier2_cold": tier2_cold,
         "tier2_wall_sec": tier2_wall,
+        "tier2_skipped": tier2_skipped,
         "errors": errors,
         "stages": stages,
         "scale_probe": scale,

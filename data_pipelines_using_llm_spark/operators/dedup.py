@@ -374,6 +374,80 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Subset-duplicate pairs by SET CONTAINMENT — ``|A∩B| /
+    min(|A|, |B|)`` over hashed n-gram shingles: the asymmetric measure
+    that catches a small document quoted whole inside a much larger one,
+    which Jaccard structurally cannot (J ≤ |A|/|B| no matter how perfect
+    the inclusion).
+
+    Candidate generation is the overlap-constraint prefix filter
+    (SSJoin/PPJoin family): containment ≥ t with A the smaller side
+    forces |A∩B| ≥ ceil(t·|A|), so the first ``floor((1-t)·|A|)+1``
+    elements of sorted-A must hit B — joining every doc's PREFIX tokens
+    against every doc's FULL posting list (an inverted-index probe)
+    therefore finds all qualifying pairs.  The full-side explode is what
+    containment costs over Jaccard's prefix-vs-prefix join: candidate
+    volume is prefix-token × posting-list collisions — still
+    collision-proportional, never all-pairs.
+
+    Output doubles are UNROUNDED: ``inter``/``min`` are identical
+    integers on both engines, so one IEEE division is bit-identical
+    cross-engine, while ``round(x, 6)`` is exactly where engines can
+    disagree on half-way ties (see plans/statistics.py CUSUM note).
+    """
+    base = barrier(
+        gram_hash_df(df, id_col, text_col, n)
+        .filter(F.size("grams") > 0)
+        .select("doc_id", F.array_sort("grams").alias("grams"))
+    )
+    prefix = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"slice(grams, 1, CAST(floor((1 - {threshold}) * size(grams)) AS INT) + 1)"
+            )
+        ).alias("g"),
+    )
+    posting = base.select("doc_id", F.explode("grams").alias("g"))
+    p, q = prefix.alias("p"), posting.alias("q")
+    cand = (
+        p.join(
+            q,
+            (F.col("p.g") == F.col("q.g"))
+            & (F.col("p.doc_id") != F.col("q.doc_id")),
+        )
+        .select(
+            F.least("p.doc_id", "q.doc_id").alias("doc_id_a"),
+            F.greatest("p.doc_id", "q.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    ga = base.select(F.col("doc_id").alias("doc_id_a"), F.col("grams").alias("grams_a"))
+    gb = base.select(F.col("doc_id").alias("doc_id_b"), F.col("grams").alias("grams_b"))
+    return (
+        cand.join(ga, "doc_id_a")
+        .join(gb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (
+                F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+                / F.least(F.size("grams_a"), F.size("grams_b"))
+            ).alias("containment"),
+            F.size("grams_a").alias("n_grams_a"),
+            F.size("grams_b").alias("n_grams_b"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_id_a",

@@ -520,6 +520,153 @@ FROM n GROUP BY 1
 """
 
 
+# Containment dedup: threshold, and the seeded prefix-slice variants that
+# make the check non-vacuous at every SF (a 40%-prefix slice of a document
+# is CONTAINED in it with near-1.0 containment but low Jaccard — exactly
+# the subset-duplicate class the symmetric measures miss).
+CONTAIN_THRESHOLD = 0.9
+CONTAIN_SEED_MOD = 11
+CONTAIN_SEED_OFFSET = 20_000_000
+CONTAIN_SLICE_FRAC = 0.4
+
+
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (subset-duplicate) pairs over ``documents`` plus
+    seeded 40%-prefix slices — ``|A∩B|/min(|A|,|B|)`` ≥ 0.9 via the
+    prefix-vs-posting-list filter (operators/dedup.py::containment_pairs).
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    variants = d.filter(F.col("doc_id") % CONTAIN_SEED_MOD == 0).select(
+        (F.col("doc_id") + CONTAIN_SEED_OFFSET).alias("doc_id"),
+        F.expr(
+            f"substring(text, 1, CAST(ceil({CONTAIN_SLICE_FRAC} * length(text)) AS INT))"
+        ).alias("text"),
+    )
+    return DD.containment_pairs(
+        d.unionByName(variants),
+        "doc_id",
+        "text",
+        n=NGRAM_N,
+        threshold=CONTAIN_THRESHOLD,
+    )
+
+
+DEDUP_CONTAINMENT_ORACLE = f"""
+WITH spliced AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {CONTAIN_SEED_OFFSET},
+           substr(text, 1, CAST(ceil({CONTAIN_SLICE_FRAC} * length(text)) AS INT))
+    FROM documents WHERE doc_id % {CONTAIN_SEED_MOD} = 0
+), tok AS (
+    SELECT doc_id, {SQL_TOKEN_HASHES} AS th FROM spliced
+), base AS (
+    SELECT doc_id, {_sql_gram_fold()} AS grams FROM tok
+), ne AS (
+    SELECT doc_id, list_sort(grams) AS grams FROM base WHERE len(grams) > 0
+), pref AS (
+    SELECT doc_id, u.g
+    FROM ne,
+         UNNEST(grams[1 : CAST(floor((1 - {CONTAIN_THRESHOLD}) * len(grams)) AS INT) + 1])
+             AS u(g)
+), posting AS (
+    SELECT doc_id, u.g FROM ne, UNNEST(grams) AS u(g)
+), cand AS (
+    SELECT DISTINCT least(p.doc_id, q.doc_id) AS doc_id_a,
+                    greatest(p.doc_id, q.doc_id) AS doc_id_b
+    FROM pref p JOIN posting q ON p.g = q.g AND p.doc_id != q.doc_id
+)
+SELECT doc_id_a, doc_id_b,
+       CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+           / least(len(a.grams), len(b.grams)) AS containment,
+       len(a.grams) AS n_grams_a,
+       len(b.grams) AS n_grams_b
+FROM cand
+JOIN ne a ON a.doc_id = cand.doc_id_a
+JOIN ne b ON b.doc_id = cand.doc_id_b
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / least(len(a.grams), len(b.grams)) >= {CONTAIN_THRESHOLD}
+"""
+
+
+# Repeated-passage (exact substring) dedup: window width / stride / report
+# size.  W=40 chars catches boilerplate sentences; stride W/2 guarantees
+# any repeated run of >= 1.5*W chars contains at least one aligned window
+# on both copies of the run's lattice (a stride-S window grid offset by
+# any amount still overlaps a length-1.5W run in a full window).
+PASSAGE_W = 40
+PASSAGE_STRIDE = 20
+PASSAGE_TOP = 100
+
+
+def doc_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-passage detection — the substring complement of
+    document-level dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", trains on ExactSubstr-deduped text):
+    document-granular dedup misses boilerplate passages (license
+    headers, templated paragraphs) embedded in otherwise-distinct
+    documents, which LMs then memorize.
+
+    Spark-first reduction of the suffix-array approach: slide
+    ``PASSAGE_W``-char windows at ``PASSAGE_STRIDE`` over each document
+    (``sequence`` + ``transform(substring)`` + ``explode`` — a JVM
+    expression chain, no UDF), then ONE groupBy on the window text:
+    passages occurring >= 2 times across the corpus, with distinct-doc
+    and occurrence counts.  Top ``PASSAGE_TOP`` by occurrence
+    (deterministic passage tie-break) via TakeOrderedAndProject.
+
+    Scale: window volume is (doc_chars / stride) rows — ~2 small rows
+    per 40 input bytes; the groupBy shuffles with map-side partial
+    aggregation and most groups die there (count 1 dominates).  At
+    100 TB, group on ``xxhash64(passage)`` carrying ``min(passage)`` as
+    the exemplar so the shuffle moves 8-byte keys; the string key here
+    keeps the oracle textual.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= PASSAGE_W
+    )
+    win = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.length("text") - PASSAGE_W + 1,
+                    F.lit(PASSAGE_STRIDE),
+                ),
+                lambda s: F.substring(F.col("text"), s, PASSAGE_W),
+            )
+        ).alias("passage"),
+    )
+    return (
+        win.groupBy("passage")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+        .orderBy(F.col("n_occurrences").desc(), "passage")
+        .limit(PASSAGE_TOP)
+    )
+
+
+DOC_REPEATED_PASSAGES_ORACLE = f"""
+WITH win AS (
+    SELECT doc_id,
+           unnest(generate_series(1, length(text) - {PASSAGE_W} + 1,
+                                  {PASSAGE_STRIDE})) AS s
+    FROM documents WHERE length(text) >= {PASSAGE_W}
+)
+SELECT substr(d.text, w.s, {PASSAGE_W}) AS passage,
+       count(DISTINCT w.doc_id) AS n_docs,
+       count(*) AS n_occurrences
+FROM win w JOIN documents d USING (doc_id)
+GROUP BY 1 HAVING count(*) >= 2
+ORDER BY n_occurrences DESC, passage
+LIMIT {PASSAGE_TOP}
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": QuerySpec(dedup_exact_docs, DEDUP_EXACT_ORACLE, "exact hash-groupBy dedup"),
     "dedup_normalized": QuerySpec(
@@ -543,4 +690,14 @@ QUERIES = {
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _minhash_oracle(), "MinHash+LSH near-dup"),
     "simhash_signatures": QuerySpec(simhash_signatures, SIMHASH_SIGNATURES_ORACLE, "SimHash signatures"),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_ORACLE, "SimHash near-dup pairs"),
+    "doc_repeated_passages": QuerySpec(
+        doc_repeated_passages,
+        DOC_REPEATED_PASSAGES_ORACLE,
+        "exact repeated-passage (substring) dedup via strided windows",
+    ),
+    "dedup_containment_pairs": QuerySpec(
+        dedup_containment_pairs,
+        DEDUP_CONTAINMENT_ORACLE,
+        "subset-duplicate pairs by n-gram set containment (prefix filter)",
+    ),
 }

@@ -169,6 +169,71 @@ FROM counts c JOIN exp e ON e.digit = c.digit CROSS JOIN tot t
 """
 
 
+def l_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attribute-disclosure complement of
+    :func:`k_anonymity_profile` (Machanavajjhala et al. 2007): a class
+    can be k-anonymous yet still leak the SENSITIVE attribute if every
+    member shares one value.  Quasi-identifiers here are
+    (source, floor(n_chars/100)); the sensitive attribute is ``lang``.
+
+    Output: one row per observed diversity level l — how many
+    equivalence classes expose exactly l distinct sensitive values, how
+    many rows they hold, and the corpus fraction; ``l = 1`` rows are the
+    disclosure set.
+
+    Plan: one corpus groupBy to (class, lang) cells, one re-aggregation
+    of the CELLS to classes (exact distinct — the cell count per class
+    IS the diversity), one tiny histogram aggregation; total n_docs
+    joins back as a one-row broadcast.  Nothing after the first shuffle
+    is corpus-sized.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy(
+        "source",
+        F.floor(F.col("n_chars") / CHAR_BUCKET).alias("size_bucket"),
+        "lang",
+    ).agg(F.count(F.lit(1)).alias("cell_n"))
+    classes = cells.groupBy("source", "size_bucket").agg(
+        F.count(F.lit(1)).alias("diversity"),
+        F.sum("cell_n").alias("class_size"),
+    )
+    hist = classes.groupBy("diversity").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("class_size").alias("n_rows"),
+    )
+    total = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return hist.join(F.broadcast(total)).select(
+        "diversity",
+        "n_classes",
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("n_docs"), 6).alias("rows_pct"),
+    )
+
+
+L_DIVERSITY_PROFILE_ORACLE = f"""
+WITH cells AS (
+    SELECT source,
+           CAST(floor(n_chars / {CHAR_BUCKET}) AS BIGINT) AS size_bucket,
+           lang, count(*) AS cell_n
+    FROM documents GROUP BY 1, 2, 3
+),
+classes AS (
+    SELECT source, size_bucket,
+           count(*) AS diversity, CAST(sum(cell_n) AS BIGINT) AS class_size
+    FROM cells GROUP BY 1, 2
+),
+hist AS (
+    SELECT diversity, count(*) AS n_classes,
+           CAST(sum(class_size) AS BIGINT) AS n_rows
+    FROM classes GROUP BY 1
+),
+tot AS (SELECT count(*) AS n_docs FROM documents)
+SELECT diversity, n_classes, n_rows,
+       round(CAST(n_rows AS DOUBLE) / n_docs, 6) AS rows_pct
+FROM hist CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "k_anonymity_profile": QuerySpec(
         k_anonymity_profile,
@@ -179,5 +244,10 @@ QUERIES = {
         benford_digit_profile,
         _benford_oracle(),
         "Benford first-digit distribution screen",
+    ),
+    "l_diversity_profile": QuerySpec(
+        l_diversity_profile,
+        L_DIVERSITY_PROFILE_ORACLE,
+        "l-diversity attribute-disclosure histogram over QI classes",
     ),
 }

@@ -454,6 +454,169 @@ FROM f
 """
 
 
+# CUSUM tuning: slack k = CUSUM_K_SIGMA·σ absorbs normal wander, alarm at
+# h = CUSUM_H_SIGMA·σ — the classic (0.5σ, 4σ) tabular-CUSUM settings.
+# Halves/quarters are exactly representable so every product is one IEEE
+# multiply, bit-identical on both engines.
+CUSUM_K_SIGMA = 0.5
+CUSUM_H_SIGMA = 4.0
+
+
+def revenue_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided tabular CUSUM change-point detection over each order
+    priority's daily-revenue series (Page 1954): the sequential
+    recursion ``s⁺_t = max(0, s⁺_{t-1} + (y_t − μ − k))`` /
+    ``s⁻_t = max(0, s⁻_{t-1} + (μ − k − y_t))`` with an alert whenever
+    either statistic crosses ``h`` — the standard drift detector for
+    pipeline-volume monitoring, and (like EWMA/Holt) a recursion no
+    associative aggregate can express.
+
+    Three-stage deterministic computation, every stage a fold over the
+    SAME sorted daily array so both engines run identical arithmetic in
+    identical order: (1) μ as a sorted-order sum / n; (2) σ as the
+    population root-mean-square deviation (sorted fold of squared
+    residuals); (3) the CUSUM recursion with a 3-element array state
+    ``[s⁺, s⁻, n_alerts]``.  Daily revenue is exact decimal before the
+    double cast, as in :func:`revenue_holt_forecast`.
+
+    Scale: the per-key array is the bounded daily series (days × 16
+    bytes); the chunk-and-carry escape hatch applies unchanged (the
+    state is the fold of the head).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("day", "o_orderdate").alias("d"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    arr = (
+        daily.groupBy("priority")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "y"))),
+                lambda s: s["y"],
+            ).alias("ys")
+        )
+        .filter(F.size("ys") >= 3)
+    )
+    fold_sum = lambda col: F.aggregate(  # noqa: E731 — sorted-order sum
+        col, F.lit(0.0), lambda acc, y: acc + y
+    )
+    stats = arr.select(
+        "priority",
+        "ys",
+        (fold_sum(F.col("ys")) / F.size("ys")).alias("mu"),
+    ).select(
+        "priority",
+        "ys",
+        "mu",
+        F.sqrt(
+            F.aggregate(
+                F.col("ys"),
+                F.lit(0.0),
+                lambda acc, y: acc
+                + (y - F.col("mu")) * (y - F.col("mu")),
+            )
+            / F.size("ys")
+        ).alias("sigma"),
+    )
+    kk = F.lit(CUSUM_K_SIGMA) * F.col("sigma")
+    h = F.lit(CUSUM_H_SIGMA) * F.col("sigma")
+    sp = lambda acc, y: F.greatest(  # noqa: E731
+        F.lit(0.0), F.element_at(acc, 1) + (y - F.col("mu") - kk)
+    )
+    sn = lambda acc, y: F.greatest(  # noqa: E731
+        F.lit(0.0), F.element_at(acc, 2) + (F.col("mu") - kk - y)
+    )
+    state = F.aggregate(
+        F.col("ys"),
+        F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0)),
+        lambda acc, y: F.array(
+            sp(acc, y),
+            sn(acc, y),
+            F.element_at(acc, 3)
+            + F.when((sp(acc, y) > h) | (sn(acc, y) > h), F.lit(1.0)).otherwise(
+                F.lit(0.0)
+            ),
+        ),
+    )
+    # NO round() on the doubles: the fold is bit-identical cross-engine
+    # (proven by construction and by bitwise comparison at sf0.001), and
+    # rounding is what would DIVERGE — a value landing on a 1e-6 half-way
+    # tie rounds differently under Spark's BigDecimal HALF_UP vs DuckDB's
+    # multiply-by-1e6-then-round (observed: 238828.5504505 -> .550450 vs
+    # .550451).  Identical bits need no stabilization.
+    return stats.select(
+        "priority",
+        F.size("ys").alias("n_days"),
+        F.col("mu"),
+        F.col("sigma"),
+        F.element_at(state, 1).alias("cusum_pos"),
+        F.element_at(state, 2).alias("cusum_neg"),
+        F.element_at(state, 3).cast("long").alias("n_alert_days"),
+    )
+
+
+REVENUE_CUSUM_ALERTS_ORACLE = f"""
+WITH daily AS (
+    SELECT o_orderpriority AS priority,
+           date_trunc('day', o_orderdate) AS d,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+    FROM orders GROUP BY 1, 2
+),
+s AS (
+    SELECT priority, array_agg(y ORDER BY d) AS ys
+    FROM daily GROUP BY priority
+),
+m AS (
+    SELECT priority, ys,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys),
+                       (acc, y) -> acc + y) / len(ys) AS mu
+    FROM s WHERE len(ys) >= 3
+),
+v AS (
+    SELECT priority, ys, mu,
+           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys),
+                            (acc, y) -> acc + (y - mu) * (y - mu))
+                / len(ys)) AS sigma
+    FROM m
+),
+f AS (
+    SELECT priority, ys, mu, sigma,
+           list_reduce(
+               list_prepend([CAST(0.0 AS DOUBLE), 0.0, 0.0],
+                            list_transform(ys, y -> [y, 0.0, 0.0])),
+               (acc, x) -> [
+                   greatest(0.0, acc[1]
+                       + (x[1] - mu - {CUSUM_K_SIGMA!r} * sigma)),
+                   greatest(0.0, acc[2]
+                       + (mu - {CUSUM_K_SIGMA!r} * sigma - x[1])),
+                   acc[3] + CASE WHEN
+                       greatest(0.0, acc[1]
+                           + (x[1] - mu - {CUSUM_K_SIGMA!r} * sigma))
+                           > {CUSUM_H_SIGMA!r} * sigma
+                       OR greatest(0.0, acc[2]
+                           + (mu - {CUSUM_K_SIGMA!r} * sigma - x[1]))
+                           > {CUSUM_H_SIGMA!r} * sigma
+                       THEN 1.0 ELSE 0.0 END
+               ]
+           ) AS st
+    FROM v
+)
+SELECT priority,
+       CAST(len(ys) AS INT) AS n_days,
+       mu,
+       sigma,
+       st[1] AS cusum_pos,
+       st[2] AS cusum_neg,
+       CAST(st[3] AS BIGINT) AS n_alert_days
+FROM f
+"""
+
+
 def rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day rolling EXACT median of daily order revenue — the robust
     sibling of ``rolling_daily_revenue``'s moving average (a single
@@ -535,6 +698,11 @@ QUERIES: dict[str, QuerySpec] = {
         revenue_holt_forecast,
         REVENUE_HOLT_FORECAST_ORACLE,
         "Holt level+trend smoothing: struct-state sorted fold + forecast",
+    ),
+    "revenue_cusum_alerts": QuerySpec(
+        revenue_cusum_alerts,
+        REVENUE_CUSUM_ALERTS_ORACLE,
+        "two-sided CUSUM change detection over daily revenue series",
     ),
     "rolling_median_revenue": QuerySpec(
         rolling_median_revenue,
