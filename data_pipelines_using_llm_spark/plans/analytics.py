@@ -264,6 +264,113 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZIPF_TOP_R = 200
+
+
+def term_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus term-frequency distribution: OLS of
+    ``ln(count)`` on ``ln(rank)`` over the top ``ZIPF_TOP_R`` terms — a
+    natural corpus should fit with slope ≈ −1; a templated/synthetic or
+    boilerplate-polluted corpus bends the curve, making the slope a
+    one-number corpus-health screen next to the Gopher repetition
+    signals.
+
+    Determinism: term counts are exact integers; ranks are
+    ``row_number`` with a full (count DESC, term) tie-break; the four
+    OLS power sums fold over the rank-sorted top-R array in identical
+    order on both engines (4-element array accumulator, as
+    plans/statistics.py Holt), with ln() under the PMI round(…, 6)
+    convention.
+
+    Scale: one exploded-token groupBy (map-side combined), a top-R
+    TakeOrdered that is dict-sized, and a fold over 200 elements —
+    the fact table is scanned once.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = (
+        counts.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("term"))
+            ),
+        )
+        .filter(F.col("rank") <= ZIPF_TOP_R)
+    )
+    arr = ranked.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rank", "n"))),
+            lambda s: F.array(
+                F.log(s["rank"].cast("double")), F.log(s["n"].cast("double"))
+            ),
+        ).alias("xy")
+    )
+    sums = F.aggregate(
+        F.col("xy"),
+        F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(0.0)),
+        lambda acc, e: F.array(
+            F.element_at(acc, 1) + F.element_at(e, 1),
+            F.element_at(acc, 2) + F.element_at(e, 2),
+            F.element_at(acc, 3) + F.element_at(e, 1) * F.element_at(e, 2),
+            F.element_at(acc, 4) + F.element_at(e, 1) * F.element_at(e, 1),
+        ),
+    )
+    n = F.size("xy").cast("double")
+    sx, sy = F.element_at(sums, 1), F.element_at(sums, 2)
+    sxy, sx2 = F.element_at(sums, 3), F.element_at(sums, 4)
+    slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    return arr.select(
+        F.size("xy").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("zipf_intercept"),
+    )
+
+
+def _term_zipf_oracle() -> str:
+    toks = SQL_TOKENS.format(col="lower(text)")
+    return f"""
+WITH counts AS (
+    SELECT term, count(*) AS n
+    FROM (SELECT unnest({toks}) AS term FROM documents)
+    GROUP BY term
+),
+ranked AS (
+    SELECT term, n,
+           row_number() OVER (ORDER BY n DESC, term) AS rank
+    FROM counts QUALIFY rank <= {ZIPF_TOP_R}
+),
+arr AS (
+    SELECT list_transform(
+               array_agg([CAST(rank AS BIGINT), n] ORDER BY rank),
+               e -> [ln(CAST(e[1] AS DOUBLE)), ln(CAST(e[2] AS DOUBLE))]
+           ) AS xy
+    FROM ranked
+),
+f AS (
+    SELECT len(xy) AS n_terms,
+           list_reduce(
+               list_prepend([CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0],
+                            list_transform(xy, e -> [e[1], e[2],
+                                                     CAST(0.0 AS DOUBLE), 0.0])),
+               (acc, e) -> [acc[1] + e[1], acc[2] + e[2],
+                            acc[3] + e[1] * e[2], acc[4] + e[1] * e[1]]
+           ) AS s
+    FROM arr
+)
+SELECT CAST(n_terms AS INT) AS n_terms,
+       round((n_terms * s[3] - s[1] * s[2])
+             / (n_terms * s[4] - s[1] * s[1]), 6) AS zipf_slope,
+       round((s[2] - (n_terms * s[3] - s[1] * s[2])
+                     / (n_terms * s[4] - s[1] * s[1]) * s[1]) / n_terms, 6)
+           AS zipf_intercept
+FROM f
+"""
+
+
 def _top_terms_oracle() -> str:
     toks = SQL_TOKENS.format(col="lower(text)")
     return f"""
@@ -1184,6 +1291,11 @@ QUERIES = {
     ),
     "user_sessions_batch": QuerySpec(
         user_sessions_batch, USER_SESSIONS_ORACLE, "gap-based sessionization"
+    ),
+    "term_zipf_fit": QuerySpec(
+        term_zipf_fit,
+        _term_zipf_oracle(),
+        "Zipf's-law OLS fit over top-200 term frequencies",
     ),
     "doc_top_terms": QuerySpec(
         doc_top_terms, _top_terms_oracle(), "distinctive terms (integer-exact TF/DF)"

@@ -194,6 +194,97 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_transition_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step transition probabilities — the Markov-chain square
+    ``P²(i,k) = Σⱼ P(i,j)·P(j,k)`` over the first-order matrix of
+    :func:`event_transition_matrix`: where a user lands two actions from
+    now, the lookahead a next-next-action recommender or bot-loop
+    detector reads directly.
+
+    The matrix multiply is declared relationally: self-join the rate
+    matrix on the middle state (|types|² rows — broadcast-sized however
+    large the corpus; the FACT table is touched exactly once by the
+    first-order count).  Determinism: each P²(i,k) sums ≤ |types| double
+    products, folded in sorted middle-state order on both engines; the
+    rates themselves are unrounded exact divisions of identical integer
+    counts, so the result is bit-identical cross-engine with no
+    rounding.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = d.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wf = Window.partitionBy("from_type")
+    rates = counts.select(
+        "from_type",
+        "to_type",
+        (F.col("n").cast("double") / F.sum("n").over(wf).cast("double")).alias(
+            "p"
+        ),
+    )
+    a = rates.select(
+        F.col("from_type").alias("from_type"),
+        F.col("to_type").alias("mid_type"),
+        F.col("p").alias("p1"),
+    )
+    b = rates.select(
+        F.col("from_type").alias("mid_type"),
+        F.col("to_type").alias("to_type"),
+        F.col("p").alias("p2"),
+    )
+    return (
+        a.join(b, "mid_type")
+        .groupBy("from_type", "to_type")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("mid_type", (F.col("p1") * F.col("p2")).alias("prod"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["prod"],
+            ).alias("p_2step"),
+            F.count(F.lit(1)).alias("n_paths"),
+        )
+    )
+
+
+EVENT_TRANSITION_2STEP_ORACLE = """
+WITH seq AS (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS to_type
+    FROM events
+),
+counts AS (
+    SELECT from_type, to_type, count(*) AS n
+    FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+rates AS (
+    SELECT from_type, to_type,
+           CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type)
+                                    AS DOUBLE) AS p
+    FROM counts
+)
+SELECT a.from_type, b.to_type,
+       list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        array_agg(a.p * b.p ORDER BY a.to_type)),
+           (acc, x) -> acc + x) AS p_2step,
+       count(*) AS n_paths
+FROM rates a JOIN rates b ON b.from_type = a.to_type
+GROUP BY 1, 2
+"""
+
+
 EVENT_TRANSITION_MATRIX_ORACLE = """
 WITH seq AS (
     SELECT event_type AS from_type,
@@ -610,6 +701,11 @@ QUERIES = {
         event_transition_matrix,
         EVENT_TRANSITION_MATRIX_ORACLE,
         "first-order event-type transition matrix",
+    ),
+    "event_transition_2step": QuerySpec(
+        event_transition_2step,
+        EVENT_TRANSITION_2STEP_ORACLE,
+        "Markov-chain square: two-step transition probabilities",
     ),
     "hourly_anomalies": QuerySpec(
         hourly_anomalies,

@@ -520,6 +520,69 @@ FROM n GROUP BY 1
 """
 
 
+def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a document's distinct
+    shingles whose corpus-wide first occurrence (minimum doc_id) is this
+    document — the ingestion-order "how much does this doc add"
+    signal curation pipelines use to down-rank recombinations of
+    already-seen text that clear every pairwise dedup bar.
+
+    Plan: shingle once (persisted), explode to a posting list, ONE
+    groupBy(gram) for the min-owner, join back on gram, ONE
+    groupBy(doc).  Both shuffles are on the gram hash — the same
+    inverted-index shape as containment/prefix dedup; nothing is
+    all-pairs.  Novelty is an unrounded exact division of identical
+    integers (bit-identical cross-engine).
+    """
+    from data_pipelines_using_llm_spark.operators.caching import barrier
+
+    d = _docs(spark, sf_dir)
+    base = barrier(
+        DD.gram_hash_df(d, "doc_id", "text", NGRAM_N).filter(
+            F.size("grams") > 0
+        )
+    )
+    posting = base.select("doc_id", F.explode("grams").alias("g"))
+    owner = posting.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        posting.join(owner, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_grams")).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+DOC_NOVELTY_ORACLE = f"""
+WITH {_sql_grams_cte()}, ne AS (
+    SELECT doc_id, grams FROM base WHERE len(grams) > 0
+), posting AS (
+    SELECT doc_id, u.g FROM ne, UNNEST(grams) AS u(g)
+), owner AS (
+    SELECT g, min(doc_id) AS first_doc FROM posting GROUP BY g
+)
+SELECT p.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN o.first_doc = p.doc_id THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_novel,
+       CAST(sum(CASE WHEN o.first_doc = p.doc_id THEN 1 ELSE 0 END)
+           AS DOUBLE) / count(*) AS novelty
+FROM posting p JOIN owner o ON o.g = p.g
+GROUP BY p.doc_id
+"""
+
+
 # Containment dedup: threshold, and the seeded prefix-slice variants that
 # make the check non-vacuous at every SF (a 40%-prefix slice of a document
 # is CONTAINED in it with near-1.0 containment but low Jaccard — exactly
@@ -699,5 +762,10 @@ QUERIES = {
         dedup_containment_pairs,
         DEDUP_CONTAINMENT_ORACLE,
         "subset-duplicate pairs by n-gram set containment (prefix filter)",
+    ),
+    "doc_novelty_scores": QuerySpec(
+        doc_novelty_scores,
+        DOC_NOVELTY_ORACLE,
+        "per-doc shingle novelty vs corpus first occurrences",
     ),
 }

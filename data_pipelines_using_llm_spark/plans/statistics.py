@@ -454,6 +454,86 @@ FROM f
 """
 
 
+# PSI drift screen: fixed-width value bins and the month-half split point.
+PSI_BIN_WIDTH = 50
+PSI_N_BINS = 10
+PSI_SPLIT_DAY = 16  # ts day-of-month < 16 -> reference half, else current
+
+
+def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-value distribution,
+    reference half-month vs current half-month — the standard ML-model
+    monitoring metric for input drift (PSI = Σ (q−p)·ln(q/p); < 0.1
+    stable, 0.1–0.25 moderate shift, > 0.25 action).
+
+    Emitted per bin (bin id, both counts, both shares, the PSI
+    contribution), so the report shows WHERE the distribution moved, not
+    just that it did; the scalar PSI is the column sum.  Bins with a
+    zero count on either side get a NULL contribution (flagged, not
+    smoothed — at 100 TB a silently-Laplace-smoothed PSI hides exactly
+    the novel-value drift you built the screen for).
+
+    Plan: one grouped aggregation of the fact to ≤ PSI_N_BINS × 2 cells
+    (conditional count pivot), then per-bin expressions against one-row
+    broadcast totals.  ln() follows the PMI convention
+    (plans/association.py): round(…, 6) on both engines.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    binned = e.select(
+        F.least(
+            F.floor(F.col("value") / PSI_BIN_WIDTH), F.lit(PSI_N_BINS - 1)
+        ).alias("bin"),
+        (F.dayofmonth("ts") < PSI_SPLIT_DAY).alias("is_ref"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("n_cur"),
+    )
+    totals = cells.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p = F.col("n_ref").cast("double") / F.col("t_ref").cast("double")
+    q = F.col("n_cur").cast("double") / F.col("t_cur").cast("double")
+    return cells.join(F.broadcast(totals)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(p, 6).alias("share_ref"),
+        F.round(q, 6).alias("share_cur"),
+        F.when(
+            (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+            F.round((q - p) * F.log(q / p), 6),
+        ).alias("psi_contrib"),
+    )
+
+
+VALUE_PSI_DRIFT_ORACLE = f"""
+WITH binned AS (
+    SELECT least(CAST(floor(value / {PSI_BIN_WIDTH}) AS BIGINT),
+                 {PSI_N_BINS - 1}) AS bin,
+           day(ts) < {PSI_SPLIT_DAY} AS is_ref
+    FROM events WHERE value IS NOT NULL
+),
+cells AS (
+    SELECT bin,
+           CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+           CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+    FROM binned GROUP BY 1
+),
+tot AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM cells)
+SELECT bin, n_ref, n_cur,
+       round(CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE), 6) AS share_ref,
+       round(CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE), 6) AS share_cur,
+       CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+           round((CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE)
+                  - CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE))
+                 * ln((CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE))
+                      / (CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE))), 6)
+       END AS psi_contrib
+FROM cells CROSS JOIN tot
+"""
+
+
 # CUSUM tuning: slack k = CUSUM_K_SIGMA·σ absorbs normal wander, alarm at
 # h = CUSUM_H_SIGMA·σ — the classic (0.5σ, 4σ) tabular-CUSUM settings.
 # Halves/quarters are exactly representable so every product is one IEEE
@@ -703,6 +783,11 @@ QUERIES: dict[str, QuerySpec] = {
         revenue_cusum_alerts,
         REVENUE_CUSUM_ALERTS_ORACLE,
         "two-sided CUSUM change detection over daily revenue series",
+    ),
+    "value_psi_drift": QuerySpec(
+        value_psi_drift,
+        VALUE_PSI_DRIFT_ORACLE,
+        "per-bin Population Stability Index drift report",
     ),
     "rolling_median_revenue": QuerySpec(
         rolling_median_revenue,

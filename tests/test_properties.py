@@ -338,3 +338,50 @@ def test_triangle_counts_match_bruteforce(spark, edges):
         r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()
     }
     assert got == expected
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="abcd ", min_size=6, max_size=40),
+        min_size=2,
+        max_size=8,
+    ),
+    st.sampled_from([0.5, 0.8, 0.9]),
+)
+def test_containment_dominates_jaccard(spark, texts, threshold):
+    """For any corpus and threshold, every Jaccard-qualified pair must be
+    containment-qualified too (containment = |∩|/min ≥ |∩|/union =
+    Jaccard, always), and every reported containment must match the
+    brute-force set computation."""
+    from data_pipelines_using_llm_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {
+        (r["doc_id_a"], r["doc_id_b"]): r["containment"]
+        for r in containment_pairs(
+            df, "doc_id", "text", n=2, threshold=threshold
+        ).collect()
+    }
+    jacc = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=2, threshold=threshold
+        ).collect()
+    }
+    assert jacc <= set(cont), f"jaccard pair missing from containment: {jacc - set(cont)}"
+
+    # brute-force verification of every reported containment value
+    grams = {
+        r["doc_id"]: set(r["grams"])
+        for r in gram_hash_df(df, "doc_id", "text", 2).collect()
+    }
+    for (a, b), c in cont.items():
+        sa, sb = grams[a], grams[b]
+        expected = len(sa & sb) / min(len(sa), len(sb))
+        assert c == expected
+        assert c >= threshold
