@@ -7,14 +7,22 @@ id — the canonical distributed PageRank step (same dataflow Pregel/GraphX
 lower to, declared here with DataFrame ops so Catalyst/AQE handle skew and
 partitioning).
 
-Determinism discipline: per-vertex contribution sums are SORTED folds
-(``array_sort(collect_list(struct(src, c)))`` + ``aggregate``), matching
-the oracle's ``array_agg(... ORDER BY src)`` + ``list_reduce`` so the
-double summation order is bit-identical cross-engine.  At real scale the
-fold is a plain ``sum()`` — PageRank tolerates summation-order noise —
-selected with ``exact_fold=False`` (tested equivalent to ~1e-12; the
-in-degree-bounded ``collect_list`` is the test-oracle choice, not the
-100 TB hot path).
+Determinism discipline: the default per-vertex fold is QUANTIZED
+fixed-point accumulation — each edge contribution ``c = r/deg`` (a
+double that is IEEE-identical in any engine) is quantized to
+``floor(c * 2^50)`` and summed as int64.  Integer addition is exact and
+order-independent, so the fold is simultaneously (a) bit-deterministic
+across engines, partitionings, and retries, and (b) a plain map-side-
+combinable ``sum()`` — no per-dst ``collect_list`` array, no per-group
+sort, no in-degree bound on task memory.  The ``2^-50`` quantization
+step costs ≤ ``in_degree * 2^-50`` absolute error per vertex per
+iteration (~1e-11 even at millions of in-edges) — far below any useful
+rank resolution, and the SAME value everywhere, so it is error in the
+metric, never disagreement between engines.  ``fold="plain"`` drops the
+quantization (pure double sum, order-dependent last-ulp noise;
+tested equivalent to ~1e-12); ``fold="sorted"`` is the legacy
+oracle path (``array_sort(collect_list(...))`` + ``aggregate``,
+matching ``array_agg(... ORDER BY src)`` + ``list_reduce`` SQL).
 """
 
 from __future__ import annotations
@@ -26,6 +34,13 @@ from data_pipelines_using_llm_spark.operators.caching import barrier
 
 DAMPING = 0.85
 
+# Fixed-point quantum for fold="quantized": exactly representable as a
+# double (power of two), so c * QUANT_SCALE and s / QUANT_SCALE are
+# single IEEE operations with identical results in every engine.
+# Headroom: per-dst quantized sums are bounded by the total rank mass,
+# Σ floor(c·2^50) ≤ 2^50 ≪ int64 max, at ANY graph size.
+QUANT_SCALE = float(2**50)
+
 
 def pagerank(
     edges: DataFrame,
@@ -34,7 +49,7 @@ def pagerank(
     iters: int = 2,
     damping: float = DAMPING,
     dangling: str = "error",
-    exact_fold: bool = True,
+    fold: str = "quantized",
 ) -> DataFrame:
     """``iters`` rounds of PageRank over directed ``edges``.
 
@@ -48,16 +63,23 @@ def pagerank(
       out-degree 0 — callers that guarantee out-degree >= 1 by
       construction (e.g. both directions of an undirected graph, as
       plans/graph_queries.py::supplier_pagerank does) pay one tiny job
-      and keep the exact sorted-fold determinism.
+      and keep exact deterministic ranks.
     - ``"redistribute"``: per iteration, the rank mass sitting on
       dangling vertices is summed (one scalar broadcast, exact decimal
       so the oracle could mirror it) and redistributed uniformly — the
       standard random-surfer completion; ranks again sum to ~1.
 
+    ``fold`` selects the contribution-sum strategy (module docstring):
+    ``"quantized"`` (default — deterministic AND map-side combinable),
+    ``"plain"`` (pure double sum), ``"sorted"`` (legacy per-dst sorted
+    array fold; in-degree bounds task memory — oracle use only).
+
     Returns (node, r) with ``r`` the raw rank (sums to ~1).
     """
     if dangling not in ("error", "redistribute"):
         raise ValueError(f"dangling must be error|redistribute: {dangling!r}")
+    if fold not in ("quantized", "plain", "sorted"):
+        raise ValueError(f"fold must be quantized|plain|sorted: {fold!r}")
     # persist the loop-invariant graph structure ONCE (the GraphX-style
     # lineage cut): edges/deg/nodes are referenced by every iteration —
     # without the barrier each round re-runs the distinct + degree
@@ -95,8 +117,21 @@ def pagerank(
             .join(deg, "src")
             .select("dst", "src", (F.col("r") / F.col("deg")).alias("c"))
         )
-        if exact_fold:
-            # oracle-determinism path: sorted fold, bit-identical to the
+        if fold == "quantized":
+            # fixed-point fold: floor(c·2^50) is IEEE-identical in every
+            # engine, and int64 addition is exact & order-independent —
+            # deterministic AND a plain map-side-partial sum (no per-dst
+            # array).  sum ≤ 2^50 ≪ int64 max at any scale.
+            summed = contrib.groupBy("dst").agg(
+                (
+                    F.sum(F.floor(F.col("c") * F.lit(QUANT_SCALE))).cast(
+                        "double"
+                    )
+                    / F.lit(QUANT_SCALE)
+                ).alias("s")
+            )
+        elif fold == "sorted":
+            # legacy oracle path: sorted fold, bit-identical to the
             # unrolled SQL's array_agg(... ORDER BY src) + list_reduce
             summed = contrib.groupBy("dst").agg(
                 F.aggregate(
@@ -106,19 +141,29 @@ def pagerank(
                 ).alias("s")
             )
         else:
-            # production path: plain map-side-partial sum — PageRank
-            # tolerates summation-order noise; no per-dst array, so
-            # in-degree no longer bounds task memory
+            # plain map-side-partial double sum — PageRank tolerates
+            # last-ulp summation-order noise
             summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         if dangling == "redistribute":
             sink_ranks = rank.join(sinks, "node", "left_semi")
-            if exact_fold:
-                # oracle-determinism path: the leak scalar is a SORTED
-                # fold over (node, r) — bit-identical to the oracle's
-                # array_agg(r ORDER BY node) + list_reduce.  Production
-                # (exact_fold=False) uses the plain sum below: PageRank
-                # tolerates the ~1e-16 summation-order noise and a
-                # collect_list over ALL sinks has no business at 100 TB.
+            if fold == "quantized":
+                # same fixed-point trick on the leak scalar: exact,
+                # order-independent, no collect_list over the sink set
+                leak = sink_ranks.agg(
+                    (
+                        F.coalesce(
+                            F.sum(
+                                F.floor(F.col("r") * F.lit(QUANT_SCALE))
+                            ),
+                            F.lit(0),
+                        ).cast("double")
+                        / F.lit(QUANT_SCALE)
+                    ).alias("leak")
+                )
+            elif fold == "sorted":
+                # legacy oracle path: the leak scalar is a SORTED fold
+                # over (node, r) — bit-identical to the oracle's
+                # array_agg(r ORDER BY node) + list_reduce
                 leak = sink_ranks.agg(
                     F.aggregate(
                         F.array_sort(F.collect_list(F.struct("node", "r"))),
@@ -180,11 +225,25 @@ def triangle_counts(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> Dat
     Why the orientation matters at 100 TB: with arbitrary orientation a
     celebrity vertex of degree d yields O(d²) wedges in one task — the
     "curse of the last reducer".  Ordering by degree bounds every
-    out-degree by O(√m), so total wedge count is O(m^{3/2}) and no
-    single key dominates; both wedge-build and closure are plain
-    equi-joins (wedge join on the low vertex, closure on the (y, z)
-    pair) that AQE can further split.  The output is
-    orientation-invariant — the oracle may enumerate ``a<b<c`` directly.
+    out-degree by O(√m), so total closure work is O(m^{3/2}) and no
+    single key dominates.
+
+    Physical strategy: neighborhood INTERSECTION, not wedge
+    materialization.  A wedge-join formulation (x→y ⋈ x→z, closed by
+    y→z) materializes and SHUFFLES every wedge — O(m^{3/2}) rows
+    through the exchange (41M rows for the 1.2M-edge basket graph at
+    sf0.1, ~20 GB of shuffle at 100× that).  Instead we build each
+    vertex's oriented out-neighbor array (size ≤ O(√m) by the
+    orientation bound, so per-row state is bounded), join each oriented
+    edge (a, b) to the two endpoint arrays — two equi-joins of the edge
+    table against a |V|-row array table, which AQE broadcasts when
+    small — and compute ``array_intersect(N⁺(a), N⁺(b))`` inside
+    whole-stage codegen.  Each triangle {x, y, z} (ranks x<y<z) is
+    found exactly once, at edge (x, y), as z ∈ N⁺(x)∩N⁺(y); the only
+    rows that ever hit an exchange after the adjacency build are the
+    per-edge count contributions (3 per triangle, pre-aggregated
+    map-side).  The output is orientation-invariant — the oracle may
+    enumerate ``a<b<c`` directly.
 
     Returns (node, n_triangles) for vertices in >= 1 triangle.
     """
@@ -206,26 +265,30 @@ def triangle_counts(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> Dat
         with_deg.select(
             F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
-            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dhi"),
         )
     )
-    e1 = oriented.select(
-        F.col("lo").alias("x"), F.col("hi").alias("y"), F.col("dhi").alias("dy")
+    adj = barrier(
+        oriented.groupBy("lo").agg(F.collect_list("hi").alias("nbrs"))
     )
-    e2 = oriented.select(
-        F.col("lo").alias("x"), F.col("hi").alias("z"), F.col("dhi").alias("dz")
-    )
-    wedges = e1.join(e2, "x").filter(
-        F.struct(F.col("dy"), F.col("y")) < F.struct(F.col("dz"), F.col("z"))
-    )
-    closed = wedges.join(
-        oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z")),
-        ["y", "z"],
-    )
-    return (
-        closed.select(
-            F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
+    closures = (
+        oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        .join(adj.select(F.col("lo").alias("a"), F.col("nbrs").alias("na")), "a")
+        .join(adj.select(F.col("lo").alias("b"), F.col("nbrs").alias("nb")), "b")
+        .select(
+            "a", "b", F.array_intersect(F.col("na"), F.col("nb")).alias("cs")
         )
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .filter(F.size("cs") > 0)
     )
+    closures = barrier(closures)
+    counts = (
+        closures.select(F.col("a").alias("node"), F.size("cs").alias("cnt"))
+        .unionAll(
+            closures.select(F.col("b").alias("node"), F.size("cs").alias("cnt"))
+        )
+        .unionAll(
+            closures.select(
+                F.explode("cs").alias("node"), F.lit(1).alias("cnt")
+            )
+        )
+    )
+    return counts.groupBy("node").agg(F.sum("cnt").alias("n_triangles"))

@@ -20,6 +20,10 @@ from data_pipelines_using_llm_spark.sources.tables import load_table
 
 PR_ITERS = 2
 
+# 2^50 in E-notation so DuckDB parses it as DOUBLE (a plain decimal
+# literal would be DECIMAL); must mirror operators/graph.py::QUANT_SCALE.
+QUANT_SQL = "1125899906842624e0"
+
 
 def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality of every customer and supplier in the trade
@@ -73,8 +77,8 @@ def _pagerank_oracle(iters: int = PR_ITERS, damping: float = DAMPING) -> str:
         ctes.append(
             f"""c{it} AS (
     SELECT e.dst AS node,
-           list_reduce(list_prepend(0.0,
-               array_agg(r.r / d.deg ORDER BY e.src)), (acc, x) -> acc + x) AS s
+           CAST(sum(CAST(floor(r.r / d.deg * {QUANT_SQL}) AS BIGINT))
+                AS DOUBLE) / {QUANT_SQL} AS s
     FROM edges e
     JOIN {prev} r ON r.node = e.src
     JOIN deg d ON d.src = e.src
@@ -107,8 +111,8 @@ def money_flow_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``supplier_pagerank`` exercises.
 
     Per iteration the rank mass stranded on sinks is folded into one
-    scalar (sorted fold for oracle determinism; plain sum in production)
-    and redistributed uniformly, so ranks keep summing to ~1.  Scale
+    scalar (fixed-point quantized sum — deterministic AND map-side
+    combinable) and redistributed uniformly, so ranks keep summing to ~1.  Scale
     shape is identical to ``supplier_pagerank``: one equi-join + one
     keyed aggregation per round, loop-invariant graph behind a barrier;
     the leak is a one-row broadcast.
@@ -138,10 +142,10 @@ def _pagerank_redistribute_oracle(
     iters: int = PR_ITERS, damping: float = DAMPING
 ) -> str:
     """Unrolled redistribute-mode oracle: each round adds a ``leak{it}``
-    scalar CTE (sorted fold of the previous round's rank over the sink
-    set, ORDER BY node — mirroring the operator's
-    ``array_sort(collect_list(struct(node, r)))`` fold) whose uniform
-    share joins the damped update."""
+    scalar CTE (fixed-point quantized sum of the previous round's rank
+    over the sink set — mirroring the operator's
+    ``sum(floor(r * 2^50))`` int64 fold) whose uniform share joins the
+    damped update."""
     ctes = [
         """edges AS (
     SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
@@ -164,8 +168,8 @@ def _pagerank_redistribute_oracle(
         ctes.append(
             f"""c{it} AS (
     SELECT e.dst AS node,
-           list_reduce(list_prepend(0.0,
-               array_agg(r.r / d.deg ORDER BY e.src)), (acc, x) -> acc + x) AS s
+           CAST(sum(CAST(floor(r.r / d.deg * {QUANT_SQL}) AS BIGINT))
+                AS DOUBLE) / {QUANT_SQL} AS s
     FROM edges e
     JOIN {prev} r ON r.node = e.src
     JOIN deg d ON d.src = e.src
@@ -174,9 +178,8 @@ def _pagerank_redistribute_oracle(
         )
         ctes.append(
             f"""leak{it} AS (
-    SELECT coalesce(list_reduce(list_prepend(0.0,
-               array_agg(r.r ORDER BY r.node)), (acc, x) -> acc + x), 0.0)
-           AS leak
+    SELECT coalesce(CAST(sum(CAST(floor(r.r * {QUANT_SQL}) AS BIGINT))
+               AS DOUBLE), 0.0) / {QUANT_SQL} AS leak
     FROM {prev} r JOIN sinks s ON s.node = r.node
 )"""
         )
