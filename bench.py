@@ -132,6 +132,23 @@ HEADLINE = [
     "rolling_median_revenue",
     "hybrid_rrf_search",
     "vocab_oov_rate",
+    # r7 additions: sampling/bootstrap/robust-trend/sweep-line/BPE/cov
+    "doc_weighted_reservoir",
+    "doc_stratified_weighted",
+    "doc_bpe_merge_pairs",
+    "revenue_bootstrap_ci",
+    "daily_revenue_theil_sen",
+    "event_concurrency_peak",
+    "audience_overlap",
+    "embedding_covariance",
+    "daily_revenue_acf",
+    "value_mad_profile",
+    "mann_whitney_value_shift",
+    "customer_survival_km",
+    "revenue_gini_lorenz",
+    "user_entropy_profile",
+    "trade_k_core",
+    "doc_inverted_index",
     # streaming
     "stream_hourly_counts",
     "stream_click_purchase_join",

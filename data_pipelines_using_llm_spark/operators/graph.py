@@ -250,9 +250,10 @@ def triangle_counts(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> Dat
     e = barrier(
         edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
     )
+    # one scan of the persisted edge list (explode both endpoints)
+    # instead of a two-scan union feeding the degree shuffle
     deg = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
+        e.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )

@@ -518,16 +518,30 @@ def kmeans_assign(
     cents = base.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    # argmin as a hash aggregation (min of struct(d2, cid) — same
+    # (distance, lowest-cid) tie-break a row_number window would give)
+    # instead of a window: the k×N scored rows are reduced MAP-SIDE to
+    # one row per vector, so the exchange never carries the blowup and
+    # there is no per-partition sort.
     for _ in range(iters):
         assigned = (
             base.crossJoin(F.broadcast(cents))
             .select(
-                "vec_id", "v", "cid", dist2(F.col("v"), F.col("cv")).alias("d2")
+                "vec_id",
+                "v",
+                F.struct(
+                    dist2(F.col("v"), F.col("cv")).alias("d2"),
+                    F.col("cid").alias("cid"),
+                ).alias("dc"),
             )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
+            .groupBy("vec_id")
+            .agg(F.min("dc").alias("dc"), F.first("v").alias("v"))
+            .select(
+                "vec_id",
+                "v",
+                F.col("dc.cid").alias("cid"),
+                F.col("dc.d2").alias("d2"),
+            )
         )
         assigned = barrier(assigned)
         comp = assigned.select("cid", F.posexplode("v").alias("pos", "x"))
@@ -549,13 +563,19 @@ def kmeans_assign(
     # final assignment against the last updated centroids
     return (
         base.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cid", dist2(F.col("v"), F.col("cv")).alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
         .select(
             "vec_id",
-            F.col("cid").alias("cluster_id"),
-            F.round(F.sqrt("d2"), 6).alias("dist"),
+            F.struct(
+                dist2(F.col("v"), F.col("cv")).alias("d2"),
+                F.col("cid").alias("cid"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("dc"))
+        .select(
+            "vec_id",
+            F.col("dc.cid").alias("cluster_id"),
+            F.round(F.sqrt(F.col("dc.d2")), 6).alias("dist"),
         )
     )
 
@@ -1270,7 +1290,9 @@ def pq_train(
     cents = subs.filter(F.col("vec_id") < k).select(
         "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
     )
-    w = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
+    # argmin per (vec_id, m) as a hash aggregation of min(struct(d2,
+    # cid)) — identical (distance, lowest-cid) tie-break to a
+    # row_number window, but reduced map-side with no per-partition sort
     for _ in range(iters):
         assigned = barrier(
             subs.join(F.broadcast(cents), "m")
@@ -1278,12 +1300,14 @@ def pq_train(
                 "vec_id",
                 "m",
                 "sv",
-                "cid",
-                dist2(F.col("sv"), F.col("cv")).alias("d2"),
+                F.struct(
+                    dist2(F.col("sv"), F.col("cv")).alias("d2"),
+                    F.col("cid").alias("cid"),
+                ).alias("dc"),
             )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn", "d2")
+            .groupBy("vec_id", "m")
+            .agg(F.min("dc").alias("dc"), F.first("sv").alias("sv"))
+            .select("vec_id", "m", "sv", F.col("dc.cid").alias("cid"))
         )
         ccomp = assigned.select("m", "cid", F.posexplode("sv").alias("pos", "x"))
         cents = (
@@ -1304,11 +1328,16 @@ def pq_train(
     codes = barrier(
         subs.join(F.broadcast(cents), "m")
         .select(
-            "vec_id", "m", "cid", dist2(F.col("sv"), F.col("cv")).alias("d2")
+            "vec_id",
+            "m",
+            F.struct(
+                dist2(F.col("sv"), F.col("cv")).alias("d2"),
+                F.col("cid").alias("cid"),
+            ).alias("dc"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", F.col("cid").alias("code"))
+        .groupBy("vec_id", "m")
+        .agg(F.min("dc").alias("dc"))
+        .select("vec_id", "m", F.col("dc.cid").alias("code"))
     )
     comp = codes.join(subs, ["vec_id", "m"]).select(
         "m", "code", F.posexplode("sv").alias("pos", "x")

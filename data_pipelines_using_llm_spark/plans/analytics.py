@@ -1254,6 +1254,120 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(GROUPING_SETS_SQL)
 
 
+def revenue_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration report: the Gini coefficient of per-customer
+    order revenue plus the Lorenz decile table (share and cumulative
+    share of revenue held by each customer decile) — the "do 10% of
+    customers drive 60% of revenue" concentration question, and the
+    same machinery that audits training-corpus domain concentration.
+
+    Exactness: per-customer revenue is exact integer cents; the Gini
+    reduces to Σ i·xᵢ over revenue-ascending ranks, computed in
+    DECIMAL(38,0) (rank×cents ~1e16 sums past int64 at scale); every
+    output double is one expression over exact integers, textually
+    mirrored.  Ranks are deterministic: ties broken by customer key.
+
+    Scale: the corpus collapses to one row per CUSTOMER first (map-side
+    combinable) — the global rank window then sorts customers, not
+    orders.  At 100 TB replace the single-partition row_number with the
+    distributed prefix-sum rank of operators/ranking.py (the
+    doc_token_budget machinery); the decile aggregation and 10-row
+    Lorenz window are trivial either way.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    pc = o.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = pc.withColumn("i", F.row_number().over(w))
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast("decimal(18,0)")).alias("sx"),
+        F.sum(
+            F.col("i").cast("decimal(18,0)")
+            * F.col("cents").cast("decimal(18,0)")
+        ).alias("six"),
+    )
+    gini = F.round(
+        2.0
+        * F.col("six").cast("double")
+        / (F.col("n").cast("double") * F.col("sx").cast("double"))
+        - (F.col("n").cast("double") + 1.0) / F.col("n").cast("double"),
+        6,
+    )
+    dec10 = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.ceil(F.col("i") * 10 / F.col("n")).cast("int").alias("decile"),
+            "cents",
+            "n",
+            "sx",
+            "six",
+        )
+        .groupBy("decile", "n", "sx", "six")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("cents").cast("decimal(18,0)")).alias("dc"),
+        )
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return dec10.select(
+        "decile",
+        "n_customers",
+        F.round(
+            F.col("dc").cast("double") / F.col("sx").cast("double"), 6
+        ).alias("revenue_share"),
+        F.round(
+            F.sum(F.col("dc").cast("double")).over(w_cum)
+            / F.col("sx").cast("double"),
+            6,
+        ).alias("cum_revenue_share"),
+        gini.alias("gini"),
+    )
+
+
+REVENUE_GINI_LORENZ_ORACLE = """
+WITH pc AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+    FROM orders GROUP BY 1
+),
+ranked AS (
+    SELECT cents,
+           row_number() OVER (ORDER BY cents, o_custkey) AS i
+    FROM pc
+),
+tot AS (
+    SELECT count(*) AS n,
+           sum(CAST(cents AS DECIMAL(18,0))) AS sx,
+           sum(CAST(i AS DECIMAL(18,0)) * CAST(cents AS DECIMAL(18,0)))
+               AS six
+    FROM ranked
+),
+dec10 AS (
+    SELECT CAST(ceil(i * 10.0 / n) AS INT) AS decile,
+           count(*) AS n_customers,
+           sum(CAST(cents AS DECIMAL(18,0))) AS dc
+    FROM ranked, tot
+    GROUP BY 1
+)
+SELECT decile, n_customers,
+       round(CAST(dc AS DOUBLE) / CAST(sx AS DOUBLE), 6) AS revenue_share,
+       round(sum(CAST(dc AS DOUBLE)) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / CAST(sx AS DOUBLE), 6) AS cum_revenue_share,
+       round(2.0 * CAST(six AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+FROM dec10, tot
+"""
+
+
 QUERIES = {
     "user_sessions_native": QuerySpec(
         user_sessions_native,
@@ -1343,5 +1457,10 @@ QUERIES = {
     ),
     "value_outliers": QuerySpec(
         value_outliers, VALUE_OUTLIERS_ORACLE, "z-score outlier detection"
+    ),
+    "revenue_gini_lorenz": QuerySpec(
+        revenue_gini_lorenz,
+        REVENUE_GINI_LORENZ_ORACLE,
+        "Gini coefficient + Lorenz decile table of customer revenue",
     ),
 }

@@ -688,6 +688,254 @@ GROUP BY e.event_type, p.peak_ts
 """
 
 
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types: for every type
+    pair, the EXACT distinct-user intersection, union, and Jaccard —
+    the report behind "do clickers also purchase?" segmentation and
+    campaign-reach planning (the exact version of what Theta sketches
+    estimate).
+
+    Scale: the corpus collapses to distinct (type, user) once — the
+    only corpus-sized shuffle.  The pair intersection is a self-join
+    keyed on ``user_id`` whose per-user fanout is bounded by the TYPE
+    count a user can have (≤ |types|, here ≤ C(6,2) = 15 pairs/user) —
+    no quadratic blowup is possible; per-type audience sizes join back
+    as a |types|-row broadcast.  Output is |types|² rows regardless of
+    corpus size.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    ut = e.select("event_type", "user_id").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.select(F.col("event_type").alias("type_a"), "user_id")
+    b = ut.select(F.col("event_type").alias("type_b"), "user_id")
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        both.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (F.col("n_a") + F.col("n_b") - F.col("n_both")).alias("n_union"),
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+AUDIENCE_OVERLAP_ORACLE = """
+WITH ut AS (
+    SELECT DISTINCT event_type, user_id FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+sizes AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+both_t AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_both
+    FROM ut a JOIN ut b ON a.user_id = b.user_id
+    WHERE a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+       sa.n + sb.n - n_both AS n_union,
+       round(CAST(n_both AS DOUBLE)
+             / CAST(sa.n + sb.n - n_both AS DOUBLE), 6) AS jaccard
+FROM both_t
+JOIN sizes sa ON sa.event_type = type_a
+JOIN sizes sb ON sb.event_type = type_b
+"""
+
+
+CONCURRENCY_WINDOW_MIN = 5  # an event is "active" for 5 minute-buckets
+
+
+def event_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak 5-minute event concurrency per day: each event is active for
+    ``CONCURRENCY_WINDOW_MIN`` minute-buckets starting at its own
+    minute; the report is each day's busiest minute (count of active
+    events, earliest minute on ties) — the capacity-planning sweep-line
+    ("how hot does the hottest minute get") without pairwise interval
+    logic.
+
+    Scale: attribution is a map-side ``explode`` of exactly 5
+    calendar-minute rows per event that partial-aggregates into the
+    minute histogram before the exchange (the shuffle carries
+    |distinct minutes| × partitions rows, calendar-bounded); the daily
+    peak is a second tiny aggregation via ``max(struct(...))`` argmax —
+    no window over raw events, no self-join, no interval join.  The
+    minute histogram is itself mergeable, so the same plan rolls up
+    incrementally (sinks/rollup.py discipline).
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    cov = e.select(
+        F.explode(
+            F.sequence(
+                F.date_trunc("minute", F.col("ts")),
+                F.date_trunc("minute", F.col("ts"))
+                + F.expr(f"INTERVAL {CONCURRENCY_WINDOW_MIN - 1} MINUTES"),
+                F.expr("INTERVAL 1 MINUTE"),
+            )
+        ).alias("minute")
+    )
+    mc = cov.groupBy("minute").agg(F.count(F.lit(1)).alias("c"))
+    peak = (
+        mc.groupBy(F.date_trunc("day", F.col("minute")).alias("day"))
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("c").alias("c"),
+                    (-F.unix_timestamp("minute")).alias("neg_ts"),
+                )
+            ).alias("p")
+        )
+        .select(
+            "day",
+            F.col("p.c").alias("peak_5min_events"),
+            F.timestamp_seconds(-F.col("p.neg_ts")).alias("peak_minute"),
+        )
+    )
+    return peak
+
+
+EVENT_CONCURRENCY_PEAK_ORACLE = f"""
+WITH cov AS (
+    SELECT unnest(generate_series(
+               date_trunc('minute', ts),
+               date_trunc('minute', ts)
+                   + INTERVAL '{CONCURRENCY_WINDOW_MIN - 1} minutes',
+               INTERVAL '1 minute')) AS minute
+    FROM events WHERE ts IS NOT NULL
+),
+mc AS (SELECT minute, count(*) AS c FROM cov GROUP BY 1),
+d AS (SELECT date_trunc('day', minute) AS day, max(c) AS pc
+      FROM mc GROUP BY 1)
+SELECT d.day, d.pc AS peak_5min_events, min(mc.minute) AS peak_minute
+FROM d JOIN mc ON date_trunc('day', mc.minute) = d.day AND mc.c = d.pc
+GROUP BY d.day, d.pc
+"""
+
+
+def user_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity and burstiness: Shannon entropy of
+    the user's event-type mix (bots repeat one action → entropy ≈ 0;
+    humans mix → higher) and the Fano factor of their daily event
+    counts (variance/mean; Poisson-regular ≈ 1, bursty ≫ 1) — the two
+    classic per-actor features of bot/abuse detection.
+
+    Exactness: entropy uses the identity H = ln(n) − (Σ nₜ·ln nₜ)/n so
+    every ln argument is an exact INTEGER (never a ratio that divides
+    differently per engine); the per-user Σ nₜ·ln nₜ is accumulated as
+    QUANTIZED int64 (``floor(x·2^30)`` — the PageRank-fold discipline,
+    operators/graph.py) so the double sum is order-free and map-side
+    combinable, never last-ulp order noise.  The Fano factor comes from
+    exact integer power sums of daily counts (Σc, Σc²).  Both are one
+    double expression over exact integers, rounded and textually
+    mirrored (2^-30 quantization is metric error ~1e-9, not
+    cross-engine disagreement).
+
+    Scale: two grouped aggregations, each map-side combinable — (user,
+    type) counts roll up to users, (user, day) counts roll up to users
+    — then one equi-join keyed on user (both sides already user-
+    partitioned; no broadcast needed, no skew beyond per-user activity
+    which the groupBys already bounded).  Output is |users| rows.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    tc = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("nt")
+    )
+    ent_scale = float(1 << 30)
+    ent = tc.groupBy("user_id").agg(
+        F.sum("nt").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        (
+            F.sum(
+                F.floor(
+                    F.col("nt").cast("double")
+                    * F.log(F.col("nt").cast("double"))
+                    * F.lit(ent_scale)
+                ).cast("long")
+            ).cast("double")
+            / F.lit(ent_scale)
+        ).alias("snln"),
+    )
+    dc = (
+        e.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("c").alias("sc"),
+            F.sum(F.col("c") * F.col("c")).alias("sc2"),
+        )
+    )
+    n = F.col("n_events").cast("double")
+    nd = F.col("n_days").cast("double")
+    mean_c = F.col("sc").cast("double") / nd
+    var_c = F.col("sc2").cast("double") / nd - mean_c * mean_c
+    return ent.join(dc, "user_id").select(
+        "user_id",
+        "n_events",
+        "n_types",
+        "n_days",
+        F.round(F.log(n) - F.col("snln") / n, 6).alias("type_entropy"),
+        F.round(var_c / mean_c, 6).alias("fano_factor"),
+    )
+
+
+USER_ENTROPY_PROFILE_ORACLE = """
+WITH tc AS (
+    SELECT user_id, event_type, count(*) AS nt FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1, 2
+),
+ent AS (
+    SELECT user_id, CAST(sum(nt) AS BIGINT) AS n_events,
+           count(*) AS n_types,
+           CAST(sum(CAST(floor(CAST(nt AS DOUBLE) * ln(CAST(nt AS DOUBLE))
+                               * 1073741824e0) AS BIGINT)) AS DOUBLE)
+               / 1073741824e0 AS snln
+    FROM tc GROUP BY 1
+),
+dc AS (
+    SELECT user_id, count(*) AS n_days,
+           CAST(sum(c) AS BIGINT) AS sc,
+           CAST(sum(c * c) AS BIGINT) AS sc2
+    FROM (
+        SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS c FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2
+    ) GROUP BY 1
+)
+SELECT ent.user_id, n_events, n_types, n_days,
+       round(ln(CAST(n_events AS DOUBLE))
+             - snln / CAST(n_events AS DOUBLE), 6) AS type_entropy,
+       round((CAST(sc2 AS DOUBLE) / CAST(n_days AS DOUBLE)
+              - (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE))
+                * (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE)))
+             / (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE)), 6)
+           AS fano_factor
+FROM ent JOIN dc ON dc.user_id = ent.user_id
+"""
+
+
 QUERIES = {
     "purchase_funnel": QuerySpec(
         purchase_funnel, PURCHASE_FUNNEL_ORACLE, "ordered view->click->purchase funnel"
@@ -731,5 +979,20 @@ QUERIES = {
         peak_window_traffic,
         PEAK_WINDOW_TRAFFIC_ORACLE,
         "bin-and-filter range join: events inside per-day peak windows",
+    ),
+    "audience_overlap": QuerySpec(
+        audience_overlap,
+        AUDIENCE_OVERLAP_ORACLE,
+        "exact pairwise distinct-user overlap + Jaccard between types",
+    ),
+    "event_concurrency_peak": QuerySpec(
+        event_concurrency_peak,
+        EVENT_CONCURRENCY_PEAK_ORACLE,
+        "per-day peak 5-minute concurrency via minute-bucket sweep-line",
+    ),
+    "user_entropy_profile": QuerySpec(
+        user_entropy_profile,
+        USER_ENTROPY_PROFILE_ORACLE,
+        "per-user type entropy + daily Fano factor (bot-detection pair)",
     ),
 }

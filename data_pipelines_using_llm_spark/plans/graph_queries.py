@@ -214,27 +214,32 @@ def basket_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the regime triangle counting is meant for — unlike the
     co-supplier projection, which is near-complete and degenerate.
 
-    Scale: pair generation is a self-equi-join on l_orderkey (per-order
-    fanout bounded by basket size); enumeration is degree-ordered
-    (operators/graph.py::triangle_counts) so wedge volume is O(m^1.5)
-    with no celebrity-key blowup.  The oracle enumerates a<b<c directly
-    — the degree orientation is a physical optimization whose output is
-    provably orientation-invariant.
+    Scale: pair generation collapses each order to its sorted distinct
+    part array FIRST (one groupBy — map-side combinable; per-order
+    fanout bounded by basket size) and explodes i<j pairs from the
+    array, replacing the previous self-equi-join formulation (which
+    cost two extra exchanges of the order-part table to co-locate the
+    join).  Enumeration is degree-ordered (operators/graph.py::
+    triangle_counts) so wedge volume is O(m^1.5) with no celebrity-key
+    blowup.  The oracle enumerates a<b<c directly — the degree
+    orientation is a physical optimization whose output is provably
+    orientation-invariant.
     """
     from data_pipelines_using_llm_spark.operators.graph import triangle_counts
 
-    op = (
+    arr = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+        .filter(F.size("ps") > 1)
     )
-    a, b = op.alias("a"), op.alias("b")
     edges = (
-        a.join(
-            b,
-            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+        arr.select(F.posexplode("ps").alias("i", "u"), "ps")
+        .select(
+            "u",
+            F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("v"),
         )
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
         .distinct()
     )
     return triangle_counts(edges).select(
@@ -264,7 +269,120 @@ GROUP BY part_id
 """
 
 
+KCORE_K = 8
+KCORE_ROUNDS = 3
+
+
+def trade_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the customer↔supplier trade graph
+    (``KCORE_ROUNDS`` unrolled peeling rounds at k=``KCORE_K``): each
+    round drops every vertex with fewer than k distinct trade partners,
+    and the survivors after convergence form the densest habitually-
+    connected core — the standard "influential subnetwork" / fraud-ring
+    peel.  Fixed-round unrolling keeps the oracle expressible as CTEs;
+    production iterates to a fixpoint with the same per-round plan (the
+    peel monotonically shrinks, typically converging in a handful of
+    rounds).
+
+    Scale: each round is one degree aggregation (map-side combinable on
+    the doubled edge list, where degree(v) = count of src=v rows) plus
+    two semi-joins filtering edges to surviving endpoints — no
+    materialized vertex×vertex structure, no driver-side state; the
+    loop-invariant base edge list sits behind a persist barrier.
+    Output is the surviving vertex set with its in-core degree.
+    """
+    from data_pipelines_using_llm_spark.operators.caching import barrier
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = barrier(
+        pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"))
+        .union(
+            pairs.select(
+                F.col("snode").alias("src"), F.col("cnode").alias("dst")
+            )
+        )
+    )
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select("src")
+        )
+        edges = (
+            edges.join(keep, "src", "left_semi")
+            .join(
+                keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
+            .select("src", "dst")
+        )
+    return (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(
+            F.when(F.col("src") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            (F.col("src") / 2).cast("long").alias("node_key"),
+            "core_degree",
+        )
+    )
+
+
+def _k_core_oracle(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    parts = [
+        """
+WITH pairs AS (
+    SELECT DISTINCT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+e0 AS (
+    SELECT cnode AS src, snode AS dst FROM pairs
+    UNION ALL
+    SELECT snode AS src, cnode AS dst FROM pairs
+)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+k{r} AS (
+    SELECT src FROM e{r} GROUP BY src HAVING count(*) >= {k}
+),
+e{r + 1} AS (
+    SELECT src, dst FROM e{r}
+    WHERE src IN (SELECT src FROM k{r})
+      AND dst IN (SELECT src FROM k{r})
+)"""
+        )
+    parts.append(
+        f"""
+SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END
+           AS node_type,
+       CAST(src // 2 AS BIGINT) AS node_key,
+       count(*) AS core_degree
+FROM e{rounds}
+GROUP BY src"""
+    )
+    return "".join(parts)
+
+
 QUERIES = {
+    "trade_k_core": QuerySpec(
+        trade_k_core,
+        _k_core_oracle(),
+        "unrolled k-core peel of the customer-supplier trade graph",
+    ),
     "supplier_pagerank": QuerySpec(
         supplier_pagerank,
         _pagerank_oracle(),

@@ -1047,19 +1047,193 @@ FROM ranked WHERE rank <= {K}
 """
 
 
+COV_SCALE = 1 << 26  # quantization step for order-free exact sums
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d×d covariance of the embedding corpus (upper triangle) — the
+    one-pass statistic behind whitening, PCA via the d×d eigenproblem,
+    and Mahalanobis outlier scoring: at 100 TB you reduce the corpus to
+    d² accumulators once, eigendecompose d×d on the driver, and never
+    touch the raw vectors again.
+
+    Determinism (the PageRank-fold discipline, operators/graph.py): each
+    per-row product ``x_i·x_j`` is quantized to ``floor(x·2^26)`` and
+    summed as int64 — integer addition is exact and order-independent,
+    so the sums are bit-identical across engines/partitionings; the
+    covariance is then one double expression over exact integers,
+    textually mirrored in the oracle.  Headroom: |x|≤~1 ⇒ |q|≤2^26, so
+    int64 holds ~1.4e11 rows per (i,j) cell before overflow (document
+    and re-scale at larger corpora).  The 2^-26 step is metric error
+    (~1e-8), never cross-engine disagreement.
+
+    Scale: the d²-per-row pair explosion happens MAP-SIDE and partial-
+    aggregates into ≤ d(d+1)/2 + d groups before the exchange — the
+    shuffle carries O(d² × partitions) rows, never O(n·d²).  No join,
+    no window, one corpus scan.
+    """
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    xi = e.select(
+        "vec_id", "embedding", F.posexplode("embedding").alias("i0", "xi")
+    )
+    pairs = xi.select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.col("xi").cast("double").alias("xi"),
+        F.posexplode("embedding").alias("j0", "xj"),
+    ).filter(F.col("j0") >= F.col("i0"))
+    q = F.floor(
+        F.col("xi") * F.col("xj").cast("double") * F.lit(float(COV_SCALE))
+    ).cast("long")
+    qi = F.floor(F.col("xi") * F.lit(float(COV_SCALE))).cast("long")
+    sums = pairs.groupBy("i", (F.col("j0") + 1).alias("j")).agg(
+        F.sum(q).alias("sq"),
+        F.sum(qi).alias("sqi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # per-dimension quantized means come from the diagonal rows (i == j,
+    # where sqi is Σ floor(x_i·2^26)); broadcast-join them onto every
+    # (i, j) cell — a d-row build side at any corpus size.
+    means = (
+        sums.filter(F.col("i") == F.col("j"))
+        .select(
+            F.col("i").alias("d"),
+            (
+                F.col("sqi").cast("double")
+                / F.lit(float(COV_SCALE))
+                / F.col("n").cast("double")
+            ).alias("mean_d"),
+        )
+    )
+    mi = means.select(F.col("d").alias("i"), F.col("mean_d").alias("mean_i"))
+    mj = means.select(F.col("d").alias("j"), F.col("mean_d").alias("mean_j"))
+    return (
+        sums.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            "n",
+            (
+                # + 0.0 normalizes IEEE negative zero: round() can emit
+                # -0.0 on one engine and 0.0 on the other (numerically
+                # equal, hash-different)
+                F.round(
+                    F.col("sq").cast("double")
+                    / F.lit(float(COV_SCALE))
+                    / F.col("n").cast("double")
+                    - F.col("mean_i") * F.col("mean_j"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+
+
+EMBEDDING_COVARIANCE_ORACLE = f"""
+WITH xi AS (
+    SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS xi, embedding
+    FROM (SELECT vec_id, embedding,
+                 unnest(range(1, len(embedding) + 1)) AS i
+          FROM embeddings WHERE embedding IS NOT NULL)
+),
+pairs AS (
+    SELECT vec_id, CAST(i AS INT) AS i, CAST(j AS INT) AS j, xi,
+           CAST(embedding[j] AS DOUBLE) AS xj
+    FROM (SELECT vec_id, i, xi, embedding,
+                 unnest(range(i, len(embedding) + 1)) AS j
+          FROM xi)
+),
+sums AS (
+    SELECT i, j,
+           CAST(sum(CAST(floor(xi * xj * {float(COV_SCALE)!r}) AS BIGINT))
+               AS BIGINT) AS sq,
+           CAST(sum(CAST(floor(xi * {float(COV_SCALE)!r}) AS BIGINT))
+               AS BIGINT) AS sqi,
+           count(*) AS n
+    FROM pairs GROUP BY 1, 2
+),
+means AS (
+    SELECT i AS d,
+           CAST(sqi AS DOUBLE) / {float(COV_SCALE)!r}
+               / CAST(n AS DOUBLE) AS mean_d
+    FROM sums WHERE i = j
+)
+SELECT s.i, s.j, s.n,
+       round(CAST(s.sq AS DOUBLE) / {float(COV_SCALE)!r}
+                 / CAST(s.n AS DOUBLE)
+             - mi.mean_d * mj.mean_d, 6) + 0.0 AS cov
+FROM sums s
+JOIN means mi ON mi.d = s.i
+JOIN means mj ON mj.d = s.j
+"""
+
+
 QUERIES = {
-    "kmeans_clusters": QuerySpec(kmeans_clusters, _kmeans_oracle(), "Lloyd's k-means (2 iters)"),
-    "knn_brute_force": QuerySpec(knn_brute_force, KNN_BRUTE_FORCE_ORACLE, "exact cosine top-k"),
-    "knn_arrow": QuerySpec(knn_arrow, KNN_ARROW_ORACLE, "Arrow/numpy GEMM top-k, rank-hash-gated (scores ulp-differ by design)"),
+    "kmeans_clusters": QuerySpec(
+        kmeans_clusters, _kmeans_oracle(), "Lloyd's k-means (2 iters)"
+    ),
+    "knn_brute_force": QuerySpec(
+        knn_brute_force, KNN_BRUTE_FORCE_ORACLE, "exact cosine top-k"
+    ),
+    "knn_arrow": QuerySpec(
+        knn_arrow,
+        KNN_ARROW_ORACLE,
+        "Arrow/numpy GEMM top-k, rank-hash-gated (scores ulp-differ by design)",
+    ),
     "knn_lsh": QuerySpec(knn_lsh, _knn_lsh_oracle(), "LSH ANN top-k"),
-    "knn_ivf": QuerySpec(knn_ivf, _knn_ivf_oracle(), "IVF ANN top-k (metadata cells)"),
-    "knn_ivf_kmeans": QuerySpec(knn_ivf_kmeans, _knn_ivf_kmeans_oracle(), "IVF ANN top-k (k-means cells; recommended)"),
-    "knn_ivf_int8": QuerySpec(knn_ivf_int8, _knn_ivf_int8_oracle(), "IVF (k-means) + int8 codes: probe float, score compressed"),
-    "knn_int8": QuerySpec(knn_int8, KNN_INT8_ORACLE, "int8-quantized cosine top-k (exact integer kernel)"),
-    "knn_pq": QuerySpec(knn_pq, _knn_pq_oracle(), "product-quantization ADC top-k (FAISS IndexPQ shape)"),
-    "knn_ivfpq": QuerySpec(knn_ivfpq, _knn_ivfpq_oracle(), "IVF cells + PQ codes: probe float, ADC-score compressed (FAISS IVFPQ)"),
-    "embedding_cosine_pairs": QuerySpec(embedding_cosine_pairs, _pairs_oracle(), "cosine near-dup pairs"),
-    "embedding_hard_negatives": QuerySpec(embedding_hard_negatives, _hard_negatives_oracle(), "contrastive hard-negative mining via LSH buckets"),
-    "embedding_coreset": QuerySpec(embedding_coreset, _coreset_oracle(), "greedy farthest-point exemplar selection (unrolled-round oracle)"),
-    "dedup_semantic": QuerySpec(dedup_semantic, _dedup_semantic_oracle(), "SemDeDup: k-means cells + within-cell cosine, lowest id survives"),
+    "knn_ivf": QuerySpec(
+        knn_ivf, _knn_ivf_oracle(), "IVF ANN top-k (metadata cells)"
+    ),
+    "knn_ivf_kmeans": QuerySpec(
+        knn_ivf_kmeans,
+        _knn_ivf_kmeans_oracle(),
+        "IVF ANN top-k (k-means cells; recommended)",
+    ),
+    "knn_ivf_int8": QuerySpec(
+        knn_ivf_int8,
+        _knn_ivf_int8_oracle(),
+        "IVF (k-means) + int8 codes: probe float, score compressed",
+    ),
+    "knn_int8": QuerySpec(
+        knn_int8,
+        KNN_INT8_ORACLE,
+        "int8-quantized cosine top-k (exact integer kernel)",
+    ),
+    "knn_pq": QuerySpec(
+        knn_pq,
+        _knn_pq_oracle(),
+        "product-quantization ADC top-k (FAISS IndexPQ shape)",
+    ),
+    "knn_ivfpq": QuerySpec(
+        knn_ivfpq,
+        _knn_ivfpq_oracle(),
+        "IVF cells + PQ codes: probe float, ADC-score compressed (FAISS IVFPQ)",
+    ),
+    "embedding_cosine_pairs": QuerySpec(
+        embedding_cosine_pairs, _pairs_oracle(), "cosine near-dup pairs"
+    ),
+    "embedding_hard_negatives": QuerySpec(
+        embedding_hard_negatives,
+        _hard_negatives_oracle(),
+        "contrastive hard-negative mining via LSH buckets",
+    ),
+    "embedding_coreset": QuerySpec(
+        embedding_coreset,
+        _coreset_oracle(),
+        "greedy farthest-point exemplar selection (unrolled-round oracle)",
+    ),
+    "dedup_semantic": QuerySpec(
+        dedup_semantic,
+        _dedup_semantic_oracle(),
+        "SemDeDup: k-means cells + within-cell cosine, lowest id survives",
+    ),
+    "embedding_covariance": QuerySpec(
+        embedding_covariance,
+        EMBEDDING_COVARIANCE_ORACLE,
+        "one-pass quantized-exact d x d covariance (whitening/PCA prep)",
+    ),
 }

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_pipelines_using_llm_spark.operators.split import LEHMER_A, LEHMER_M
 from data_pipelines_using_llm_spark.registry import QuerySpec
 from data_pipelines_using_llm_spark.sources.tables import load_table
 
@@ -748,6 +749,664 @@ FROM daily
 """
 
 
+# Poisson bootstrap: B replicates, each row's multiplicity drawn as
+# Poisson(1) — the resampling scheme that actually works on distributed
+# data (Chamandy et al., "Estimating Uncertainty for Massive Data
+# Streams", Google TR 2012): classic bootstrap needs a global
+# sample-with-replacement (driver-side state), Poisson(1) multiplicities
+# are row-local and i.i.d., so each replicate is one map expression.
+# The draw is the inverse Poisson CDF applied to a Lehmer content hash
+# of (orderkey, replicate) — deterministic, engine-portable, no RNG.
+BOOT_REPLICATES = 24
+BOOT_SALT = 7919  # decorrelates replicates inside the Lehmer hash
+_POIS_CDF = (
+    0.36787944117144233,  # P(X<=0), X ~ Poisson(1)
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+)  # else multiplicity 6 (P ~ 6e-4); E[w]=1 exactly in the limit
+
+
+def revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap uncertainty for the mean order value: ``B``
+    deterministic replicates of mean ``o_totalprice``, from which a
+    caller reads the bootstrap SE / percentile CI — the "error bars on
+    a 100 TB aggregate" primitive, since resampling 10¹² rows with
+    replacement is impossible but row-local Poisson(1) multiplicities
+    are free.
+
+    Determinism (the repo-wide discipline): the multiplicity is the
+    inverse Poisson CDF of a two-round Lehmer hash over
+    ``orderkey + replicate·salt`` — a pure function of the data, so
+    replicates are identical across engines/partitionings/reruns and
+    the per-replicate means hash-gate exactly.  Sums are exact integer
+    cents; the only doubles are the final divisions, textually mirrored
+    in the oracle.
+
+    Scale: the replicate axis is a map-side ``explode`` (B× row blowup
+    that immediately partial-aggregates to B rows per task before the
+    exchange — the shuffle carries B × n_partitions rows, never B × n).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    rows = o.select(
+        F.col("o_orderkey"),
+        cents.alias("cents"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(BOOT_REPLICATES))
+        ).alias("replicate"),
+    )
+    h = (
+        (F.col("o_orderkey") + F.col("replicate") * BOOT_SALT)
+        % LEHMER_M
+        * LEHMER_A
+        % LEHMER_M
+    ) * LEHMER_A % LEHMER_M
+    u = (h + 1).cast("double") / F.lit(LEHMER_M).cast("double")
+    w = (
+        F.when(u <= _POIS_CDF[0], F.lit(0))
+        .when(u <= _POIS_CDF[1], F.lit(1))
+        .when(u <= _POIS_CDF[2], F.lit(2))
+        .when(u <= _POIS_CDF[3], F.lit(3))
+        .when(u <= _POIS_CDF[4], F.lit(4))
+        .when(u <= _POIS_CDF[5], F.lit(5))
+        .otherwise(F.lit(6))
+        .cast("long")
+    )
+    return (
+        rows.select("replicate", w.alias("w"), "cents")
+        .groupBy("replicate")
+        .agg(
+            F.sum("w").alias("n_eff"),
+            F.sum(F.col("w") * F.col("cents")).alias("wcents"),
+        )
+        .select(
+            "replicate",
+            "n_eff",
+            F.round(
+                F.col("wcents").cast("double")
+                / 100.0
+                / F.col("n_eff").cast("double"),
+                6,
+            ).alias("boot_mean"),
+        )
+    )
+
+
+REVENUE_BOOTSTRAP_CI_ORACLE = f"""
+WITH rows_r AS (
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           g.g AS replicate
+    FROM orders, generate_series(1, {BOOT_REPLICATES}) g(g)
+),
+drawn AS (
+    SELECT replicate, cents,
+           CAST(CASE
+             WHEN u <= {_POIS_CDF[0]!r} THEN 0
+             WHEN u <= {_POIS_CDF[1]!r} THEN 1
+             WHEN u <= {_POIS_CDF[2]!r} THEN 2
+             WHEN u <= {_POIS_CDF[3]!r} THEN 3
+             WHEN u <= {_POIS_CDF[4]!r} THEN 4
+             WHEN u <= {_POIS_CDF[5]!r} THEN 5
+             ELSE 6 END AS BIGINT) AS w
+    FROM (
+        SELECT replicate, cents,
+               CAST(((o_orderkey + replicate * {BOOT_SALT})
+                     % {LEHMER_M} * {LEHMER_A} % {LEHMER_M})
+                    * {LEHMER_A} % {LEHMER_M} + 1 AS DOUBLE)
+               / CAST({LEHMER_M} AS DOUBLE) AS u
+        FROM rows_r
+    )
+)
+SELECT replicate,
+       CAST(sum(w) AS BIGINT) AS n_eff,
+       round(CAST(sum(w * cents) AS DOUBLE) / 100.0
+             / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE), 6) AS boot_mean
+FROM drawn GROUP BY replicate
+"""
+
+
+def daily_revenue_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily order revenue: the MEDIAN of all
+    pairwise day-to-day slopes — a single outlier day (a backfill spike,
+    a dropped partition) moves OLS arbitrarily but moves a median of
+    O(days²) slopes not at all (29.3% breakdown point).
+
+    Exactness: daily revenue is exact integer cents; every slope is one
+    double division of exact integers; the median is EXPLICIT middle
+    selection over a totally-ordered sort (slope, di_a, di_b) — no
+    engine-specific interpolating ``median()`` on either side.
+
+    Scale: the corpus collapses to one row per calendar day first
+    (map-side combinable), so the pair set is calendar-bounded —
+    ~2.5k days → ~3M pairs — CONSTANT in data size; pair generation is
+    an equi-join against the broadcast day table (explode of the day
+    index, no nested-loop); the single-partition median sort handles a
+    fixed ~3M doubles regardless of SF.
+    """
+    from data_pipelines_using_llm_spark.operators.caching import barrier
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = barrier(
+        o.groupBy(
+            F.datediff(
+                F.col("o_orderdate"), F.lit(TREND_EPOCH).cast("timestamp")
+            )
+            .cast("long")
+            .alias("di")
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    mn = daily.agg(F.min("di").alias("di_min"))
+    d0 = daily.crossJoin(F.broadcast(mn)).select(
+        (F.col("di") - F.col("di_min")).alias("di0"), "cents"
+    )
+    a = F.broadcast(
+        d0.select(F.col("di0").alias("di_a"), F.col("cents").alias("cents_a"))
+    )
+    # di0 == 0 (the min day) has no earlier partner; filtering it also
+    # keeps sequence() ascending (sequence(0, -1) would DESCEND).
+    gen = d0.filter(F.col("di0") > 0).select(
+        F.col("di0").alias("di_b"),
+        F.col("cents").alias("cents_b"),
+        F.explode(F.sequence(F.lit(0), F.col("di0") - 1)).alias("di_a"),
+    )
+    slopes = gen.join(a, "di_a").select(
+        "di_a",
+        "di_b",
+        (
+            (F.col("cents_b") - F.col("cents_a")).cast("double")
+            / (F.col("di_b") - F.col("di_a")).cast("double")
+            / 100.0
+        ).alias("slope"),
+    )
+    m = slopes.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.countDistinct("di_a") + 1).alias("n_days"),
+    )
+    w = Window.orderBy("slope", "di_a", "di_b")
+    mid = (
+        slopes.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(m))
+        .filter(
+            (F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2))
+            | (F.col("rn") == F.floor(F.col("n_pairs") / 2) + 1)
+        )
+    )
+    return mid.groupBy("n_days", "n_pairs").agg(
+        F.round(F.avg("slope"), 6).alias("theil_sen_slope")
+    )
+
+
+DAILY_REVENUE_THEIL_SEN_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(datediff('day', TIMESTAMP '{TREND_EPOCH} 00:00:00',
+                         o_orderdate) AS BIGINT) AS di,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+    FROM orders GROUP BY 1
+),
+d0 AS (SELECT di - (SELECT min(di) FROM daily) AS di0, cents FROM daily),
+slopes AS (
+    SELECT a.di0 AS di_a, b.di0 AS di_b,
+           CAST(b.cents - a.cents AS DOUBLE)
+           / CAST(b.di0 - a.di0 AS DOUBLE) / 100.0 AS slope
+    FROM d0 a JOIN d0 b ON a.di0 < b.di0
+),
+m AS (SELECT count(*) AS n_pairs,
+             count(DISTINCT di_a) + 1 AS n_days FROM slopes),
+r AS (
+    SELECT slope, row_number() OVER (ORDER BY slope, di_a, di_b) AS rn
+    FROM slopes
+)
+SELECT n_days, n_pairs, round(avg(slope), 6) AS theil_sen_slope
+FROM r, m
+WHERE rn = CAST(floor((n_pairs + 1) / 2) AS BIGINT)
+   OR rn = CAST(floor(n_pairs / 2) AS BIGINT) + 1
+GROUP BY n_days, n_pairs
+"""
+
+
+ACF_MAX_LAG = 10
+
+
+def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of daily order revenue at lags 1..10 —
+    the seasonality probe behind "is revenue weekly-periodic" (a spike
+    at lag 7) and the stationarity check an anomaly detector needs
+    before thresholding residuals.
+
+    Definition: Pearson correlation between the day-``d`` and
+    day-``d+lag`` revenue series over all available pairs (the
+    pairwise-complete sample ACF).  Cross-engine exactness: daily
+    revenue is exact integer cents; all five power sums per lag run in
+    DECIMAL(38,0) (cents×cents ≈ 1e18 would overflow a running int64
+    sum, and non-ANSI Spark would wrap silently where DuckDB raises);
+    the correlation is one double expression over exactly-computed
+    sums, textually mirrored in the oracle.
+
+    Scale: the corpus collapses to one row per calendar day first
+    (map-side combinable), the lag expansion is a 10× explode of the
+    CALENDAR-sized day table joined back to itself on an equi-key
+    (day index), and the final aggregation emits 10 rows.  Nothing
+    downstream of the first groupBy scales with data size.
+    """
+    from data_pipelines_using_llm_spark.operators.caching import barrier
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = barrier(
+        o.groupBy(
+            F.datediff(
+                F.col("o_orderdate"), F.lit(TREND_EPOCH).cast("timestamp")
+            )
+            .cast("long")
+            .alias("di")
+        ).agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    lagged = daily.select(
+        "di",
+        F.col("cents").alias("cents_b"),
+        F.explode(F.sequence(F.lit(1), F.lit(ACF_MAX_LAG))).alias("lag"),
+    ).select((F.col("di") - F.col("lag")).alias("di"), "lag", "cents_b")
+    pairs = daily.select("di", F.col("cents").alias("cents_a")).join(
+        lagged, "di"
+    )
+    x = F.col("cents_a").cast("decimal(18,0)")
+    y = F.col("cents_b").cast("decimal(18,0)")
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(x).cast("double")
+    sy = F.sum(y).cast("double")
+    sxy = F.sum(x * y).cast("double")
+    sx2 = F.sum(x * x).cast("double")
+    sy2 = F.sum(y * y).cast("double")
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                (n * sxy - sx * sy)
+                / (
+                    F.sqrt(n * sx2 - sx * sx)
+                    * F.sqrt(n * sy2 - sy * sy)
+                ),
+                6,
+            ).alias("acf"),
+        )
+        .select("lag", "n_pairs", "acf")
+    )
+
+
+DAILY_REVENUE_ACF_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(datediff('day', TIMESTAMP '{TREND_EPOCH} 00:00:00',
+                         o_orderdate) AS BIGINT) AS di,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+    FROM orders GROUP BY 1
+),
+pairs AS (
+    SELECT g.g AS lag,
+           CAST(a.cents AS DECIMAL(18,0)) AS x,
+           CAST(b.cents AS DECIMAL(18,0)) AS y
+    FROM daily a
+    JOIN generate_series(1, {ACF_MAX_LAG}) g(g) ON true
+    JOIN daily b ON b.di = a.di + g.g
+),
+s AS (
+    SELECT lag, CAST(count(*) AS DOUBLE) AS n, count(*) AS n_pairs,
+           CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+           CAST(sum(x * y) AS DOUBLE) AS sxy,
+           CAST(sum(x * x) AS DOUBLE) AS sx2,
+           CAST(sum(y * y) AS DOUBLE) AS sy2
+    FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INT) AS lag, n_pairs,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)),
+             6) AS acf
+FROM s
+"""
+
+
+def value_mad_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type EXACT median and median-absolute-deviation of
+    ``value`` — the robust location/scale pair (50% breakdown) that
+    survives the contaminated heavy tails where mean/stddev thresholds
+    (value_outliers) drown: MAD-based z-scores are the standard robust
+    outlier gate.
+
+    Exactness: both medians are EXPLICIT middle selection (the
+    theil_sen discipline — never an engine's interpolating median()):
+    the selected middle sum is divided by its row count (1 or 2), and
+    division by 2 is exact in IEEE, so the medians are bit-identical
+    cross-engine; deviations are single double subtractions of
+    identical doubles.
+
+    Scale: two ranking passes, each a per-type window sort (hash
+    partition by event_type, sort within — distributed, skew handled
+    by AQE; no global sort, no collect).  The per-type counts join
+    back as a |types|-row broadcast.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = e.select("event_type", F.col("value").cast("double").alias("v"))
+    counts = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    w1 = Window.partitionBy("event_type").orderBy("v")
+    mid = (
+        base.withColumn("rn", F.row_number().over(w1))
+        .join(F.broadcast(counts), "event_type")
+        .filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor(F.col("n") / 2) + 1)
+        )
+        .groupBy("event_type")
+        .agg((F.sum("v") / F.count(F.lit(1))).alias("med"))
+    )
+    dev = base.join(F.broadcast(mid), "event_type").select(
+        "event_type", F.abs(F.col("v") - F.col("med")).alias("d"), "med"
+    )
+    w2 = Window.partitionBy("event_type").orderBy("d")
+    return (
+        dev.withColumn("rn", F.row_number().over(w2))
+        .join(F.broadcast(counts), "event_type")
+        .filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor(F.col("n") / 2) + 1)
+        )
+        .groupBy("event_type", "n", "med")
+        .agg((F.sum("d") / F.count(F.lit(1))).alias("mad"))
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.round("med", 6).alias("median_value"),
+            F.round("mad", 6).alias("mad_value"),
+        )
+    )
+
+
+VALUE_MAD_PROFILE_ORACLE = """
+WITH base AS (
+    SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+    WHERE value IS NOT NULL
+),
+counts AS (SELECT event_type, count(*) AS n FROM base GROUP BY 1),
+r1 AS (
+    SELECT event_type, v,
+           row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+    FROM base
+),
+med AS (
+    SELECT r1.event_type, sum(v) / count(*) AS med
+    FROM r1 JOIN counts c ON c.event_type = r1.event_type
+    WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
+       OR rn = CAST(floor(n / 2) AS BIGINT) + 1
+    GROUP BY r1.event_type
+),
+dev AS (
+    SELECT b.event_type, abs(b.v - m.med) AS d, m.med
+    FROM base b JOIN med m ON m.event_type = b.event_type
+),
+r2 AS (
+    SELECT event_type, d, med,
+           row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+    FROM dev
+)
+SELECT r2.event_type, n AS n_events,
+       round(med, 6) AS median_value,
+       round(sum(d) / count(*), 6) AS mad_value
+FROM r2 JOIN counts c ON c.event_type = r2.event_type
+WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
+   OR rn = CAST(floor(n / 2) AS BIGINT) + 1
+GROUP BY r2.event_type, n, med
+"""
+
+
+MW_GROUP_A = "purchase"
+MW_GROUP_B = "click"
+
+
+def mann_whitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U test for a value-distribution shift between
+    ``purchase`` and ``click`` events — the nonparametric two-sample
+    location test (no normality assumption) behind "did the metric
+    distribution move between segments/releases", with the normal
+    approximation z-score (tie-corrected).
+
+    Exactness: rather than ranking n rows, the corpus collapses to the
+    per-DISTINCT-VALUE histogram (bounded by the value grid, not the
+    corpus) and U is recovered from integer cumulative counts:
+    ``2·U1 = Σ_v 2·n2(v)·cumA(<v) + n1(v)·n2(v)`` — every term an
+    exact int64; the tie correction Σ(t³−t) is likewise integer.  Only
+    the final z expression is double, textually mirrored.
+
+    Scale: one grouped aggregation to the histogram (map-side
+    combinable), one ordered prefix-sum window over DISTINCT values
+    (grid-bounded — 4096-partition safety does not apply; documented
+    single-partition window like daily_revenue_theil_sen's median),
+    one scalar aggregation.  At 100 TB the histogram is the only
+    corpus-sized pass.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin(MW_GROUP_A, MW_GROUP_B)
+    )
+    h = e.groupBy("value").agg(
+        F.sum(
+            F.when(F.col("event_type") == MW_GROUP_A, 1).otherwise(0)
+        ).alias("n1v"),
+        F.sum(
+            F.when(F.col("event_type") == MW_GROUP_B, 1).otherwise(0)
+        ).alias("n2v"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    h2 = h.withColumn("cum_a", F.coalesce(F.sum("n1v").over(w), F.lit(0)))
+    t = F.col("n1v") + F.col("n2v")
+    agg = h2.agg(
+        F.sum("n1v").alias("n1"),
+        F.sum("n2v").alias("n2"),
+        F.sum(
+            2 * F.col("n2v") * F.col("cum_a") + F.col("n1v") * F.col("n2v")
+        ).alias("u1_x2"),
+        F.sum(t * t * t - t).alias("tie_term"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    nn = n1 + n2
+    u1 = F.col("u1_x2").cast("double") / 2.0
+    sigma2 = (
+        n1
+        * n2
+        / 12.0
+        * (
+            (nn + 1.0)
+            - F.col("tie_term").cast("double") / (nn * (nn - 1.0))
+        )
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        u1.alias("u1"),
+        F.round((u1 - n1 * n2 / 2.0) / F.sqrt(sigma2), 6).alias("z_score"),
+    )
+
+
+MANN_WHITNEY_VALUE_SHIFT_ORACLE = f"""
+WITH h AS (
+    SELECT value,
+           sum(CASE WHEN event_type = '{MW_GROUP_A}' THEN 1 ELSE 0 END)
+               AS n1v,
+           sum(CASE WHEN event_type = '{MW_GROUP_B}' THEN 1 ELSE 0 END)
+               AS n2v
+    FROM events
+    WHERE value IS NOT NULL
+      AND event_type IN ('{MW_GROUP_A}', '{MW_GROUP_B}')
+    GROUP BY value
+),
+c AS (
+    SELECT n1v, n2v,
+           coalesce(sum(n1v) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_a
+    FROM h
+),
+agg AS (
+    SELECT CAST(sum(n1v) AS BIGINT) AS n1, CAST(sum(n2v) AS BIGINT) AS n2,
+           CAST(sum(2 * n2v * cum_a + n1v * n2v) AS BIGINT) AS u1_x2,
+           CAST(sum((n1v + n2v) * (n1v + n2v) * (n1v + n2v)
+                    - (n1v + n2v)) AS BIGINT) AS tie_term
+    FROM c
+)
+SELECT n1, n2, CAST(u1_x2 AS DOUBLE) / 2.0 AS u1,
+       round((CAST(u1_x2 AS DOUBLE) / 2.0
+              - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+             / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                    * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+                       - CAST(tie_term AS DOUBLE)
+                         / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                            * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)
+                               - 1.0)))),
+             6) AS z_score
+FROM agg
+"""
+
+
+KM_CENSOR_DAYS = 365  # last order within this window of corpus end => censored
+
+
+def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of customer ordering lifetimes —
+    S(t) = P(customer still ordering after t days), the standard
+    right-censored churn estimator: a customer whose LAST order falls
+    within ``KM_CENSOR_DAYS`` of the corpus end is censored (still
+    alive), not churned — dropping censoring (naive churn-rate
+    queries) biases survival DOWN.
+
+    Lifetime = days between first and last order.  Per distinct
+    lifetime t: d(t) churned, c(t) censored, n(t) at risk (everyone
+    with lifetime ≥ t); the product-limit estimate multiplies
+    (1 − d/n) over t' ≤ t, computed as exp(Σ ln·) with the
+    all-dead → S=0 edge handled by an explicit zero-factor flag (Spark
+    ln(0) yields NULL while DuckDB yields -inf, so the zero case never
+    reaches ln on either engine).
+
+    Scale: the corpus collapses to one row per customer (map-side
+    combinable min/max), then to one row per DISTINCT lifetime
+    (calendar-bounded ≤ ~2.4k); the cumulative windows run over that
+    tiny ordered table.  The corpus-end scalar is a broadcast.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("max_d"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("first_d"),
+            F.max("o_orderdate").alias("last_d"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff("last_d", "first_d").cast("long").alias("t"),
+            F.when(
+                F.col("last_d")
+                < F.col("max_d") - F.expr(f"INTERVAL {KM_CENSOR_DAYS} DAYS"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("churned"),
+        )
+    )
+    km = per_cust.groupBy("t").agg(
+        F.sum("churned").alias("d"),
+        F.sum(1 - F.col("churned")).alias("c"),
+    )
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    km2 = km.select(
+        "t",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(w_all)
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    factor = (F.col("n_risk") - F.col("d")).cast("double") / F.col(
+        "n_risk"
+    ).cast("double")
+    km3 = km2.select(
+        "t",
+        "d",
+        "c",
+        "n_risk",
+        F.when(factor > 0, F.log(factor)).otherwise(F.lit(0.0)).alias("lf"),
+        F.when(factor == 0, F.lit(1)).otherwise(F.lit(0)).alias("zf"),
+    )
+    return km3.select(
+        "t",
+        F.col("n_risk").alias("n_at_risk"),
+        F.col("d").alias("n_churned"),
+        F.col("c").alias("n_censored"),
+        F.when(F.sum("zf").over(w_cum) > 0, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum("lf").over(w_cum)), 6))
+        .alias("survival"),
+    )
+
+
+CUSTOMER_SURVIVAL_KM_ORACLE = f"""
+WITH mx AS (SELECT max(o_orderdate) AS max_d FROM orders),
+per_cust AS (
+    SELECT CAST(datediff('day', min(o_orderdate), max(o_orderdate))
+               AS BIGINT) AS t,
+           CASE WHEN max(o_orderdate)
+                     < (SELECT max_d FROM mx) - INTERVAL {KM_CENSOR_DAYS} DAY
+                THEN 1 ELSE 0 END AS churned
+    FROM orders GROUP BY o_custkey
+),
+km AS (
+    SELECT t, CAST(sum(churned) AS BIGINT) AS d,
+           CAST(sum(1 - churned) AS BIGINT) AS c
+    FROM per_cust GROUP BY t
+),
+km2 AS (
+    SELECT t, d, c,
+           CAST(sum(d + c) OVER () -
+                coalesce(sum(d + c) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_risk
+    FROM km
+),
+km3 AS (
+    SELECT t, d, c, n_risk,
+           CASE WHEN CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE) > 0
+                THEN ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                ELSE 0.0 END AS lf,
+           CASE WHEN CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE) = 0
+                THEN 1 ELSE 0 END AS zf
+    FROM km2
+)
+SELECT t, n_risk AS n_at_risk, d AS n_churned, c AS n_censored,
+       CASE WHEN sum(zf) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+            THEN 0.0
+            ELSE round(exp(sum(lf) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+       END AS survival
+FROM km3
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "value_hour_correlation": QuerySpec(
         value_hour_correlation,
@@ -793,5 +1452,35 @@ QUERIES: dict[str, QuerySpec] = {
         rolling_median_revenue,
         ROLLING_MEDIAN_REVENUE_ORACLE,
         "7-day rolling exact median over integer cents",
+    ),
+    "revenue_bootstrap_ci": QuerySpec(
+        revenue_bootstrap_ci,
+        REVENUE_BOOTSTRAP_CI_ORACLE,
+        "deterministic Poisson-bootstrap replicates of mean order value",
+    ),
+    "daily_revenue_theil_sen": QuerySpec(
+        daily_revenue_theil_sen,
+        DAILY_REVENUE_THEIL_SEN_ORACLE,
+        "Theil-Sen robust slope: exact median of calendar-pair slopes",
+    ),
+    "daily_revenue_acf": QuerySpec(
+        daily_revenue_acf,
+        DAILY_REVENUE_ACF_ORACLE,
+        "sample autocorrelation of daily revenue, lags 1-10, exact sums",
+    ),
+    "value_mad_profile": QuerySpec(
+        value_mad_profile,
+        VALUE_MAD_PROFILE_ORACLE,
+        "exact median + MAD per event type (robust location/scale)",
+    ),
+    "mann_whitney_value_shift": QuerySpec(
+        mann_whitney_value_shift,
+        MANN_WHITNEY_VALUE_SHIFT_ORACLE,
+        "Mann-Whitney U via distinct-value histogram, tie-corrected z",
+    ),
+    "customer_survival_km": QuerySpec(
+        customer_survival_km,
+        CUSTOMER_SURVIVAL_KM_ORACLE,
+        "Kaplan-Meier right-censored customer-lifetime survival curve",
     ),
 }

@@ -861,6 +861,218 @@ WHERE {sql_split_hash('doc_id', salt=WEIGHTED_SAMPLE_SALT)} < ({w}) * {LEHMER_M}
 """
 
 
+ES_SAMPLE_SALT = 31  # decorrelated from split (17) and keep-sample (29)
+ES_SAMPLE_K = 400
+
+
+def doc_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — the Efraimidis–Spirakis
+    exponential-key scheme (Inf. Proc. Letters 97(5), 2006): each doc
+    draws ``u = hash(id)/M`` in (0, 1] and the K docs with the largest
+    ``u^(1/w)`` (equivalently, largest ``ln(u)/w``) form an exact
+    w-weighted sample without replacement.  ``doc_weighted_sample``
+    keeps each doc INDEPENDENTLY (binomial size, duplicates impossible
+    but size varies); this yields an exact-size-K sample, the shape a
+    fixed-budget eval-set draw or annotation batch needs.  Weight =
+    token count, so selection probability tracks a doc's training-token
+    contribution.
+
+    Determinism: ``u`` is the Lehmer content-address (operators/
+    split.py), never an RNG — the sample is a pure function of the doc
+    ids, stable across engines/reruns/repartitioning, hence
+    oracle-checkable.
+
+    Scale: the ES reduction turns "weighted sample w/o replacement" —
+    naively a sequential draw-and-remove loop — into a global top-K by
+    a row-local key: per-partition top-K then a K-row driver merge
+    (TakeOrderedAndProject), no shuffle of the corpus, no state.  This
+    is the textbook case for distributed weighted reservoirs (one
+    pass, mergeable) at 100 TB.
+    """
+    from data_pipelines_using_llm_spark.operators.split import (
+        LEHMER_M,
+        split_hash,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    nt = TX.token_count("text").cast("long")
+    u = (split_hash("doc_id", salt=ES_SAMPLE_SALT) + 1).cast(
+        "double"
+    ) / F.lit(float(LEHMER_M))
+    key = F.log(u) / nt.cast("double")
+    return (
+        d.select("doc_id", "source", nt.alias("n_tokens"), key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+        .limit(ES_SAMPLE_K)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.round("es_key", 6).alias("es_key"),
+        )
+    )
+
+
+def _weighted_reservoir_oracle() -> str:
+    from data_pipelines_using_llm_spark.operators.split import (
+        LEHMER_M,
+        sql_split_hash,
+    )
+
+    toks = SQL_TOKENS.format(col="text")
+    h = sql_split_hash("doc_id", salt=ES_SAMPLE_SALT)
+    key = (
+        f"ln(CAST(({h}) + 1 AS DOUBLE) / CAST({LEHMER_M} AS DOUBLE))"
+        f" / CAST(len({toks}) AS DOUBLE)"
+    )
+    return f"""
+SELECT doc_id, source, CAST(len({toks}) AS BIGINT) AS n_tokens,
+       round({key}, 6) AS es_key
+FROM documents
+ORDER BY {key} DESC, doc_id
+LIMIT {ES_SAMPLE_K}
+"""
+
+
+BPE_PAIR_TOP = 40
+
+
+def doc_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE-training inner loop, distributed: corpus word-frequency
+    table → adjacent-symbol-pair counts → top pairs by count — exactly
+    the statistic the first merge iteration of byte-pair-encoding
+    tokenizer training (Sennrich et al. 2016) maximizes.  Emitting the
+    ranked pair table (rather than performing one merge) keeps every
+    output an exact integer and is what a tokenizer-fit job would
+    checkpoint per iteration.
+
+    Scale: the corpus collapses to the VOCABULARY first (word → freq,
+    map-side combinable; Heaps' law bounds |vocab| ≪ corpus), so the
+    quadratic-ish pair explosion runs over vocab rows, not corpus rows;
+    letter-pair keys number ≤ 26² so the final aggregation is a few
+    hundred groups with map-side partial combine.  ``n_words`` (distinct
+    words containing the pair) rides the same explode.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = wf.select(
+        "w",
+        "freq",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("freq").alias("pair_count"),
+            F.countDistinct("w").alias("n_words"),
+        )
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(BPE_PAIR_TOP)
+    )
+
+
+DOC_BPE_MERGE_PAIRS_ORACLE = f"""
+WITH words AS (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+    FROM documents
+),
+wf AS (
+    SELECT w, count(*) AS freq FROM words WHERE length(w) >= 2 GROUP BY 1
+),
+p AS (
+    SELECT substr(w, CAST(i AS INT), 2) AS pair, w, freq
+    FROM (SELECT w, freq, unnest(range(1, length(w))) AS i FROM wf)
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count,
+       count(DISTINCT w) AS n_words
+FROM p GROUP BY 1
+ORDER BY pair_count DESC, pair
+LIMIT {BPE_PAIR_TOP}
+"""
+
+
+STRAT_SAMPLE_K = 25
+STRAT_SAMPLE_SALT = 37  # decorrelated from split/keep/reservoir salts
+
+
+def doc_stratified_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified exact-K weighted sampling: an Efraimidis–Spirakis
+    token-weighted sample of exactly ``K`` documents from EVERY source —
+    the per-domain eval-draw / annotation-batch shape, where a global
+    sample (:func:`doc_weighted_reservoir`) would starve small sources.
+
+    Same deterministic ES key as the global reservoir (content-addressed
+    Lehmer ``u``, weight = token count), ranked within source.  Scale:
+    per-group top-K via ``row_number`` over (source)-partitioned sort;
+    the sort key is row-local, the exchange is one hash partition by
+    source, and skewed sources spill a sort, never a collect — AQE
+    splits oversized source partitions.  (A two-phase per-partition
+    top-K pre-prune would cut the sort volume; at K=25 the win is
+    marginal.)
+    """
+    from pyspark.sql import Window
+
+    from data_pipelines_using_llm_spark.operators.split import (
+        LEHMER_M,
+        split_hash,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    nt = TX.token_count("text").cast("long")
+    u = (split_hash("doc_id", salt=STRAT_SAMPLE_SALT) + 1).cast(
+        "double"
+    ) / F.lit(float(LEHMER_M))
+    key = F.log(u) / nt.cast("double")
+    w = Window.partitionBy("source").orderBy(
+        F.col("es_key").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select(
+            "doc_id", "source", nt.alias("n_tokens"), key.alias("es_key")
+        )
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= STRAT_SAMPLE_K)
+        .select(
+            "source",
+            "sample_rank",
+            "doc_id",
+            "n_tokens",
+            F.round("es_key", 6).alias("es_key"),
+        )
+    )
+
+
+def _stratified_weighted_oracle() -> str:
+    from data_pipelines_using_llm_spark.operators.split import (
+        LEHMER_M,
+        sql_split_hash,
+    )
+
+    toks = SQL_TOKENS.format(col="text")
+    h = sql_split_hash("doc_id", salt=STRAT_SAMPLE_SALT)
+    key = (
+        f"ln(CAST(({h}) + 1 AS DOUBLE) / CAST({LEHMER_M} AS DOUBLE))"
+        f" / CAST(len({toks}) AS DOUBLE)"
+    )
+    return f"""
+WITH ranked AS (
+    SELECT source, doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens,
+           {key} AS es_key,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY {key} DESC, doc_id) AS sample_rank
+    FROM documents
+)
+SELECT source, CAST(sample_rank AS INT) AS sample_rank, doc_id, n_tokens,
+       round(es_key, 6) AS es_key
+FROM ranked WHERE sample_rank <= {STRAT_SAMPLE_K}
+"""
+
+
 def doc_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-curation attrition funnel: per source, how many documents
     (and tokens) survive each stage of the prep pipeline — total →
@@ -1343,6 +1555,80 @@ GROUP BY 1, 2
 """
 
 
+INV_INDEX_TOP = 60
+INV_POSTINGS_CAP = 12
+
+
+def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build over the corpus: for the ``INV_INDEX_TOP``
+    highest-document-frequency terms, the posting-list summary — df
+    (documents containing the term), cf (total occurrences), and the
+    first ``INV_POSTINGS_CAP`` doc ids of the ascending posting list —
+    the core IR-index artifact behind BM25 serving (doc_bm25_search
+    consumes these statistics) and exact-match retrieval.
+
+    Postings are emitted as a comma-joined STRING of sorted doc ids
+    (deterministic; array columns stringify differently between Spark
+    pandas and DuckDB pandas, so the hash gate gets a scalar).
+
+    Scale: one corpus scan explodes (term, doc) pairs and immediately
+    pre-aggregates per (term, doc_id) — map-side combinable, the only
+    corpus-sized shuffle is keyed by term (vocabulary-bounded by
+    Heaps' law).  The capped posting sample is
+    ``slice(array_sort(collect_set(...)))`` per term — collect_set is
+    bounded per term only by df, so at 100 TB cap the collected ids
+    with a (term)-windowed pre-filter or keep only the aggregate
+    stats; the TOP-df cut is TakeOrderedAndProject.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    td = (
+        d.select(
+            "doc_id",
+            F.explode(TX.tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .filter(F.length("term") >= 3)
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        td.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.array_join(
+                F.slice(
+                    F.array_sort(F.collect_set("doc_id")),
+                    1,
+                    INV_POSTINGS_CAP,
+                ),
+                ",",
+            ).alias("postings_head"),
+        )
+        .orderBy(F.col("df").desc(), "term")
+        .limit(INV_INDEX_TOP)
+    )
+
+
+def _inverted_index_oracle() -> str:
+    toks = SQL_TOKENS.format(col="lower(text)")
+    return f"""
+WITH td AS (
+    SELECT term, doc_id, count(*) AS tf
+    FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+    WHERE length(term) >= 3
+    GROUP BY 1, 2
+)
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+       list_aggregate(
+           list_slice(list_sort(list(DISTINCT doc_id)),
+                      1, {INV_POSTINGS_CAP}),
+           'string_agg', ',') AS postings_head
+FROM td GROUP BY term
+ORDER BY df DESC, term
+LIMIT {INV_INDEX_TOP}
+"""
+
+
 QUERIES = {
     "vocab_oov_rate": QuerySpec(
         vocab_oov_rate,
@@ -1402,6 +1688,21 @@ QUERIES = {
         _weighted_sample_oracle(),
         "size-biased deterministic (hash-threshold) document sampling",
     ),
+    "doc_weighted_reservoir": QuerySpec(
+        doc_weighted_reservoir,
+        _weighted_reservoir_oracle(),
+        "Efraimidis-Spirakis exact-K weighted sample without replacement",
+    ),
+    "doc_bpe_merge_pairs": QuerySpec(
+        doc_bpe_merge_pairs,
+        DOC_BPE_MERGE_PAIRS_ORACLE,
+        "BPE tokenizer-training inner loop: ranked symbol-pair counts",
+    ),
+    "doc_stratified_weighted": QuerySpec(
+        doc_stratified_weighted,
+        _stratified_weighted_oracle(),
+        "per-source exact-K ES weighted sample (stratified reservoir)",
+    ),
     "doc_chunk_overlap": QuerySpec(
         doc_chunk_overlap,
         DOC_CHUNK_OVERLAP_ORACLE,
@@ -1416,5 +1717,10 @@ QUERIES = {
         doc_repetition_signals,
         DOC_REPETITION_ORACLE,
         "Gopher-style repeated-line / repeated-n-gram boilerplate signals",
+    ),
+    "doc_inverted_index": QuerySpec(
+        doc_inverted_index,
+        _inverted_index_oracle(),
+        "top-df inverted-index postings summary (df/cf/capped postings)",
     ),
 }
