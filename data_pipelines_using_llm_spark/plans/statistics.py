@@ -1407,6 +1407,314 @@ FROM km3
 """
 
 
+STL_HALF_WIN = 3  # centered trend window: di in [d-3, d+3]
+STL_Q = float(1 << 20)  # quantum for the order-free seasonal fold
+
+
+def daily_revenue_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass STL-style decomposition of daily revenue into trend +
+    day-of-week seasonal + residual — the pre-processing an anomaly
+    detector needs before thresholding (raw daily revenue mixes weekly
+    seasonality into every z-score; hourly_anomalies has the same
+    problem on the hour axis).
+
+    Trend is a CENTERED 7-day moving average via a RANGE window on the
+    day index (gap-safe: missing calendar days shrink the window
+    instead of smearing it); seasonal is the day-of-week mean of the
+    detrended series; residual is what's left.  One pass, no iteration
+    — the classic decompose() shape rather than full Loess STL, which
+    is the right cost point for a drift monitor.
+
+    Determinism: trend = exact-integer window sums (Σcents, count)
+    divided once; detrended values are doubles, so the day-of-week
+    seasonal MEAN quantizes each detrended value to ``floor(x·2^20)``
+    int64 before summing (order-free, the PageRank-fold discipline) —
+    never a raw double sum across rows.  Day-of-week is ``di % 7``
+    (epoch-anchored, engine-identical; never locale dayofweek).
+
+    Scale: corpus → one row per calendar day (map-side combinable);
+    the RANGE window, the 7-row seasonal aggregate, and the final
+    join all run on the calendar-bounded day table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit(TREND_EPOCH).cast("timestamp"))
+        .cast("long")
+        .alias("di")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w = (
+        Window.orderBy("di")
+        .rangeBetween(-STL_HALF_WIN, STL_HALF_WIN)
+    )
+    dt = daily.select(
+        "di",
+        (F.col("di") % 7).alias("dow"),
+        "cents",
+        (
+            F.sum("cents").over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("trend_cents"),
+    ).select(
+        "di",
+        "dow",
+        "cents",
+        "trend_cents",
+        (F.col("cents").cast("double") - F.col("trend_cents")).alias(
+            "detr"
+        ),
+    )
+    seas = dt.groupBy("dow").agg(
+        (
+            F.sum(
+                F.floor(F.col("detr") * F.lit(STL_Q)).cast("long")
+            ).cast("double")
+            / F.lit(STL_Q)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("seasonal_cents")
+    )
+    return dt.join(F.broadcast(seas), "dow").select(
+        "di",
+        "dow",
+        F.round(F.col("cents").cast("double") / 100.0, 2).alias("revenue"),
+        F.round(F.col("trend_cents") / 100.0, 6).alias("trend"),
+        F.round(F.col("seasonal_cents") / 100.0, 6).alias("seasonal"),
+        F.round(
+            (F.col("detr") - F.col("seasonal_cents")) / 100.0, 6
+        ).alias("residual"),
+    )
+
+
+DAILY_REVENUE_STL_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(datediff('day', TIMESTAMP '{TREND_EPOCH} 00:00:00',
+                         o_orderdate) AS BIGINT) AS di,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+    FROM orders GROUP BY 1
+),
+dt AS (
+    SELECT di, di % 7 AS dow, cents,
+           CAST(sum(cents) OVER w AS DOUBLE)
+               / CAST(count(*) OVER w AS DOUBLE) AS trend_cents,
+           CAST(cents AS DOUBLE)
+               - CAST(sum(cents) OVER w AS DOUBLE)
+                 / CAST(count(*) OVER w AS DOUBLE) AS detr
+    FROM daily
+    WINDOW w AS (ORDER BY di
+                 RANGE BETWEEN {STL_HALF_WIN} PRECEDING
+                           AND {STL_HALF_WIN} FOLLOWING)
+),
+seas AS (
+    SELECT dow,
+           CAST(sum(CAST(floor(detr * {STL_Q!r}) AS BIGINT)) AS DOUBLE)
+               / {STL_Q!r} / CAST(count(*) AS DOUBLE) AS seasonal_cents
+    FROM dt GROUP BY 1
+)
+SELECT di, dt.dow, round(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+       round(trend_cents / 100.0, 6) AS trend,
+       round(seasonal_cents / 100.0, 6) AS seasonal,
+       round((detr - seasonal_cents) / 100.0, 6) AS residual
+FROM dt JOIN seas ON seas.dow = dt.dow
+"""
+
+
+AB_CONVERT_TYPE = "purchase"
+
+
+def conversion_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between user cohorts A/B (``user_id % 2``)
+    on purchase conversion — the experimentation primitive: "did the
+    treatment cohort convert at a different rate", with the pooled-
+    variance normal approximation.
+
+    Everything up to the final expression is exact integers (distinct
+    user counts); the z-score is one double expression textually
+    mirrored in the oracle.  Scale: one distinct-aggregation pass over
+    events (map-side partial on (cohort, user)), two tiny rows out —
+    the denominator/numerator counts are the only corpus-sized work.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    per_user = e.groupBy(
+        (F.col("user_id") % 2).alias("cohort"), "user_id"
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == AB_CONVERT_TYPE, 1).otherwise(0)
+        ).alias("converted")
+    )
+    c = per_user.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    a = c.filter(F.col("cohort") == 0).select(
+        F.col("n_users").alias("n_a"), F.col("n_converted").alias("conv_a")
+    )
+    b = c.filter(F.col("cohort") == 1).select(
+        F.col("n_users").alias("n_b"), F.col("n_converted").alias("conv_b")
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    pa = F.col("conv_a").cast("double") / na
+    pb = F.col("conv_b").cast("double") / nb
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (na + nb)
+    # degenerate pooled rates (nobody / everybody converted) have a zero
+    # pooled variance: the test carries no evidence, define z = 0 rather
+    # than divide by zero (ANSI Spark raises, DuckDB returns inf)
+    z = F.when((pp > 0.0) & (pp < 1.0),
+               (pa - pb)
+               / F.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+               ).otherwise(F.lit(0.0))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .select(
+            "n_a",
+            "conv_a",
+            "n_b",
+            "conv_b",
+            F.round(pa, 6).alias("rate_a"),
+            F.round(pb, 6).alias("rate_b"),
+            F.round(z, 6).alias("z_score"),
+        )
+    )
+
+
+CONVERSION_AB_ZTEST_ORACLE = f"""
+WITH per_user AS (
+    SELECT user_id % 2 AS cohort, user_id,
+           max(CASE WHEN event_type = '{AB_CONVERT_TYPE}' THEN 1 ELSE 0 END)
+               AS converted
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY 1, 2
+),
+c AS (
+    SELECT cohort, count(*) AS n_users,
+           CAST(sum(converted) AS BIGINT) AS n_converted
+    FROM per_user GROUP BY 1
+)
+SELECT a.n_users AS n_a, a.n_converted AS conv_a,
+       b.n_users AS n_b, b.n_converted AS conv_b,
+       round(CAST(a.n_converted AS DOUBLE) / CAST(a.n_users AS DOUBLE), 6)
+           AS rate_a,
+       round(CAST(b.n_converted AS DOUBLE) / CAST(b.n_users AS DOUBLE), 6)
+           AS rate_b,
+       round(CASE WHEN CAST(a.n_converted + b.n_converted AS DOUBLE)
+                       / CAST(a.n_users + b.n_users AS DOUBLE) > 0.0
+                   AND CAST(a.n_converted + b.n_converted AS DOUBLE)
+                       / CAST(a.n_users + b.n_users AS DOUBLE) < 1.0
+             THEN (CAST(a.n_converted AS DOUBLE) / CAST(a.n_users AS DOUBLE)
+                   - CAST(b.n_converted AS DOUBLE) / CAST(b.n_users AS DOUBLE))
+                  / sqrt(CAST(a.n_converted + b.n_converted AS DOUBLE)
+                         / CAST(a.n_users + b.n_users AS DOUBLE)
+                         * (1.0 - CAST(a.n_converted + b.n_converted AS DOUBLE)
+                                  / CAST(a.n_users + b.n_users AS DOUBLE))
+                         * (1.0 / CAST(a.n_users AS DOUBLE)
+                            + 1.0 / CAST(b.n_users AS DOUBLE)))
+             ELSE 0.0 END,
+             6) AS z_score
+FROM (SELECT * FROM c WHERE cohort = 0) a,
+     (SELECT * FROM c WHERE cohort = 1) b
+"""
+
+
+TRIM_PCT = 0.05  # two-sided trim / winsorize fraction
+
+
+def value_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 5% trimmed mean and winsorized mean of ``value`` —
+    the robust means between the raw mean (outlier-hostage) and the
+    median (throws away 98% of the data): trimming DROPS each tail,
+    winsorizing CLAMPS it to the cut values.
+
+    Exactness: ranks via per-type row_number; k = floor(0.05·n); the
+    trimmed mean is an exact DECIMAL sum over ranks (k, n−k] divided
+    once; the winsorized mean replaces the bottom k values by the
+    value AT rank k+1 and the top k by the value at rank n−k —
+    k·bound is exact decimal multiplication, so both numerators are
+    exact before the single double division.
+
+    Scale: one per-type window sort (the value_mad_profile shape),
+    one aggregation, a |types|-row broadcast of the cut values.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = e.select(
+        "event_type", F.col("value").cast("decimal(18,2)").alias("v")
+    )
+    counts = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("v")
+    ranked = base.withColumn("rn", F.row_number().over(w)).join(
+        F.broadcast(counts), "event_type"
+    )
+    k = F.floor(F.col("n") * TRIM_PCT)
+    bounds = (
+        ranked.filter(
+            (F.col("rn") == k + 1) | (F.col("rn") == F.col("n") - k)
+        )
+        .groupBy("event_type")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    )
+    rb = ranked.join(F.broadcast(bounds), "event_type")
+    trim_sum = F.sum(
+        F.when((F.col("rn") > k) & (F.col("rn") <= F.col("n") - k), F.col("v"))
+    )
+    wins_sum = F.sum(
+        F.when(F.col("rn") <= k, F.col("lo"))
+        .when(F.col("rn") > F.col("n") - k, F.col("hi"))
+        .otherwise(F.col("v"))
+    )
+    return rb.groupBy("event_type", "n").agg(
+        trim_sum.alias("ts"),
+        wins_sum.alias("ws"),
+        F.max(k).alias("k"),
+    ).select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.col("k").alias("n_trimmed_each_side"),
+        F.round(
+            F.col("ts").cast("double")
+            / (F.col("n") - 2 * F.col("k")).cast("double"),
+            6,
+        ).alias("trimmed_mean"),
+        F.round(
+            F.col("ws").cast("double") / F.col("n").cast("double"), 6
+        ).alias("winsorized_mean"),
+    )
+
+
+VALUE_TRIMMED_STATS_ORACLE = f"""
+WITH base AS (
+    SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events
+    WHERE value IS NOT NULL
+),
+counts AS (SELECT event_type, count(*) AS n FROM base GROUP BY 1),
+ranked AS (
+    SELECT b.event_type, v, n,
+           row_number() OVER (PARTITION BY b.event_type ORDER BY v) AS rn,
+           CAST(floor(n * {TRIM_PCT!r}) AS BIGINT) AS k
+    FROM base b JOIN counts c ON c.event_type = b.event_type
+),
+bounds AS (
+    SELECT event_type, min(v) AS lo, max(v) AS hi
+    FROM ranked WHERE rn = k + 1 OR rn = n - k
+    GROUP BY 1
+)
+SELECT r.event_type, n AS n_events, k AS n_trimmed_each_side,
+       round(CAST(sum(CASE WHEN rn > k AND rn <= n - k THEN v END)
+                 AS DOUBLE) / CAST(n - 2 * k AS DOUBLE), 6)
+           AS trimmed_mean,
+       round(CAST(sum(CASE WHEN rn <= k THEN lo
+                           WHEN rn > n - k THEN hi
+                           ELSE v END) AS DOUBLE) / CAST(n AS DOUBLE), 6)
+           AS winsorized_mean
+FROM ranked r JOIN bounds bo ON bo.event_type = r.event_type
+GROUP BY r.event_type, n, k
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "value_hour_correlation": QuerySpec(
         value_hour_correlation,
@@ -1482,5 +1790,20 @@ QUERIES: dict[str, QuerySpec] = {
         customer_survival_km,
         CUSTOMER_SURVIVAL_KM_ORACLE,
         "Kaplan-Meier right-censored customer-lifetime survival curve",
+    ),
+    "daily_revenue_stl": QuerySpec(
+        daily_revenue_stl,
+        DAILY_REVENUE_STL_ORACLE,
+        "trend + day-of-week seasonal + residual decomposition",
+    ),
+    "conversion_ab_ztest": QuerySpec(
+        conversion_ab_ztest,
+        CONVERSION_AB_ZTEST_ORACLE,
+        "two-proportion pooled z-test between user cohorts",
+    ),
+    "value_trimmed_stats": QuerySpec(
+        value_trimmed_stats,
+        VALUE_TRIMMED_STATS_ORACLE,
+        "5% trimmed + winsorized means per event type, exact sums",
     ),
 }

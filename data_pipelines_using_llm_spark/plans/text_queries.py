@@ -1555,6 +1555,136 @@ GROUP BY 1, 2
 """
 
 
+DSIR_BUCKETS = 2048
+DSIR_TARGET_MOD = 23  # doc_id % 23 == 0 simulates the "target domain" set
+DSIR_KEEP = 250
+DSIR_Q = float(1 << 30)  # quantum for the order-free weight fold
+
+
+def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    score every training document by the log-likelihood ratio of a
+    hashed-unigram model of the TARGET domain vs the raw corpus, and
+    keep the top-``DSIR_KEEP`` — the standard "select pretraining data
+    that looks like the eval domain" pipeline op.  The target set is
+    simulated as a fixed corpus slice (``doc_id % 23 == 0``); in
+    production it is a separate small table (the decontamination
+    caveat, SCALE.md) and the machinery is unchanged.
+
+    Model: token → rolling char hash → ``% DSIR_BUCKETS`` (hashed
+    vocabulary, fixed size at any corpus scale); add-one-smoothed
+    bucket probabilities for target and corpus; per-doc score
+    Σ_b tf(d,b) · [ln p_target(b) − ln p_corpus(b)].
+
+    Determinism: the per-bucket log-ratio is quantized to
+    ``floor(r·2^30)`` int64 once, so the per-doc fold is an exact
+    integer Σ tf·q — order-free, map-side combinable, and immune to
+    double summation-order noise (the PageRank-fold discipline);
+    magnitudes are bounded (|r| ≤ ~20 ⇒ |q| ≤ 2^35, tf·q ≤ 2^45 per
+    bucket — int64 headroom at any doc length).
+
+    Scale: one corpus tokenize pass pre-aggregated to (doc, bucket)
+    map-side; both models are ≤ 2048-row aggregates of that table and
+    broadcast back onto it; the top-K is TakeOrderedAndProject.  No
+    corpus-sized shuffle except the (doc, bucket) combine.
+    """
+    from data_pipelines_using_llm_spark.operators.caching import barrier
+
+    d = load_table(spark, sf_dir, "documents")
+    td = barrier(
+        d.select(
+            "doc_id",
+            F.explode(TX.tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .select(
+            "doc_id",
+            (TX.char_hash(F.col("term")) % DSIR_BUCKETS).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    corpus = td.groupBy("bucket").agg(F.sum("tf").alias("cb"))
+    target = (
+        td.filter(F.col("doc_id") % DSIR_TARGET_MOD == 0)
+        .groupBy("bucket")
+        .agg(F.sum("tf").alias("tb"))
+    )
+    model = corpus.join(target, "bucket", "left").select(
+        "bucket", "cb", F.coalesce("tb", F.lit(0)).alias("tb")
+    )
+    tot = model.agg(
+        F.sum("cb").alias("nc"), F.sum("tb").alias("nt")
+    )
+    ratio = F.log(
+        (F.col("tb") + 1).cast("double")
+        / (F.col("nt") + DSIR_BUCKETS).cast("double")
+    ) - F.log(
+        (F.col("cb") + 1).cast("double")
+        / (F.col("nc") + DSIR_BUCKETS).cast("double")
+    )
+    model_q = model.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(ratio * F.lit(DSIR_Q)).cast("long").alias("q"),
+    )
+    return (
+        td.join(F.broadcast(model_q), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("q")).alias("wq"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("wq").cast("double") / F.lit(DSIR_Q), 6
+            ).alias("dsir_logweight"),
+        )
+        .orderBy(F.col("wq").desc(), "doc_id")
+        .limit(DSIR_KEEP)
+    )
+
+
+def _dsir_oracle() -> str:
+    toks = SQL_TOKENS.format(col="lower(text)")
+    bucket = (
+        SQL_CHAR_HASH.format(s="term") + f" % {DSIR_BUCKETS}"
+    )
+    return f"""
+WITH td AS (
+    SELECT doc_id, {bucket} AS bucket, count(*) AS tf
+    FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+    GROUP BY 1, 2
+),
+corpus AS (SELECT bucket, sum(tf) AS cb FROM td GROUP BY 1),
+target AS (
+    SELECT bucket, sum(tf) AS tb FROM td
+    WHERE doc_id % {DSIR_TARGET_MOD} = 0 GROUP BY 1
+),
+model AS (
+    SELECT c.bucket, c.cb, coalesce(t.tb, 0) AS tb
+    FROM corpus c LEFT JOIN target t ON t.bucket = c.bucket
+),
+tot AS (SELECT sum(cb) AS nc, sum(tb) AS nt FROM model),
+model_q AS (
+    SELECT bucket,
+           CAST(floor((ln(CAST(tb + 1 AS DOUBLE)
+                           / CAST(nt + {DSIR_BUCKETS} AS DOUBLE))
+                       - ln(CAST(cb + 1 AS DOUBLE)
+                           / CAST(nc + {DSIR_BUCKETS} AS DOUBLE)))
+                      * {DSIR_Q!r}) AS BIGINT) AS q
+    FROM model, tot
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(CAST(sum(tf * q) AS DOUBLE) / {DSIR_Q!r}, 6)
+           AS dsir_logweight
+FROM td JOIN model_q USING (bucket)
+GROUP BY doc_id
+ORDER BY sum(tf * q) DESC, doc_id
+LIMIT {DSIR_KEEP}
+"""
+
+
 INV_INDEX_TOP = 60
 INV_POSTINGS_CAP = 12
 
@@ -1722,5 +1852,10 @@ QUERIES = {
         doc_inverted_index,
         _inverted_index_oracle(),
         "top-df inverted-index postings summary (df/cf/capped postings)",
+    ),
+    "doc_dsir_select": QuerySpec(
+        doc_dsir_select,
+        _dsir_oracle(),
+        "DSIR data selection: hashed-unigram target/corpus LLR top-K",
     ),
 }
