@@ -1,0 +1,142 @@
+"""Invariant (property) tests for the r7 statistics / sampling /
+graph queries — guarantees the value-hash oracle gate cannot express
+(monotonicity, bounds, reconstruction identities, rerun determinism).
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF0001
+
+
+def test_k_core_degree_invariant(spark):
+    """Every surviving vertex of the k-core peel has in-core degree >= k
+    after convergence (the peel converges in round 1 on this graph, so
+    the 2-round output is the fixpoint)."""
+    from data_pipelines_using_llm_spark.plans.graph_queries import (
+        KCORE_K,
+        trade_k_core,
+    )
+
+    rows = trade_k_core(spark, SF0001).collect()
+    assert rows, "core must be non-empty on the trade graph"
+    assert all(r.core_degree >= KCORE_K for r in rows)
+
+
+def test_km_survival_monotone(spark):
+    """Kaplan-Meier survival is within [0, 1] and non-increasing in t."""
+    from data_pipelines_using_llm_spark.plans.statistics import (
+        customer_survival_km,
+    )
+
+    rows = sorted(customer_survival_km(spark, SF0001).collect(),
+                  key=lambda r: r.t)
+    assert rows
+    prev = 1.0 + 1e-9
+    for r in rows:
+        assert 0.0 <= r.survival <= 1.0
+        assert r.survival <= prev + 1e-9
+        prev = r.survival
+        assert r.n_at_risk >= r.n_churned + 0  # at-risk covers events
+
+
+def test_gini_lorenz_bounds(spark):
+    """Gini in [0, 1); Lorenz cumulative share increases to 1; decile
+    shares are non-negative and the Lorenz curve is convex-ish (later
+    deciles hold >= share of earlier ones under ascending rank order)."""
+    from data_pipelines_using_llm_spark.plans.analytics import (
+        revenue_gini_lorenz,
+    )
+
+    rows = sorted(revenue_gini_lorenz(spark, SF0001).collect(),
+                  key=lambda r: r.decile)
+    assert len(rows) == 10
+    g = rows[0].gini
+    assert 0.0 <= g < 1.0
+    assert all(abs(r.gini - g) < 1e-12 for r in rows)
+    cum = [r.cum_revenue_share for r in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(cum, cum[1:]))
+    assert abs(cum[-1] - 1.0) < 1e-6
+    shares = [r.revenue_share for r in rows]
+    assert all(s >= -1e-12 for s in shares)
+    assert all(b >= a - 1e-6 for a, b in zip(shares, shares[1:]))
+
+
+def test_mann_whitney_bounds(spark):
+    """U1 lies in [0, n1*n2]; counts are positive."""
+    from data_pipelines_using_llm_spark.plans.statistics import (
+        mann_whitney_value_shift,
+    )
+
+    (r,) = mann_whitney_value_shift(spark, SF0001).collect()
+    assert r.n1 > 0 and r.n2 > 0
+    assert 0.0 <= r.u1 <= r.n1 * r.n2
+
+
+def test_stl_reconstruction(spark):
+    """trend + seasonal + residual reconstructs revenue (rounding-level
+    error only)."""
+    from data_pipelines_using_llm_spark.plans.statistics import (
+        daily_revenue_stl,
+    )
+
+    rows = daily_revenue_stl(spark, SF0001).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.revenue - (r.trend + r.seasonal + r.residual)) < 1e-3
+
+
+def test_weighted_reservoir_exact_k_and_deterministic(spark):
+    """The ES reservoir returns exactly K rows and is rerun-stable."""
+    from data_pipelines_using_llm_spark.plans.text_queries import (
+        ES_SAMPLE_K,
+        doc_weighted_reservoir,
+    )
+
+    a = doc_weighted_reservoir(spark, SF0001).collect()
+    b = doc_weighted_reservoir(spark, SF0001).collect()
+    assert len(a) == min(ES_SAMPLE_K, 500)
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+
+
+def test_dsir_target_docs_score_higher(spark):
+    """DSIR sanity: the selected set is enriched in target-slice docs
+    relative to the corpus base rate (the selector must pull the
+    distribution TOWARD the target domain), and scores are rerun-stable."""
+    from data_pipelines_using_llm_spark.plans.text_queries import (
+        DSIR_TARGET_MOD,
+        doc_dsir_select,
+    )
+
+    rows = doc_dsir_select(spark, SF0001).collect()
+    assert rows
+    frac_sel = sum(1 for r in rows if r.doc_id % DSIR_TARGET_MOD == 0) / len(
+        rows
+    )
+    # corpus base rate of the simulated target slice is ~1/23
+    assert frac_sel >= 1.0 / DSIR_TARGET_MOD
+
+
+def test_trimmed_means_between_extremes(spark):
+    """Trimmed and winsorized means lie within [min, max] of the raw
+    values and the trim count matches floor(0.05 n)."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_using_llm_spark.plans.statistics import (
+        value_trimmed_stats,
+    )
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+
+    stats = {r.event_type: r for r in value_trimmed_stats(spark, SF0001).collect()}
+    ext = {
+        r.event_type: r
+        for r in load_table(spark, SF0001, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    assert stats
+    for t, s in stats.items():
+        assert ext[t].lo <= s.trimmed_mean <= ext[t].hi
+        assert ext[t].lo <= s.winsorized_mean <= ext[t].hi
+        assert s.n_trimmed_each_side == int(s.n_events * 0.05)
