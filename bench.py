@@ -153,6 +153,7 @@ HEADLINE = [
     "daily_revenue_stl",
     "conversion_ab_ztest",
     "value_trimmed_stats",
+    "referential_integrity_audit",
     # streaming
     "stream_hourly_counts",
     "stream_click_purchase_join",
@@ -531,6 +532,9 @@ def main() -> int:
             "doc_repetition_signals",  # guards the let-binding fix
             "doc_decontamination",
             "customer_rfm_segments",  # guards the distributed-rank path
+            "trade_k_core",  # guards the per-round lineage barriers
+            "doc_dsir_select",  # guards the bucket-model broadcast
+            "basket_triangles",  # guards the array pair-gen edge build
         ]
         for name in probes:
             if name not in registry:

@@ -234,7 +234,95 @@ FROM hist CROSS JOIN tot
 """
 
 
+# (child_table, fk_col, parent_table, pk_col) — the star schema's FK
+# edges, audited in one report.
+FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key integrity report over every edge of the star schema:
+    per relation, the child row count, NULL-key rows, orphan rows
+    (non-null key with no parent), and the resulting coverage ratio —
+    the first audit a warehouse ingestion runs, and the one the
+    reference's null/duplicate checks (SURVEY.md §2.13) do not cover.
+
+    Scale: each edge is one LEFT ANTI join (child keyed on its FK
+    against the parent key set — Spark builds/broadcasts the smaller
+    parent side under AQE) plus map-side count aggregations; the
+    report is |edges| rows.  Dimension-sized parents broadcast; the
+    fact-fact edge (lineitem→orders) shuffles both sides on the key,
+    which is the join the warehouse does anyway.
+    """
+    import functools
+
+    rows = []
+    for child, fk, parent, pk in FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(F.col(fk).alias("fk"))
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("pk"))
+        nn = c.filter(F.col("fk").isNotNull())
+        orphans = nn.join(
+            p, nn["fk"] == p["pk"], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        tot = c.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(
+                F.when(F.col("fk").isNull(), 1).otherwise(0)
+            ).alias("n_null_fk"),
+        )
+        rows.append(
+            tot.crossJoin(F.broadcast(orphans)).select(
+                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("relation"),
+                "n_child",
+                "n_null_fk",
+                "n_orphans",
+                F.round(
+                    (
+                        F.col("n_child")
+                        - F.col("n_null_fk")
+                        - F.col("n_orphans")
+                    ).cast("double")
+                    / F.col("n_child").cast("double"),
+                    6,
+                ).alias("fk_coverage"),
+            )
+        )
+    return functools.reduce(lambda a, b: a.unionAll(b), rows)
+
+
+def _referential_integrity_oracle() -> str:
+    parts = []
+    for child, fk, parent, pk in FK_EDGES:
+        parts.append(f"""
+SELECT '{child}.{fk}->{parent}.{pk}' AS relation,
+       (SELECT count(*) FROM {child}) AS n_child,
+       (SELECT count(*) FROM {child} WHERE {fk} IS NULL) AS n_null_fk,
+       (SELECT count(*) FROM {child} c
+        LEFT JOIN {parent} p ON p.{pk} = c.{fk}
+        WHERE c.{fk} IS NOT NULL AND p.{pk} IS NULL) AS n_orphans,
+       round(CAST((SELECT count(*) FROM {child})
+                  - (SELECT count(*) FROM {child} WHERE {fk} IS NULL)
+                  - (SELECT count(*) FROM {child} c
+                     LEFT JOIN {parent} p ON p.{pk} = c.{fk}
+                     WHERE c.{fk} IS NOT NULL AND p.{pk} IS NULL)
+                 AS DOUBLE)
+             / CAST((SELECT count(*) FROM {child}) AS DOUBLE), 6)
+           AS fk_coverage""")
+    return "\nUNION ALL\n".join(parts)
+
+
 QUERIES = {
+    "referential_integrity_audit": QuerySpec(
+        referential_integrity_audit,
+        _referential_integrity_oracle(),
+        "FK orphan/coverage audit over every star-schema edge",
+    ),
     "k_anonymity_profile": QuerySpec(
         k_anonymity_profile,
         K_ANONYMITY_PROFILE_ORACLE,

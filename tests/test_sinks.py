@@ -633,3 +633,25 @@ def test_versioned_merge_upsert_and_time_travel(spark, tmp_path):
             spark, path,
             spark.createDataFrame([(9,)], "id bigint"), ["id"],
         )
+
+
+def test_multi_format_round_trip(spark, feed, tmp_path):
+    """write_table round-trips through every locally-available sink
+    format (parquet / orc / json / csv) with identical row content —
+    the format knob is pass-through to the DataFrame writer, so each
+    format's type quirks (JSON/CSV stringly timestamps) are reconciled
+    by reading back with the writer's own schema."""
+    want = sorted(
+        (r.event_time, r.pm10, r.ingestion_date) for r in feed.collect()
+    )
+    for fmt in ("parquet", "orc", "json", "csv"):
+        path = str(tmp_path / f"rt_{fmt}")
+        write_table(feed, path, fmt=fmt)
+        reader = spark.read.format(fmt).schema(feed.schema)
+        if fmt == "csv":
+            reader = reader.option("header", "false")
+        back = reader.load(path)
+        got = sorted(
+            (r.event_time, r.pm10, r.ingestion_date) for r in back.collect()
+        )
+        assert got == want, f"round-trip mismatch for {fmt}"
