@@ -154,6 +154,7 @@ HEADLINE = [
     "conversion_ab_ztest",
     "value_trimmed_stats",
     "referential_integrity_audit",
+    "doc_bigram_perplexity",
     # streaming
     "stream_hourly_counts",
     "stream_click_purchase_join",

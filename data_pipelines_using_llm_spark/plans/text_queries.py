@@ -1685,6 +1685,156 @@ LIMIT {DSIR_KEEP}
 """
 
 
+PPL_ALPHA = 0.1  # add-alpha smoothing of the bigram LM
+PPL_TOP = 120
+PPL_Q = float(1 << 30)  # quantum for the order-free logprob fold
+
+
+def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under an add-α-smoothed corpus bigram LM
+    — THE classic LM quality filter (CCNet/Gopher-style: drop or
+    down-weight the highest-perplexity documents as likely gibberish /
+    boilerplate / wrong-language).  Reports the ``PPL_TOP`` highest-
+    perplexity docs, i.e. the drop candidates.
+
+    Model: p(w₂|w₁) = (c(w₁w₂) + α) / (c(w₁) + α·V) from exact corpus
+    counts; per-doc score = exp(−Σ ln p / n_bigrams).  Determinism: the
+    per-doc Σ ln p is an exact int64 fold of ``floor(ln p · 2^30)``
+    quantized ONCE per distinct bigram in the model table (the
+    PageRank-fold discipline — never a raw double sum across rows);
+    ranking ties break on doc_id.
+
+    Scale: one tokenize pass emits (doc, bigram) pre-aggregated
+    map-side; the bigram and unigram models are Heaps-bounded
+    aggregates of that table; the scoring join is keyed on the bigram
+    (vocabulary-sized build side), and the vocabulary scalar V is a
+    one-row broadcast.  Nothing after the first combine scales with
+    corpus size.
+    """
+    from data_pipelines_using_llm_spark.operators.caching import barrier
+
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = TX.let(
+        TX.tokens(F.lower(F.col("text"))),
+        lambda t: F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i), F.element_at(t, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    db = barrier(
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    big = db.groupBy("bigram").agg(F.sum("tf").alias("c12"))
+    uni = (
+        d.select(
+            F.explode(TX.tokens(F.lower(F.col("text")))).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    model = (
+        big.withColumn("w1", F.split(F.col("bigram"), " ")[0])
+        .join(uni.select(F.col("w").alias("w1"), "c1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bigram",
+            F.floor(
+                F.log(
+                    (F.col("c12").cast("double") + PPL_ALPHA)
+                    / (
+                        F.col("c1").cast("double")
+                        + PPL_ALPHA * F.col("v").cast("double")
+                    )
+                )
+                * F.lit(PPL_Q)
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    scored = (
+        db.join(model, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("q")).alias("sq"),
+        )
+    )
+    ppl = F.exp(
+        -(F.col("sq").cast("double") / F.lit(PPL_Q))
+        / F.col("n_bigrams").cast("double")
+    )
+    # ppl desc is exactly (sq / n_bigrams) asc — rank on the monotone
+    # integer-ratio key so the LIMIT boundary never depends on the
+    # rounded output value
+    return (
+        scored.orderBy(
+            (
+                F.col("sq").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).asc(),
+            "doc_id",
+        )
+        .limit(PPL_TOP)
+        .select("doc_id", "n_bigrams", F.round(ppl, 4).alias("perplexity"))
+    )
+
+
+def _bigram_perplexity_oracle() -> str:
+    toks = SQL_TOKENS.format(col="lower(text)")
+    return f"""
+WITH tok AS (SELECT doc_id, {toks} AS t FROM documents),
+db AS (
+    SELECT doc_id, bigram, count(*) AS tf
+    FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= 2
+                   THEN list_transform(range(1, len(t)),
+                                       i -> t[i] || ' ' || t[i + 1])
+                   ELSE [] END) AS bigram
+        FROM tok
+    ) GROUP BY 1, 2
+),
+big AS (SELECT bigram, sum(tf) AS c12 FROM db GROUP BY 1),
+uni AS (
+    SELECT w, count(*) AS c1
+    FROM (SELECT unnest({toks}) AS w FROM documents)
+    GROUP BY 1
+),
+vocab AS (SELECT count(*) AS v FROM uni),
+model AS (
+    SELECT bigram,
+           CAST(floor(ln((CAST(c12 AS DOUBLE) + {PPL_ALPHA!r})
+                         / (CAST(c1 AS DOUBLE)
+                            + {PPL_ALPHA!r} * CAST(v AS DOUBLE)))
+                      * {PPL_Q!r}) AS BIGINT) AS q
+    FROM big
+    JOIN uni ON uni.w = string_split(big.bigram, ' ')[1]
+    CROSS JOIN vocab
+),
+scored AS (
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           CAST(sum(tf * q) AS BIGINT) AS sq
+    FROM db JOIN model USING (bigram)
+    GROUP BY 1
+)
+SELECT doc_id, n_bigrams,
+       round(exp(-(CAST(sq AS DOUBLE) / {PPL_Q!r})
+                 / CAST(n_bigrams AS DOUBLE)), 4) AS perplexity
+FROM scored
+ORDER BY CAST(sq AS DOUBLE) / CAST(n_bigrams AS DOUBLE) ASC, doc_id
+LIMIT {PPL_TOP}
+"""
+
+
 INV_INDEX_TOP = 60
 INV_POSTINGS_CAP = 12
 
@@ -1857,5 +2007,10 @@ QUERIES = {
         doc_dsir_select,
         _dsir_oracle(),
         "DSIR data selection: hashed-unigram target/corpus LLR top-K",
+    ),
+    "doc_bigram_perplexity": QuerySpec(
+        doc_bigram_perplexity,
+        _bigram_perplexity_oracle(),
+        "bigram-LM perplexity filter: top-N drop candidates",
     ),
 }
