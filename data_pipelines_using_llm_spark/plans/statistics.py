@@ -820,7 +820,12 @@ def revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("replicate")
         .agg(
             F.sum("w").alias("n_eff"),
-            F.sum(F.col("w") * F.col("cents")).alias("wcents"),
+            # DECIMAL: Σ w·cents ~2e19 at a 100 TB order table, past
+            # int64 (the PMI overflow lesson, plans/association.py)
+            F.sum(
+                F.col("w").cast("decimal(2,0)")
+                * F.col("cents").cast("decimal(18,0)")
+            ).alias("wcents"),
         )
         .select(
             "replicate",
@@ -863,7 +868,8 @@ drawn AS (
 )
 SELECT replicate,
        CAST(sum(w) AS BIGINT) AS n_eff,
-       round(CAST(sum(w * cents) AS DOUBLE) / 100.0
+       round(CAST(sum(CAST(w AS DECIMAL(2,0))
+                      * CAST(cents AS DECIMAL(18,0))) AS DOUBLE) / 100.0
              / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE), 6) AS boot_mean
 FROM drawn GROUP BY replicate
 """
@@ -1210,14 +1216,24 @@ def mann_whitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
     h2 = h.withColumn("cum_a", F.coalesce(F.sum("n1v").over(w), F.lit(0)))
-    t = F.col("n1v") + F.col("n2v")
+    # DECIMAL(38,0) for the U and tie sums: n2v·cumA ~1e22 and t³ ~1e30
+    # at a 100 TB corpus, where int64 silently wraps under non-ANSI
+    # Spark while DuckDB raises (the PMI overflow lesson,
+    # plans/association.py) — decimal keeps both engines exact.
+    td = F.col("n1v").cast("decimal(12,0)") + F.col("n2v").cast(
+        "decimal(12,0)"
+    )
     agg = h2.agg(
         F.sum("n1v").alias("n1"),
         F.sum("n2v").alias("n2"),
         F.sum(
-            2 * F.col("n2v") * F.col("cum_a") + F.col("n1v") * F.col("n2v")
+            F.lit(2).cast("decimal(12,0)")
+            * F.col("n2v").cast("decimal(12,0)")
+            * F.col("cum_a").cast("decimal(12,0)")
+            + F.col("n1v").cast("decimal(12,0)")
+            * F.col("n2v").cast("decimal(12,0)")
         ).alias("u1_x2"),
-        F.sum(t * t * t - t).alias("tie_term"),
+        F.sum(td * td * td - td).alias("tie_term"),
     )
     n1 = F.col("n1").cast("double")
     n2 = F.col("n2").cast("double")
@@ -1261,9 +1277,14 @@ c AS (
 ),
 agg AS (
     SELECT CAST(sum(n1v) AS BIGINT) AS n1, CAST(sum(n2v) AS BIGINT) AS n2,
-           CAST(sum(2 * n2v * cum_a + n1v * n2v) AS BIGINT) AS u1_x2,
-           CAST(sum((n1v + n2v) * (n1v + n2v) * (n1v + n2v)
-                    - (n1v + n2v)) AS BIGINT) AS tie_term
+           sum(CAST(2 AS DECIMAL(12,0)) * CAST(n2v AS DECIMAL(12,0))
+                   * CAST(cum_a AS DECIMAL(12,0))
+               + CAST(n1v AS DECIMAL(12,0))
+                   * CAST(n2v AS DECIMAL(12,0))) AS u1_x2,
+           sum(CAST(n1v + n2v AS DECIMAL(12,0))
+                   * CAST(n1v + n2v AS DECIMAL(12,0))
+                   * CAST(n1v + n2v AS DECIMAL(12,0))
+               - CAST(n1v + n2v AS DECIMAL(12,0))) AS tie_term
     FROM c
 )
 SELECT n1, n2, CAST(u1_x2 AS DOUBLE) / 2.0 AS u1,
