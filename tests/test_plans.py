@@ -543,3 +543,34 @@ def test_fuzzy_decontamination_eval_side_broadcasts(spark):
     assert plan.count("BroadcastHashJoin") >= 2  # band join + grams verify
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_k_core_cuts_lineage_every_round(spark):
+    """Each peel round references the previous edge list three times
+    (degree + two semi-join probes); without a per-round persist the
+    lineage grows 3^rounds and re-executes the peel (measured 43 s vs
+    ~5 s at sf0.1).  Guard: the final plan must read the last round's
+    edges from an InMemoryRelation, and the total number of persisted
+    intermediates in the plan must cover base + every round."""
+    from data_pipelines_using_llm_spark.plans.graph_queries import (
+        KCORE_ROUNDS,
+        trade_k_core,
+    )
+
+    df = trade_k_core(spark, SF_DIR)
+    # cache substitution happens after analysis — read the plan the
+    # CacheManager has rewritten
+    cached = df._jdf.queryExecution().withCachedData().toString()
+    # the nested cached plans carry one InMemoryRelation per earlier
+    # round plus the base edge list
+    assert cached.count("InMemoryRelation") >= KCORE_ROUNDS + 1
+
+
+def test_dsir_pair_explosion_is_preaggregated(spark):
+    """The DSIR scoring join must consume the (doc, bucket) PRE-AGGREGATED
+    table (map-side combine before any exchange), never raw exploded
+    tokens; and the plan must not contain a cartesian product."""
+    plan = _plan(spark, "doc_dsir_select")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "TakeOrderedAndProject" in plan
