@@ -141,6 +141,7 @@ HEADLINE = [
     "event_concurrency_peak",
     "audience_overlap",
     "embedding_covariance",
+    "embedding_top_eigvec",
     "daily_revenue_acf",
     "value_mad_profile",
     "mann_whitney_value_shift",

@@ -1133,8 +1133,9 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EMBEDDING_COVARIANCE_ORACLE = f"""
-WITH xi AS (
+# split into (CTE list, final SELECT) so the power-iteration oracle can
+# embed the covariance as a CTE (the _minhash_parts pattern)
+_COV_CTES = f"""xi AS (
     SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS xi, embedding
     FROM (SELECT vec_id, embedding,
                  unnest(range(1, len(embedding) + 1)) AS i
@@ -1161,14 +1162,149 @@ means AS (
            CAST(sqi AS DOUBLE) / {float(COV_SCALE)!r}
                / CAST(n AS DOUBLE) AS mean_d
     FROM sums WHERE i = j
-)
-SELECT s.i, s.j, s.n,
+)"""
+
+_COV_SELECT = f"""SELECT s.i, s.j, s.n,
        round(CAST(s.sq AS DOUBLE) / {float(COV_SCALE)!r}
                  / CAST(s.n AS DOUBLE)
              - mi.mean_d * mj.mean_d, 6) + 0.0 AS cov
 FROM sums s
 JOIN means mi ON mi.d = s.i
-JOIN means mj ON mj.d = s.j
+JOIN means mj ON mj.d = s.j"""
+
+EMBEDDING_COVARIANCE_ORACLE = f"""
+WITH {_COV_CTES}
+{_COV_SELECT}
+"""
+
+
+PI_ITERS = 3
+PI_Q = float(1 << 30)  # quantum for the order-free matrix-vector folds
+
+
+def embedding_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding corpus — the d×d
+    covariance (one corpus pass, :func:`embedding_covariance`) followed
+    by ``PI_ITERS`` unrolled POWER-ITERATION rounds entirely in the
+    dataflow: w ← C·v, v ← w/‖w‖ from an all-ones seed.  The
+    "PCA without a driver-side eigensolver" pattern: after the corpus
+    collapses to d² cells, each round is a d²-row join + d-row
+    aggregation — free at any corpus size — and the output is the
+    top loading vector plus its eigenvalue (‖C·v‖ of the final round,
+    the power-iteration Rayleigh estimate).
+
+    Determinism: every Σ_j C_ij·v_j fold and every norm fold quantizes
+    to ``floor(x·2^30)`` int64 before summing (order-free, the
+    PageRank-fold discipline — a 64-term double sum would differ in the
+    last ulp between engines); normalization and the final rounding are
+    single double expressions over identical inputs.  The all-ones
+    seed fixes the sign deterministically.
+
+    Scale: the only corpus-sized work is inside embedding_covariance
+    (map-side d² partials, persisted once); the iteration tables are d
+    and d² rows on ONE partition — the unpersisted 2^rounds lineage
+    blowup is deliberate here (trivial cached subtrees, one job)
+    where k-core needed per-round barriers (corpus-sized rounds).
+    """
+    from data_pipelines_using_llm_spark.operators.caching import barrier
+
+    # persist the CORPUS-pass result once, single-partition (d² = a few
+    # thousand rows — scheduling 32-partition exchanges per round cost
+    # more than the arithmetic); everything downstream is LAZY views
+    # over the cache: per-round barriers each forced a sequential
+    # tiny-job materialization (measured 7.4 s warm), while the
+    # 2^rounds plan blowup of unpersisted trivial subtrees is one job
+    # (~5 s warm, dominated by analysis not execution)
+    cov = barrier(
+        embedding_covariance(spark, sf_dir)
+        .select("i", "j", "cov")
+        .coalesce(1)
+    )
+    full = cov.unionAll(
+        cov.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    )
+    v = full.select(F.col("i").alias("d")).distinct().select(
+        "d", F.lit(1.0).alias("x")
+    )
+    nn = None
+    for _ in range(PI_ITERS):
+        w = (
+            full.join(v.select(F.col("d").alias("j"), "x"), "j")
+            .groupBy("i")
+            .agg(
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("cov") * F.col("x") * F.lit(PI_Q)
+                        ).cast("long")
+                    ).cast("double")
+                    / F.lit(PI_Q)
+                ).alias("w")
+            )
+        )
+        nn = w.agg(
+            (
+                F.sum(
+                    F.floor(F.col("w") * F.col("w") * F.lit(PI_Q)).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / F.lit(PI_Q)
+            ).alias("nn")
+        )
+        v = w.crossJoin(F.broadcast(nn)).select(
+            F.col("i").alias("d"),
+            (F.col("w") / F.sqrt(F.col("nn"))).alias("x"),
+        )
+    return v.crossJoin(F.broadcast(nn)).select(
+        F.col("d").alias("dim"),
+        F.round("x", 6).alias("loading"),
+        F.round(F.sqrt(F.col("nn")), 6).alias("eigenvalue"),
+    )
+
+
+def _top_eigvec_oracle(iters: int = PI_ITERS) -> str:
+    ctes = [
+        _COV_CTES,
+        f"cov AS ({_COV_SELECT})",
+        """full_m AS (
+    SELECT i, j, cov FROM cov
+    UNION ALL
+    SELECT j AS i, i AS j, cov FROM cov WHERE i <> j
+)""",
+        "v0 AS (SELECT DISTINCT i AS d, 1.0 AS x FROM full_m)",
+    ]
+    prev = "v0"
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"""w{it} AS (
+    SELECT m.i,
+           CAST(sum(CAST(floor(m.cov * v.x * {PI_Q!r}) AS BIGINT))
+               AS DOUBLE) / {PI_Q!r} AS w
+    FROM full_m m JOIN {prev} v ON v.d = m.j
+    GROUP BY m.i
+)"""
+        )
+        ctes.append(
+            f"""n{it} AS (
+    SELECT CAST(sum(CAST(floor(w * w * {PI_Q!r}) AS BIGINT))
+               AS DOUBLE) / {PI_Q!r} AS nn
+    FROM w{it}
+)"""
+        )
+        ctes.append(
+            f"v{it} AS (SELECT i AS d, w / sqrt(nn) AS x "
+            f"FROM w{it} CROSS JOIN n{it})"
+        )
+        prev = f"v{it}"
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT d AS dim, round(x, 6) AS loading,
+       round(sqrt(nn), 6) AS eigenvalue
+FROM {prev} CROSS JOIN n{iters}
 """
 
 
@@ -1235,5 +1371,10 @@ QUERIES = {
         embedding_covariance,
         EMBEDDING_COVARIANCE_ORACLE,
         "one-pass quantized-exact d x d covariance (whitening/PCA prep)",
+    ),
+    "embedding_top_eigvec": QuerySpec(
+        embedding_top_eigvec,
+        _top_eigvec_oracle(),
+        "top principal component via unrolled in-dataflow power iteration",
     ),
 }
