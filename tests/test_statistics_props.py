@@ -140,3 +140,34 @@ def test_trimmed_means_between_extremes(spark):
         assert ext[t].lo <= s.trimmed_mean <= ext[t].hi
         assert ext[t].lo <= s.winsorized_mean <= ext[t].hi
         assert s.n_trimmed_each_side == int(s.n_events * 0.05)
+
+
+def test_top_eigvec_is_unit_near_eigenpair(spark):
+    """Power-iteration output invariants: the loading vector is unit
+    norm, the eigenvalue is positive, and (C v - lambda v) has a small
+    residual relative to lambda (3 rounds from an all-ones seed)."""
+    import math
+
+    from data_pipelines_using_llm_spark.plans.similarity_queries import (
+        embedding_covariance,
+        embedding_top_eigvec,
+    )
+
+    rows = embedding_top_eigvec(spark, SF0001).collect()
+    v = {r.dim: r.loading for r in rows}
+    lam = rows[0].eigenvalue
+    assert lam > 0
+    assert abs(sum(x * x for x in v.values()) - 1.0) < 1e-4
+    cells = embedding_covariance(spark, SF0001).collect()
+    c = {}
+    for r in cells:
+        c[(r.i, r.j)] = r.cov
+        c[(r.j, r.i)] = r.cov
+    dims = sorted(v)
+    resid = 0.0
+    for i in dims:
+        cv = sum(c[(i, j)] * v[j] for j in dims)
+        resid += (cv - lam * v[i]) ** 2
+    # 3 rounds is an estimate, not convergence — the residual must just
+    # be decisively smaller than the eigenvalue itself
+    assert math.sqrt(resid) < 0.5 * lam
