@@ -332,7 +332,12 @@ def main() -> int:
                 warm_runs.append(run_once())
                 extra += 1
             cold_timings[name] = round(cold, 4)
-            timings[name] = round(min(warm_runs + [cold]), 4)
+            # Warm is strictly min(warm_runs) — the cold run is NEVER
+            # folded in, even when late-loop contention makes it the
+            # fastest, so the cold/warm split stays honest and
+            # round-over-round warm comparisons compare like with like
+            # (r7 ADVICE item 4).  Cold lives in queries_cold.
+            timings[name] = round(min(warm_runs), 4)
         except Exception as exc:
             errors[name] = f"{type(exc).__name__}: {exc}"[:400]
             _safe_release()
@@ -496,7 +501,9 @@ def main() -> int:
     # Plan-audit sweep (plans/audit.py): count fatal/warn findings across
     # the headline plans so a lost broadcast / new cartesian / stray
     # row-UDF shows up in the per-round artifact, not just in pytest.
-    audit = {"fatal": 0, "warn": 0, "offenders": []}
+    # warn findings are named too (r7 verdict task 2): an anonymous warn
+    # count is unactionable in the artifact.
+    audit = {"fatal": 0, "warn": 0, "offenders": [], "warn_offenders": []}
     try:
         from data_pipelines_using_llm_spark.plans.audit import audit_plan
 
@@ -510,6 +517,11 @@ def main() -> int:
             audit["warn"] += sev.count("warn")
             if "fatal" in sev:
                 audit["offenders"].append(name)
+            for f in findings:
+                if f["severity"] == "warn":
+                    audit["warn_offenders"].append(
+                        {"query": name, "code": f["code"], "detail": f["detail"][:160]}
+                    )
             _safe_release()
     except Exception as exc:
         errors["plan_audit"] = f"{type(exc).__name__}: {exc}"[:200]
@@ -596,8 +608,9 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "round": rnd,
-        "timing": "per-query cold (run 1) + warm (min of later runs); "
-        "sum of warm mins reported",
+        "timing": "per-query cold (run 1, recorded separately) + warm "
+        "(min of later runs, cold never folded in); sum of warm mins "
+        "reported",
         "wall_sec": wall,
         "queries": timings,
         "queries_cold": cold_timings,

@@ -16,7 +16,7 @@ an exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_pipelines_using_llm_spark.operators.caching import barrier
@@ -192,18 +192,32 @@ def minhash_lsh_pairs(
     band bucket holding B near-identical docs (template pages, license
     headers) would emit B²/2 pairs into ONE join task — the degenerate
     case AQE's skew split only chunks, never shrinks.  With the cap set,
-    buckets larger than ``max_bucket`` switch to hub-and-spoke: every doc
-    pairs with the bucket's min-id representative only (B-1 pairs, linear).
-    The output is then a CONNECTIVITY-PRESERVING subset of the threshold
-    pairs — each oversized bucket contributes a star, so downstream
-    connected-components clustering (dedup_components/survivors) is
-    unchanged, but the exhaustive pair list is not; hence the default is
-    None (exact semantics, what the oracle-gated query uses) and
-    production corpus runs opt in.  Small buckets pay a bounded
-    ``distinct()`` over their candidates in capped mode (≤ n_bands ·
-    max_bucket²/2 rows per bucket) instead of the first-matching-band
-    ownership trick, whose precomputed owner would mis-assign pairs whose
-    first collision happens in an oversized band.
+    buckets larger than ``max_bucket`` switch to RUN-STAR + BOUNDARY
+    CHAIN: members are ordered by their full minhash signature; each
+    signature-equal RUN contributes a star around its own min-id member,
+    and consecutive runs are linked by one chain edge (B-1 pairs total,
+    linear).  Identical/near-identical docs — the boilerplate case that
+    creates oversized buckets — have EQUAL signatures, so each genuine
+    dup run is a diameter-2 star whose hub is itself a run member (hence
+    similar, hence verify-surviving), and downstream connected-components
+    clustering (dedup_components/survivors) keeps the run in one
+    component without walking a long chain.  (An earlier
+    star-around-BUCKET-min form lost connectivity whenever a band-hash
+    collision made the arbitrary bucket representative dissimilar to a
+    genuine near-dup run — all star edges failed verification and the
+    run's pairs vanished; r7 ADVICE item 1.)  Residual trade-off, stated
+    honestly: near-dups whose signatures are near-but-not-equal fall in
+    ADJACENT runs connected only by the single boundary edge, so a
+    dissimilar interloper whose signature sorts BETWEEN two such runs
+    can still sever them (two failed boundary edges) — capped mode
+    trades that sliver of recall for the bounded task size.  The
+    exhaustive pair list is never promised in capped mode; hence the
+    default is None (exact semantics, what the oracle-gated query uses)
+    and production corpus runs opt in.  Small
+    buckets pay a bounded ``distinct()`` over their candidates in capped
+    mode (≤ n_bands · max_bucket²/2 rows per bucket) instead of the
+    first-matching-band ownership trick, whose precomputed owner would
+    mis-assign pairs whose first collision happens in an oversized band.
     """
     # Materialize the shingle sets ONCE.  Without the persist barriers,
     # Catalyst's projection collapse inlines the shingle expression into
@@ -220,20 +234,31 @@ def minhash_lsh_pairs(
     # first-matching-band ownership filter — no distinct() shuffle over
     # the candidate pairs (at 100 TB that shuffle is collision-sized).
     bands_arr = F.transform(lsh_bands(F.col("sig"), n_bands), lambda b: b["band_key"])
-    banded = sigs.select(
-        "doc_id",
-        bands_arr.alias("bands"),
-        F.posexplode(bands_arr).alias("band_id", "band_key"),
-    )
+    if max_bucket is not None:
+        # capped mode carries the full signature into the banded rows so
+        # oversized buckets can chain in signature-sorted order; the
+        # `bands` array (only used by the uncapped owner trick) is
+        # dropped to keep the exploded rows narrow.
+        banded = sigs.select(
+            "doc_id",
+            "sig",
+            F.posexplode(bands_arr).alias("band_id", "band_key"),
+        )
+    else:
+        banded = sigs.select(
+            "doc_id",
+            bands_arr.alias("bands"),
+            F.posexplode(bands_arr).alias("band_id", "band_key"),
+        )
 
     if max_bucket is not None:
         stats = banded.groupBy("band_id", "band_key").agg(
-            F.count(F.lit(1)).alias("bucket_n"), F.min("doc_id").alias("rep_id")
+            F.count(F.lit(1)).alias("bucket_n")
         )
         big = stats.filter(F.col("bucket_n") > max_bucket)
         small_banded = banded.join(
             big.select("band_id", "band_key"), ["band_id", "band_key"], "left_anti"
-        )
+        ).drop("sig")
         left = small_banded.alias("l")
         right = small_banded.alias("r")
         small_pairs = (
@@ -249,17 +274,47 @@ def minhash_lsh_pairs(
             )
             .distinct()  # bounded: every surviving bucket is <= max_bucket
         )
-        hub_pairs = (
-            banded.join(big.select("band_id", "band_key", "rep_id"),
-                        ["band_id", "band_key"])
-            .filter(F.col("doc_id") != F.col("rep_id"))
-            .select(
-                F.col("rep_id").alias("doc_id_a"),
-                F.col("doc_id").alias("doc_id_b"),
+        # Oversized buckets: star per signature-equal RUN plus chain
+        # edges across run boundaries.  Both windows are partitioned per
+        # bucket (never global) and the output is exactly B-1 rows per
+        # bucket — linear, the whole point of the cap.  Star-per-run
+        # (not per-bucket) keeps each run's hub genuinely similar to its
+        # members AND keeps the component diameter O(1), so downstream
+        # connected_components converges in its usual few rounds instead
+        # of walking a B-long chain.
+        run_w = Window.partitionBy("band_id", "band_key", "sig")
+        order_w = Window.partitionBy("band_id", "band_key").orderBy(
+            "sig", "doc_id"
+        )
+        big_banded = (
+            banded.join(
+                big.select("band_id", "band_key"), ["band_id", "band_key"]
             )
+            .select(
+                "doc_id",
+                "sig",
+                F.min("doc_id").over(run_w).alias("run_min"),
+                F.lag("doc_id").over(order_w).alias("prev_id"),
+                F.lag("sig").over(order_w).alias("prev_sig"),
+            )
+        )
+        star_pairs = big_banded.filter(
+            F.col("doc_id") != F.col("run_min")
+        ).select(
+            F.col("run_min").alias("doc_id_a"),
+            F.col("doc_id").alias("doc_id_b"),
+        )
+        boundary_pairs = big_banded.filter(
+            F.col("prev_id").isNotNull() & (F.col("prev_sig") != F.col("sig"))
+        ).select(
+            F.least("prev_id", "doc_id").alias("doc_id_a"),
+            F.greatest("prev_id", "doc_id").alias("doc_id_b"),
+        )
+        capped_pairs = (
+            star_pairs.unionByName(boundary_pairs)
             .distinct()  # linear in bucket size, n_bands-fold at most
         )
-        cand = small_pairs.unionByName(hub_pairs).distinct()
+        cand = small_pairs.unionByName(capped_pairs).distinct()
     else:
         left = banded.alias("l")
         right = banded.alias("r")

@@ -54,7 +54,18 @@ def plan_report(df: DataFrame) -> PlanReport:
     r.single_partition_exchanges = text.count("SinglePartition")
     r.broadcast_joins = text.count("BroadcastHashJoin")
     r.shuffle_joins = text.count("SortMergeJoin") + text.count("ShuffledHashJoin")
-    r.partial_aggregates = text.count("partial_")
+    # partial_* function markers cover count/sum/...; a keys-only
+    # distinct compiles to partial->Exchange->final HashAggregate with
+    # NO function marker (Functions: []), so ALSO count aggregates that
+    # sit structurally under an Exchange in the plan tree — otherwise
+    # every .distinct() reads as "no map-side combine" (the r7 plan-audit
+    # false-positive on dedup_ngram_jaccard).
+    r.partial_aggregates = text.count("partial_") + len(
+        re.findall(
+            r"Exchange \(\d+\)\n[^\n]*\+- (?:Hash|Object\w*Hash|Sort)Aggregate",
+            text,
+        )
+    )
     r.final_aggregates = text.count("HashAggregate")
     r.unpartitioned_windows = len(
         re.findall(r"Window.*\n(?:.*\n)*?.*Arguments:.*\[\], \[", text)

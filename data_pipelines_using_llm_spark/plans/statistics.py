@@ -480,9 +480,15 @@ def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plans/association.py): round(…, 6) on both engines.
     """
     e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # Clamp BOTH ends: without the greatest(), negative values would
+    # mint bin ids < 0 outside the documented 0..PSI_N_BINS-1 grid.
     binned = e.select(
-        F.least(
-            F.floor(F.col("value") / PSI_BIN_WIDTH), F.lit(PSI_N_BINS - 1)
+        F.greatest(
+            F.least(
+                F.floor(F.col("value") / PSI_BIN_WIDTH),
+                F.lit(PSI_N_BINS - 1),
+            ),
+            F.lit(0),
         ).alias("bin"),
         (F.dayofmonth("ts") < PSI_SPLIT_DAY).alias("is_ref"),
     )
@@ -510,8 +516,8 @@ def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 VALUE_PSI_DRIFT_ORACLE = f"""
 WITH binned AS (
-    SELECT least(CAST(floor(value / {PSI_BIN_WIDTH}) AS BIGINT),
-                 {PSI_N_BINS - 1}) AS bin,
+    SELECT greatest(least(CAST(floor(value / {PSI_BIN_WIDTH}) AS BIGINT),
+                          {PSI_N_BINS - 1}), 0) AS bin,
            day(ts) < {PSI_SPLIT_DAY} AS is_ref
     FROM events WHERE value IS NOT NULL
 ),
@@ -1191,9 +1197,11 @@ def mann_whitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: rather than ranking n rows, the corpus collapses to the
     per-DISTINCT-VALUE histogram (bounded by the value grid, not the
     corpus) and U is recovered from integer cumulative counts:
-    ``2·U1 = Σ_v 2·n2(v)·cumA(<v) + n1(v)·n2(v)`` — every term an
-    exact int64; the tie correction Σ(t³−t) is likewise integer.  Only
-    the final z expression is double, textually mirrored.
+    ``U1 = Σ_v n2(v)·cumA(<v) + ½·Σ_v n1(v)·n2(v)`` — each product an
+    exact decimal(38,0) (19-digit operands; cum_a is cumulative so
+    products pass int64 range at 100 TB); the tie correction Σ(t³−t)
+    is likewise exact under a documented <1e12-per-distinct-value
+    bound.  Only the final z expression is double, textually mirrored.
 
     Scale: one grouped aggregation to the histogram (map-side
     combinable), one ordered prefix-sum window over DISTINCT values
@@ -1216,10 +1224,19 @@ def mann_whitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
     h2 = h.withColumn("cum_a", F.coalesce(F.sum("n1v").over(w), F.lit(0)))
-    # DECIMAL(38,0) for the U and tie sums: n2v·cumA ~1e22 and t³ ~1e30
-    # at a 100 TB corpus, where int64 silently wraps under non-ANSI
-    # Spark while DuckDB raises (the PMI overflow lesson,
-    # plans/association.py) — decimal keeps both engines exact.
+    # Wide decimals for the U sums: cum_a is a CUMULATIVE count, so at
+    # 100 TB a single product n2v·cumA can pass 1e22 — decimal(19,0)
+    # operands give an exact decimal(38,0) product on both engines
+    # (int64 silently wraps under non-ANSI Spark while DuckDB raises —
+    # the PMI overflow lesson, plans/association.py).  The two product
+    # sums are kept separate (u1 = Σa + Σb/2 at the double stage)
+    # because a leading ×2 would push the product past both engines'
+    # 38-digit cap.  The tie term stays decimal(12,0) PER CELL: a
+    # single tied value with t > 1e12 observations would put t³ past
+    # 1e36 — beyond decimal(38) headroom regardless of operand width —
+    # so the documented contract is < 1e12 observations per distinct
+    # value (the value grid is continuous here; a genuinely 1e12-deep
+    # tie means the column is categorical and rank tests don't apply).
     td = F.col("n1v").cast("decimal(12,0)") + F.col("n2v").cast(
         "decimal(12,0)"
     )
@@ -1227,18 +1244,19 @@ def mann_whitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n1v").alias("n1"),
         F.sum("n2v").alias("n2"),
         F.sum(
-            F.lit(2).cast("decimal(12,0)")
-            * F.col("n2v").cast("decimal(12,0)")
-            * F.col("cum_a").cast("decimal(12,0)")
-            + F.col("n1v").cast("decimal(12,0)")
-            * F.col("n2v").cast("decimal(12,0)")
-        ).alias("u1_x2"),
+            F.col("n2v").cast("decimal(19,0)")
+            * F.col("cum_a").cast("decimal(19,0)")
+        ).alias("u_a"),
+        F.sum(
+            F.col("n1v").cast("decimal(19,0)")
+            * F.col("n2v").cast("decimal(19,0)")
+        ).alias("u_b"),
         F.sum(td * td * td - td).alias("tie_term"),
     )
     n1 = F.col("n1").cast("double")
     n2 = F.col("n2").cast("double")
     nn = n1 + n2
-    u1 = F.col("u1_x2").cast("double") / 2.0
+    u1 = F.col("u_a").cast("double") + F.col("u_b").cast("double") / 2.0
     sigma2 = (
         n1
         * n2
@@ -1277,18 +1295,19 @@ c AS (
 ),
 agg AS (
     SELECT CAST(sum(n1v) AS BIGINT) AS n1, CAST(sum(n2v) AS BIGINT) AS n2,
-           sum(CAST(2 AS DECIMAL(12,0)) * CAST(n2v AS DECIMAL(12,0))
-                   * CAST(cum_a AS DECIMAL(12,0))
-               + CAST(n1v AS DECIMAL(12,0))
-                   * CAST(n2v AS DECIMAL(12,0))) AS u1_x2,
+           sum(CAST(n2v AS DECIMAL(19,0))
+                   * CAST(cum_a AS DECIMAL(19,0))) AS u_a,
+           sum(CAST(n1v AS DECIMAL(19,0))
+                   * CAST(n2v AS DECIMAL(19,0))) AS u_b,
            sum(CAST(n1v + n2v AS DECIMAL(12,0))
                    * CAST(n1v + n2v AS DECIMAL(12,0))
                    * CAST(n1v + n2v AS DECIMAL(12,0))
                - CAST(n1v + n2v AS DECIMAL(12,0))) AS tie_term
     FROM c
 )
-SELECT n1, n2, CAST(u1_x2 AS DOUBLE) / 2.0 AS u1,
-       round((CAST(u1_x2 AS DOUBLE) / 2.0
+SELECT n1, n2,
+       CAST(u_a AS DOUBLE) + CAST(u_b AS DOUBLE) / 2.0 AS u1,
+       round((CAST(u_a AS DOUBLE) + CAST(u_b AS DOUBLE) / 2.0
               - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
              / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
                     * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)

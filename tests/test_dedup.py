@@ -170,8 +170,9 @@ def test_lsh_capped_bucket_bounds_pairs_on_degenerate_corpus(spark):
     """Adversarial boilerplate corpus: N identical docs put ALL of them in
     one band bucket per band — uncapped LSH emits C(N,2) pairs into one
     join key (the 'curse of the last reducer'), while ``max_bucket``
-    switches oversized buckets to hub-and-spoke (N-1 pairs, linear) and
-    preserves the connectivity downstream components clustering needs."""
+    switches oversized buckets to a signature-sorted chain (N-1 pairs,
+    linear) and preserves the connectivity downstream components
+    clustering needs."""
     n = 60
     boiler = "all work and no play makes jack a dull boy " * 4
     rows = [(i, boiler) for i in range(n)] + [
@@ -185,9 +186,8 @@ def test_lsh_capped_bucket_bounds_pairs_on_degenerate_corpus(spark):
 
     capped = DD.minhash_lsh_pairs(df, "doc_id", "text", max_bucket=10)
     capped_rows = capped.collect()
-    # linear: every identical doc pairs with the bucket representative only
+    # linear: a chain over the signature-sorted bucket, not C(N,2)
     assert len(capped_rows) == n - 1
-    assert all(r["doc_id_a"] == 0 for r in capped_rows)
     assert all(r["jaccard"] == 1.0 for r in capped_rows)
     # connectivity preserved: one component spanning all n docs
     comp = DD.connected_components(
@@ -195,6 +195,47 @@ def test_lsh_capped_bucket_bounds_pairs_on_degenerate_corpus(spark):
     ).collect()
     labels = {r[0]: r[1] for r in comp}
     assert len({labels[i] for i in range(n)}) == 1
+
+
+def test_lsh_capped_bucket_survives_dissimilar_min_id_interloper(spark):
+    """r7 ADVICE item 1: an oversized bucket that mixes a genuine
+    near-dup run with a DISSIMILAR band-collision interloper holding the
+    bucket's MIN doc_id.  The old star-around-min-id mode paired every
+    run member with the interloper only; all star edges failed the
+    true-Jaccard verify and the run's connectivity silently vanished.
+    Signature-sorted chaining pairs run members with each other (equal
+    signatures sort contiguously), so only the interloper's own edge
+    drops — the run stays one component."""
+    words = [f"w{i}" for i in range(60)]
+    run_text = " ".join(words)
+    # one-word edit: high enough shingle overlap to collide on a band
+    # (deterministic — MINHASH_COEFFS are constants), but below the 0.95
+    # verify threshold.
+    interloper_text = " ".join(["zzz" if i == 30 else w for i, w in enumerate(words)])
+    n_run = 15
+    rows = [(0, interloper_text)] + [(i, run_text) for i in range(1, n_run + 1)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # Precondition: the interloper really does share a band bucket with
+    # the run (otherwise this test exercises nothing) and really is
+    # below the verify threshold.
+    loose = DD.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.0)
+    touching_0 = [r for r in loose.collect() if r["doc_id_a"] == 0]
+    assert touching_0, "fixture broken: interloper no longer band-collides"
+    assert all(r["jaccard"] < 0.95 for r in touching_0)
+
+    capped = DD.minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.95, max_bucket=5
+    )
+    pairs = capped.collect()
+    assert pairs and all(
+        r["doc_id_a"] != 0 and r["doc_id_b"] != 0 for r in pairs
+    )
+    comp = DD.connected_components(
+        capped.select("doc_id_a", "doc_id_b")
+    ).collect()
+    labels = {r[0]: r[1] for r in comp}
+    assert len({labels[i] for i in range(1, n_run + 1)}) == 1
 
 
 def test_lsh_capped_mode_keeps_small_bucket_pairs_exact(spark):

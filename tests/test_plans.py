@@ -534,6 +534,28 @@ def test_audit_report_counts_scans_and_pushdown(spark):
     assert r.cartesian_products == 0 and r.python_row_udfs == 0
 
 
+def test_audit_keys_only_distinct_counts_as_partial(spark):
+    """A keys-only .distinct() compiles to partial->Exchange->final
+    HashAggregate with NO partial_* function marker; the parser must
+    still see the map-side combine (r7 plan-audit false-positive on
+    dedup_ngram_jaccard) so no no_partial_agg warn is emitted."""
+    from data_pipelines_using_llm_spark.plans.audit import (
+        audit_plan,
+        plan_report,
+    )
+
+    df = (
+        spark.range(100)
+        .selectExpr("id % 7 AS k", "id % 3 AS v")
+        .repartition(4)
+        .distinct()
+    )
+    r = plan_report(df)
+    assert r.final_aggregates >= 2 and r.exchanges >= 1
+    assert r.partial_aggregates >= 1
+    assert not [f for f in audit_plan(df) if f["code"] == "no_partial_agg"]
+
+
 def test_fuzzy_decontamination_eval_side_broadcasts(spark):
     """Candidate generation and verify must both broadcast the eval side
     (the benchmark corpus is tiny at any training scale); the corpus side
