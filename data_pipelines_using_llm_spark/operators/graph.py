@@ -210,6 +210,71 @@ def pagerank(
     return rank
 
 
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Peel-until-STABLE k-core over a SYMMETRIC (doubled) edge list —
+    the production fixpoint mode the fixed-round registry query
+    (plans/graph_queries.py::trade_k_core) documents: drop every vertex
+    with degree < k, re-filter edges to surviving endpoints, repeat
+    until one full round removes nothing.
+
+    Input contract: ``edges`` carries BOTH orientations of every
+    undirected edge (the doubled list trade_k_core builds), so
+    degree(v) = count of ``src_col = v`` rows.  Returns the surviving
+    symmetric edge list with the input column names.
+
+    Convergence discipline (matches connected_components,
+    operators/dedup.py): the peel is monotone — the edge set only
+    shrinks — so one scalar ``count()`` per round (a control-plane
+    probe, not data movement) detects the fixpoint exactly; rounds are
+    early-exit, and the loud ``max_rounds`` guard turns a
+    never-converging loop into an error instead of silent truncation.
+    Each round's plan is the unrolled query's plan verbatim: one
+    map-side-combinable degree aggregation + two semi-joins, with a
+    persist barrier per round because the next round references the
+    edge list three times (degree + two probes) — the 3^rounds lineage
+    cut.  The previous round's cache is dropped as soon as its
+    successor materializes, so peak storage is two shrinking edge
+    lists regardless of round count.
+    """
+    cur = barrier(
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+    )
+    n_prev = cur.count()
+    for _ in range(max_rounds):
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        nxt = barrier(
+            cur.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+        )
+        n = nxt.count()  # also materializes the new barrier
+        cur.unpersist(blocking=False)
+        cur = nxt
+        if n == n_prev:
+            return cur.select(
+                F.col("src").alias(src_col), F.col("dst").alias(dst_col)
+            )
+        n_prev = n
+    raise RuntimeError(
+        f"k_core did not converge within max_rounds={max_rounds} (edge "
+        "set still shrinking); raise `max_rounds` — rounds are "
+        "early-exit, so a generous bound only costs work when needed"
+    )
+
+
 def triangle_counts(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> DataFrame:
     """Per-vertex triangle participation counts over an undirected graph
     given as canonical edges (``u < v``, deduplicated by the caller).

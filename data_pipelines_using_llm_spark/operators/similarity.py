@@ -1587,3 +1587,111 @@ def knn_ivfpq(
             "rank",
         )
     )
+
+
+PI_QUANTUM = float(1 << 30)  # order-free matrix-vector fold quantum
+
+
+def power_iteration(
+    cov: DataFrame,
+    i_col: str = "i",
+    j_col: str = "j",
+    val_col: str = "cov",
+    tol: float = 1e-6,
+    max_iters: int = 100,
+) -> DataFrame:
+    """Dominant eigenpair of a symmetric matrix by power iteration TO A
+    RESIDUAL-NORM FIXPOINT — the production mode the fixed-round registry
+    query (plans/similarity_queries.py::embedding_top_eigvec, PI_ITERS
+    unrolled so the oracle stays CTE-expressible) documents.
+
+    Input is the upper-triangular cell list (``i_col <= j_col``, one row
+    per cell) exactly as embedding_covariance emits; the matrix is
+    mirrored internally.  Returns (dim, loading, eigenvalue) with the
+    same quantized-fold arithmetic as the unrolled query (floor(x*2^30)
+    int64 sums — order-free, engine-deterministic), so after the same
+    number of rounds the two produce IDENTICAL vectors.
+
+    Convergence discipline (matches connected_components and k_core):
+    one scalar ``collect()`` per round reads ``max_d |v_t[d]-v_{t-1}[d]|``
+    — a control-plane probe over a d-row table, not data movement — and
+    the loop exits when it drops below ``tol``; the loud ``max_iters``
+    guard turns non-convergence (e.g. a tied dominant eigenvalue, where
+    power iteration oscillates in the tied subspace) into an error
+    instead of a silently unconverged vector.  Per-round
+    ``localCheckpoint`` on the d-row vector cuts the 2^rounds lineage
+    (the next round references v twice: the fold and the residual).
+
+    Scale: the corpus pass happens UPSTREAM (building ``cov``); here
+    every table is d or d² rows on one partition, so a hundred rounds
+    is control-plane latency, not cluster work.
+    """
+    q = PI_QUANTUM
+    cells = cov.select(
+        F.col(i_col).alias("i"), F.col(j_col).alias("j"),
+        F.col(val_col).cast("double").alias("c"),
+    ).coalesce(1)
+    full = cells.unionAll(
+        cells.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+        )
+    ).localCheckpoint(eager=True)
+    v = (
+        full.select(F.col("i").alias("d")).distinct()
+        .select("d", F.lit(1.0).alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    nn = None
+    for _ in range(max_iters):
+        w = (
+            full.join(v.select(F.col("d").alias("j"), "x"), "j")
+            .groupBy("i")
+            .agg(
+                (
+                    F.sum(
+                        F.floor(F.col("c") * F.col("x") * F.lit(q)).cast(
+                            "long"
+                        )
+                    ).cast("double")
+                    / F.lit(q)
+                ).alias("w")
+            )
+        )
+        nn = w.agg(
+            (
+                F.sum(
+                    F.floor(F.col("w") * F.col("w") * F.lit(q)).cast("long")
+                ).cast("double")
+                / F.lit(q)
+            ).alias("nn")
+        )
+        v_new = (
+            w.crossJoin(F.broadcast(nn))
+            .select(
+                F.col("i").alias("d"),
+                (F.col("w") / F.sqrt(F.col("nn"))).alias("x"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            v_new.join(
+                v.select(F.col("d").alias("d"), F.col("x").alias("x_prev")),
+                "d",
+            )
+            .agg(F.max(F.abs(F.col("x") - F.col("x_prev"))).alias("m"))
+            .collect()[0]["m"]
+        )
+        v = v_new
+        if delta is not None and delta < tol:
+            return v.crossJoin(F.broadcast(nn)).select(
+                F.col("d").alias("dim"),
+                F.round("x", 6).alias("loading"),
+                F.round(F.sqrt(F.col("nn")), 6).alias("eigenvalue"),
+            )
+    raise RuntimeError(
+        f"power_iteration did not converge within max_iters={max_iters} "
+        f"(last residual {delta!r} >= tol={tol!r}); either a tied "
+        "dominant |eigenvalue| (the iterate oscillates — deflate the "
+        "tied subspace) or tol is below the fold-quantum noise floor "
+        "(~d*2^-30/lambda) — raise `tol` or `max_iters`"
+    )

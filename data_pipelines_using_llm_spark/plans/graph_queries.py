@@ -282,9 +282,10 @@ def trade_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the survivors after convergence form the densest habitually-
     connected core — the standard "influential subnetwork" / fraud-ring
     peel.  Fixed-round unrolling keeps the oracle expressible as CTEs;
-    production iterates to a fixpoint with the same per-round plan (the
-    peel monotonically shrinks, typically converging in a handful of
-    rounds).
+    the PRODUCTION fixpoint mode is :func:`operators.graph.k_core`
+    (peel-until-stable with a scalar edge-count probe per round and a
+    loud max_rounds guard — same per-round plan, tested equal to this
+    unrolled form on the fixture graph in tests/test_graph.py).
 
     Scale: each round is one degree aggregation (map-side combinable on
     the doubled edge list, where degree(v) = count of src=v rows) plus

@@ -1191,7 +1191,12 @@ def embedding_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses to d² cells, each round is a d²-row join + d-row
     aggregation — free at any corpus size — and the output is the
     top loading vector plus its eigenvalue (‖C·v‖ of the final round,
-    the power-iteration Rayleigh estimate).
+    the power-iteration Rayleigh estimate).  The PRODUCTION fixpoint
+    mode is :func:`operators.similarity.power_iteration` (residual-norm
+    convergence exit + loud max_iters guard, same quantized folds —
+    tested against numpy's dominant eigenpair in
+    tests/test_statistics_props.py); this unrolled form stays at
+    ``PI_ITERS`` rounds so the oracle remains CTE-expressible.
 
     Determinism: every Σ_j C_ij·v_j fold and every norm fold quantizes
     to ``floor(x·2^30)`` int64 before summing (order-free, the

@@ -167,3 +167,79 @@ def stream_silver_upsert(
             raise TimeoutError(f"stream_silver_upsert exceeded {timeout_sec}s")
     finally:
         query.stop()
+
+
+def stream_gold_rollup(
+    spark: SparkSession,
+    input_dir: str,
+    gold_path: str,
+    checkpoint: str,
+    timeout_sec: int = 300,
+    fail_after_batch: int | None = None,
+) -> None:
+    """Streaming gold-table maintenance: every micro-batch folds into the
+    persisted rollup at ``gold_path`` through
+    ``sinks/rollup.py::incremental_rollup`` with the STREAMING batch id
+    as the ledger id.  Structured Streaming's ``foreachBatch`` contract
+    makes that id stable across failure replays (same id, same data), so
+    the rollup's applied-batch ledger turns the sink's at-least-once
+    delivery into exactly-once gold state — the replay ledger's whole
+    purpose, here exercised on the real streaming surface instead of the
+    batch shim.
+
+    ``maxFilesPerTrigger=1`` makes each input file its own micro-batch
+    (the multi-batch shape a directory of arriving files produces in
+    production).
+
+    ``fail_after_batch`` is the CHAOS HOOK for the crash test: raise
+    once AFTER ``incremental_rollup`` returns for that batch id —
+    simulating a crash in the exact window where the gold swap (and its
+    staged ledger marker) landed but the streaming checkpoint commit did
+    not.  On restart the engine redelivers the batch; the ledger must
+    make the replay a byte-level no-op.
+    """
+    from data_pipelines_using_llm_spark.sinks.rollup import incremental_rollup
+
+    nanos = _probe_ts_precision(input_dir, "*.parquet")
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sdf = (
+        spark.readStream.schema(_events_stream_schema(nanos))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    if nanos:
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select(
+            F.year("ts").alias("year"),
+            F.month("ts").alias("month"),
+            "value",
+        ).filter(F.col("value").isNotNull())
+        incremental_rollup(
+            spark,
+            b,
+            gold_path,
+            keys=["year", "month"],
+            sum_cols=["value"],
+            batch_id=f"b{batch_id}",
+        )
+        if fail_after_batch is not None and batch_id == fail_after_batch:
+            raise RuntimeError(
+                "chaos: simulated crash after gold commit, before "
+                "checkpoint commit"
+            )
+
+    query = (
+        sdf.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    try:
+        finished = query.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(f"stream_gold_rollup exceeded {timeout_sec}s")
+    finally:
+        query.stop()

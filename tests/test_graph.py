@@ -240,3 +240,88 @@ def test_revenue_holt_forecast_hand_computed(spark):
     assert row["level"] == pytest.approx(l, abs=1e-4)
     assert row["trend"] == pytest.approx(b, abs=1e-4)
     assert row["forecast_next"] == pytest.approx(l + b, abs=1e-4)
+
+
+def test_k_core_fixpoint_equals_unrolled_query(spark):
+    """r7 verdict task 1: the library peel-until-stable mode must land on
+    the SAME core as the fixed-round registry query on the sf0.001 trade
+    graph (the peel converges in round 1 there, so the unrolled form IS
+    the fixpoint).  Also asserts the convergence exit actually fires —
+    max_rounds far above the unrolled count would hang/balloon if the
+    probe were broken."""
+    from data_pipelines_using_llm_spark.operators.graph import k_core
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cnode").alias("src"), F.col("snode").alias("dst")
+    ).union(
+        pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
+    )
+    core = k_core(edges, GQ.KCORE_K, max_rounds=30)
+    got = {
+        (r["node_type"], r["node_key"]): r["core_degree"]
+        for r in core.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(
+            F.when(F.col("src") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            (F.col("src") / 2).cast("long").alias("node_key"),
+            "core_degree",
+        )
+        .collect()
+    }
+    want = {
+        (r["node_type"], r["node_key"]): r["core_degree"]
+        for r in GQ.trade_k_core(spark, sf).collect()
+    }
+    assert got == want and got
+
+
+def test_k_core_converges_on_multi_round_peel_and_guards(spark):
+    """A chain-of-stars fixture needs SEVERAL peel rounds (removing leaf
+    spokes drops each hub below k in cascade), so this exercises the
+    loop body more than once; a too-small max_rounds must raise loudly
+    instead of returning a half-peeled graph."""
+    from data_pipelines_using_llm_spark.operators.graph import k_core
+
+    # path 1-2-3-4-5 doubled: k=2 peels one endpoint layer per round
+    # (degree-1 ends drop, exposing new ends) until nothing remains.
+    path = [(i, i + 1) for i in range(1, 6)]
+    rows = path + [(b, a) for a, b in path]
+    edges = spark.createDataFrame(rows, "src bigint, dst bigint")
+    assert k_core(edges, 2, max_rounds=10).count() == 0
+
+    # triangle + pendant: one round drops the pendant, core = triangle
+    tri = [(1, 2), (2, 3), (1, 3), (3, 9)]
+    rows = tri + [(b, a) for a, b in tri]
+    edges = spark.createDataFrame(rows, "src bigint, dst bigint")
+    core = k_core(edges, 2, max_rounds=10)
+    assert {
+        (r["src"], r["dst"]) for r in core.collect()
+    } == {(1, 2), (2, 3), (1, 3), (2, 1), (3, 2), (3, 1)}
+
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError, match="did not converge"):
+        # the 5-path needs 3 shrinking rounds; max_rounds=1 must be loud
+        k_core(
+            spark.createDataFrame(
+                [(i, i + 1) for i in range(1, 6)]
+                + [(i + 1, i) for i in range(1, 6)],
+                "src bigint, dst bigint",
+            ),
+            2,
+            max_rounds=1,
+        )

@@ -655,3 +655,145 @@ def test_multi_format_round_trip(spark, feed, tmp_path):
             (r.event_time, r.pm10, r.ingestion_date) for r in back.collect()
         )
         assert got == want, f"round-trip mismatch for {fmt}"
+
+
+class _FakeDeltaTable:
+    """Minimal stand-in for delta.tables.DeltaTable: records the call
+    chain the gated branches construct so the test can assert it."""
+
+    calls: list = []
+
+    @classmethod
+    def reset(cls):
+        cls.calls = []
+
+    @classmethod
+    def isDeltaTable(cls, spark, path):
+        cls.calls.append(("isDeltaTable", path))
+        return True
+
+    @classmethod
+    def forPath(cls, spark, path):
+        cls.calls.append(("forPath", path))
+        return cls()
+
+    def alias(self, a):
+        self.calls.append(("alias", a))
+        return self
+
+    def merge(self, source, cond):
+        self.calls.append(("merge", cond))
+        self._source = source
+        return self
+
+    def whenMatchedUpdateAll(self):
+        self.calls.append(("whenMatchedUpdateAll",))
+        return self
+
+    def whenNotMatchedInsertAll(self):
+        self.calls.append(("whenNotMatchedInsertAll",))
+        return self
+
+    def execute(self):
+        self.calls.append(("execute",))
+
+
+def _install_fake_delta(monkeypatch):
+    import sys
+    import types
+
+    delta = types.ModuleType("delta")
+    tables = types.ModuleType("delta.tables")
+    tables.DeltaTable = _FakeDeltaTable
+    delta.tables = tables
+    monkeypatch.setitem(sys.modules, "delta", delta)
+    monkeypatch.setitem(sys.modules, "delta.tables", tables)
+    _FakeDeltaTable.reset()
+
+
+def test_delta_gated_merge_branch_constructs_merge_into(spark, monkeypatch):
+    """r7 verdict task 4: the sandbox has no delta-spark, so the Delta
+    branches have never executed.  A fake `delta` module proves the
+    import-gated MERGE INTO path runs and builds the exact
+    matched-update / not-matched-insert chain on the keyed condition."""
+    from data_pipelines_using_llm_spark.sinks import writers as W
+
+    _install_fake_delta(monkeypatch)
+    assert W.delta_available()
+
+    df = spark.createDataFrame([(1, "a")], "event_id long, v string")
+    W.idempotent_upsert(spark, df, "/fake/delta/tbl", key=["event_id", "v"])
+    names = [c[0] for c in _FakeDeltaTable.calls]
+    assert names == [
+        "isDeltaTable",
+        "forPath",
+        "alias",
+        "merge",
+        "whenMatchedUpdateAll",
+        "whenNotMatchedInsertAll",
+        "execute",
+    ]
+    cond = next(c[1] for c in _FakeDeltaTable.calls if c[0] == "merge")
+    assert cond == "t.`event_id` <=> s.`event_id` AND t.`v` <=> s.`v`"
+
+
+def test_delta_gated_merge_schema_branch_sets_writer_options(
+    spark, monkeypatch
+):
+    """The mergeSchema append branch must route through a
+    format('delta') writer with mergeSchema=true and the partition
+    columns — asserted via a recording writer patched over
+    DataFrame.write (the sandbox JVM has no delta source to execute)."""
+    from data_pipelines_using_llm_spark.sinks import writers as W
+
+    _install_fake_delta(monkeypatch)
+    recorded = {}
+
+    class _FakeWriter:
+        def format(self, f):
+            recorded["format"] = f
+            return self
+
+        def mode(self, m):
+            recorded["mode"] = m
+            return self
+
+        def option(self, k, v):
+            recorded.setdefault("options", {})[k] = v
+            return self
+
+        def partitionBy(self, *cols):
+            recorded["partitionBy"] = list(cols)
+            return self
+
+        def save(self, path):
+            recorded["save"] = path
+
+    df = spark.createDataFrame([(1, "2024-01-01")], "id long, day string")
+    # patch the CONCRETE class (pyspark.sql.classic.dataframe.DataFrame
+    # in Spark 4 — the abstract pyspark.sql.DataFrame's property is
+    # overridden there and never consulted)
+    monkeypatch.setattr(
+        type(df), "write", property(lambda self: _FakeWriter())
+    )
+    W.append_with_evolution(spark, df, "/fake/delta/tbl2", partition_by=["day"])
+    assert recorded == {
+        "format": "delta",
+        "mode": "append",
+        "options": {"mergeSchema": "true"},
+        "partitionBy": ["day"],
+        "save": "/fake/delta/tbl2",
+    }
+
+
+def test_delta_gated_optimize_branch_emits_zorder_sql(spark, monkeypatch):
+    """The maintenance branch must issue OPTIMIZE ... ZORDER BY over the
+    Delta path (captured via a patched spark.sql — the sandbox parser
+    has no OPTIMIZE)."""
+    from data_pipelines_using_llm_spark.sinks import writers as W
+
+    _install_fake_delta(monkeypatch)
+    seen = []
+    monkeypatch.setattr(spark, "sql", lambda q: seen.append(q))
+    W.compact_table(spark, "/fake/delta/tbl3", zorder_by=["user_id", "ts"])
+    assert seen == ["OPTIMIZE delta.`/fake/delta/tbl3` ZORDER BY (user_id, ts)"]

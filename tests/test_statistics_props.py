@@ -171,3 +171,73 @@ def test_top_eigvec_is_unit_near_eigenpair(spark):
     # 3 rounds is an estimate, not convergence — the residual must just
     # be decisively smaller than the eigenvalue itself
     assert math.sqrt(resid) < 0.5 * lam
+
+
+def test_power_iteration_fixpoint_is_tight_eigenpair(spark):
+    """r7 verdict task 1: the library residual-norm fixpoint mode must
+    land on a genuine eigenpair — residual ||C v - lambda v|| orders of
+    magnitude below lambda (the unrolled 3-round query only promises
+    0.5*lambda) — and agree in DIRECTION with the unrolled registry
+    eigenpair numpy computes from the SAME covariance cells.  (The
+    3-round unrolled registry estimate is deliberately NOT the
+    comparison target: on these embeddings the top two eigenvalues are
+    near-tied, so 3 rounds is a poor direction estimate — the whole
+    reason the production fixpoint mode exists.)"""
+    import math
+
+    from data_pipelines_using_llm_spark.operators.similarity import (
+        power_iteration,
+    )
+    from data_pipelines_using_llm_spark.plans.similarity_queries import (
+        embedding_covariance,
+    )
+
+    cov = embedding_covariance(spark, SF0001).select("i", "j", "cov")
+    rows = power_iteration(cov, tol=1e-6, max_iters=200).collect()
+    v = {r.dim: r.loading for r in rows}
+    lam = rows[0].eigenvalue
+    assert lam > 0
+    assert abs(sum(x * x for x in v.values()) - 1.0) < 1e-4
+
+    cells = embedding_covariance(spark, SF0001).collect()
+    c = {}
+    for r in cells:
+        c[(r.i, r.j)] = r.cov
+        c[(r.j, r.i)] = r.cov
+    dims = sorted(v)
+    resid = 0.0
+    for i in dims:
+        cv = sum(c[(i, j)] * v[j] for j in dims)
+        resid += (cv - lam * v[i]) ** 2
+    assert math.sqrt(resid) < 1e-3 * lam  # converged, not an estimate
+
+    # the fixpoint must be the DOMINANT eigenpair, not just any eigenpair
+    import numpy as np
+    import pytest
+
+    pos = {d: idx for idx, d in enumerate(dims)}
+    mat = np.zeros((len(dims), len(dims)))
+    for (i, j), cv in c.items():
+        mat[pos[i], pos[j]] = cv
+    evals, evecs = np.linalg.eigh(mat)
+    assert lam == pytest.approx(evals[-1], rel=1e-3)
+    v_np = evecs[:, -1]
+    cos = abs(sum(v[d] * v_np[pos[d]] for d in dims))
+    assert cos > 0.999
+
+
+def test_power_iteration_max_iters_guard_is_loud(spark):
+    """A NEGATIVE dominant eigenvalue (diag(-3, 1)) flips the iterate's
+    sign every round, so the successive-vector residual stays ~2 forever:
+    the guard must raise, never return silently unconverged."""
+    import pytest as _pt
+
+    cov = spark.createDataFrame(
+        [(0, 0, -3.0), (0, 1, 0.0), (1, 1, 1.0)], "i int, j int, cov double"
+    )
+    from data_pipelines_using_llm_spark.operators.similarity import (
+        power_iteration,
+    )
+
+    with _pt.raises(RuntimeError, match="did not converge"):
+        power_iteration(cov, tol=1e-12, max_iters=5)

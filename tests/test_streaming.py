@@ -158,3 +158,81 @@ def test_transform_with_state_engagement(spark):
 
     problems = run_check(spark, "/root/testdata/sf0.001", "stream_user_engagement_tws")
     assert not problems, problems
+
+
+def test_gold_rollup_replay_after_crash_is_byte_noop(spark, tmp_path):
+    """r7 verdict task 8: crash the stream in the worst window — gold
+    swap (with its staged ledger marker) committed, streaming checkpoint
+    NOT committed — then restart.  Structured Streaming redelivers the
+    same batch id with the same data; the ledger must make the replay a
+    BYTE-LEVEL no-op on the gold directory, and the final state must
+    equal a run that never crashed."""
+    import hashlib
+    import shutil
+
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from data_pipelines_using_llm_spark.sinks.rollup import read_rollup
+    from data_pipelines_using_llm_spark.streaming.ingest import (
+        stream_gold_rollup,
+    )
+
+    # three single-file micro-batches sliced from the fixture events
+    src = "/root/testdata/sf0.001/events.parquet"
+    events = spark.read.parquet(src)
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    for i in range(3):
+        part = events.filter(F.col("event_id") % 3 == i).coalesce(1)
+        d = str(tmp_path / f"slice{i}")
+        part.write.mode("overwrite").parquet(d)
+        pq = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(pq) == 1
+        shutil.copy(os.path.join(d, pq[0]), str(inbox / f"f{i}.parquet"))
+
+    def dir_hashes(p):
+        out = {}
+        for root, _, files in os.walk(p):
+            for f in files:
+                fp = os.path.join(root, f)
+                rel = os.path.relpath(fp, p)
+                with open(fp, "rb") as fh:
+                    out[rel] = hashlib.sha256(fh.read()).hexdigest()
+        return out
+
+    gold = str(tmp_path / "gold")
+    ckpt = str(tmp_path / "ckpt")
+    try:
+        stream_gold_rollup(spark, str(inbox), gold, ckpt, fail_after_batch=1)
+        raise AssertionError("chaos hook did not fire")
+    except StreamingQueryException:
+        pass  # crashed after batch 1's gold commit, as injected
+
+    # batches 0 and 1 are in gold; batch 1's checkpoint commit is lost
+    h_after_crash = dir_hashes(gold)
+    assert any("b1" in k for k in h_after_crash), "ledger marker missing"
+
+    # restart: batch 1 replays (must be a no-op), batch 2 applies
+    stream_gold_rollup(spark, str(inbox), gold, ckpt)
+    final = {
+        (r["year"], r["month"]): (r["n_rows"], r["sum_value"])
+        for r in read_rollup(spark, gold, ["value"]).collect()
+    }
+
+    # a third run with no new files must not touch a single byte
+    h_before_idle = dir_hashes(gold)
+    stream_gold_rollup(spark, str(inbox), gold, ckpt)
+    assert dir_hashes(gold) == h_before_idle
+
+    # and the crashed-then-replayed gold equals the never-crashed run
+    gold2 = str(tmp_path / "gold_once")
+    stream_gold_rollup(spark, str(inbox), gold2, str(tmp_path / "ckpt2"))
+    once = {
+        (r["year"], r["month"]): (r["n_rows"], r["sum_value"])
+        for r in read_rollup(spark, gold2, ["value"]).collect()
+    }
+    assert final == once and final
+
+    # no double-count: totals match the batch ground truth
+    n_total = sum(n for n, _ in final.values())
+    assert n_total == events.filter(F.col("value").isNotNull()).count()
