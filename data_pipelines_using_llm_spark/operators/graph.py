@@ -50,8 +50,26 @@ def pagerank(
     damping: float = DAMPING,
     dangling: str = "error",
     fold: str = "quantized",
+    salt: int | None = None,
 ) -> DataFrame:
     """``iters`` rounds of PageRank over directed ``edges``.
+
+    ``salt`` is the HUB-SKEW guard: the per-iteration ``edges ⋈ rank``
+    join fans out by out-degree, and a celebrity vertex (10⁶ out-edges)
+    lands its whole fan-out in ONE join task.  AQE's skew split does
+    NOT cover this shape — measured on Spark 4.1.2, OptimizeSkewedJoin
+    only engages when the join feeds the result stage directly, and
+    here a keyed aggregation (the rank fold) always follows
+    (tests/test_graph.py::test_pagerank_salted_join_bounds_hub_tasks).
+    With ``salt=S``, edges carry ``pmod(xxhash64(dst), S)`` and the
+    vertex-side (rank ⋈ degree) table is replicated S× so the join key
+    becomes (src, salt): every hub's fan-out spreads over S tasks,
+    bounding per-task rows at out_degree/S.  Cost: an S× bigger
+    vertex-side shuffle — pay it when the degree distribution demands
+    it, skip it otherwise (default None keeps the 1× plan).  Results
+    are BIT-IDENTICAL either way under the default quantized fold
+    (order-free integer sums), which is what makes the knob safe to
+    flip per-corpus.
 
     Dangling vertices (out-degree 0, e.g. a pure sink) would silently
     LEAK rank mass — they receive rank but contribute nothing back, so
@@ -112,11 +130,31 @@ def pagerank(
         "node", (F.lit(1.0) / F.col("n")).alias("r")
     )
     for _ in range(iters):
-        contrib = (
-            edges.join(rank.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
-            .select("dst", "src", (F.col("r") / F.col("deg")).alias("c"))
-        )
+        # Pre-join the two VERTEX-sized tables (rank, degree) before
+        # touching the edge list: the corpus-sized join then happens
+        # exactly once per iteration, and — because nothing downstream
+        # of it requires src partitioning (the fold shuffles on dst) —
+        # AQE's skew split is free to break a celebrity vertex's hub
+        # partition into chunks (tests/test_graph.py hub-skew fixture).
+        # The old edges⋈rank⋈deg chain pinned src partitioning across
+        # two joins, which vetoed the split exactly where it mattered.
+        rd = rank.withColumnRenamed("node", "src").join(deg, "src")
+        if salt:
+            rd_s = rd.withColumn(
+                "salt",
+                F.explode(F.sequence(F.lit(0), F.lit(salt - 1))),
+            )
+            e_s = edges.withColumn(
+                "salt",
+                F.pmod(F.xxhash64("dst"), F.lit(salt)).cast("int"),
+            )
+            contrib = e_s.join(rd_s, ["src", "salt"]).select(
+                "dst", "src", (F.col("r") / F.col("deg")).alias("c")
+            )
+        else:
+            contrib = edges.join(rd, "src").select(
+                "dst", "src", (F.col("r") / F.col("deg")).alias("c")
+            )
         if fold == "quantized":
             # fixed-point fold: floor(c·2^50) is IEEE-identical in every
             # engine, and int64 addition is exact & order-independent —

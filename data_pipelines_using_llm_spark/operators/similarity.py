@@ -1592,7 +1592,7 @@ def knn_ivfpq(
 PI_QUANTUM = float(1 << 30)  # order-free matrix-vector fold quantum
 
 
-def power_iteration(
+def _power_iteration_raw(
     cov: DataFrame,
     i_col: str = "i",
     j_col: str = "j",
@@ -1683,10 +1683,12 @@ def power_iteration(
         )
         v = v_new
         if delta is not None and delta < tol:
+            # UNROUNDED (d, x, nn-as-eigenvalue) — top_m_eigvecs deflates
+            # with these; the public wrapper rounds for reports.
             return v.crossJoin(F.broadcast(nn)).select(
                 F.col("d").alias("dim"),
-                F.round("x", 6).alias("loading"),
-                F.round(F.sqrt(F.col("nn")), 6).alias("eigenvalue"),
+                F.col("x").alias("loading"),
+                F.sqrt(F.col("nn")).alias("eigenvalue"),
             )
     raise RuntimeError(
         f"power_iteration did not converge within max_iters={max_iters} "
@@ -1695,3 +1697,98 @@ def power_iteration(
         "tied subspace) or tol is below the fold-quantum noise floor "
         "(~d*2^-30/lambda) — raise `tol` or `max_iters`"
     )
+
+
+def power_iteration(
+    cov: DataFrame,
+    i_col: str = "i",
+    j_col: str = "j",
+    val_col: str = "cov",
+    tol: float = 1e-6,
+    max_iters: int = 100,
+) -> DataFrame:
+    """Public report form of :func:`_power_iteration_raw` — identical
+    fixpoint arithmetic, loadings and eigenvalue rounded to 6 (the
+    registry output convention)."""
+    raw = _power_iteration_raw(cov, i_col, j_col, val_col, tol, max_iters)
+    return raw.select(
+        "dim",
+        F.round("loading", 6).alias("loading"),
+        F.round("eigenvalue", 6).alias("eigenvalue"),
+    )
+
+
+def top_m_eigvecs(
+    cov: DataFrame,
+    m: int = 2,
+    i_col: str = "i",
+    j_col: str = "j",
+    val_col: str = "cov",
+    tol: float = 1e-6,
+    max_iters: int = 100,
+) -> DataFrame:
+    """Top-``m`` eigenpairs of a symmetric matrix by residual-converged
+    power iteration + HOTELLING DEFLATION — the production fixpoint
+    counterpart of the unrolled registry query
+    (plans/similarity_queries.py::embedding_top2_eigvecs): after each
+    converged component (v, lambda), the matrix is replaced by
+    ``C <- C - lambda*v*v^T`` (one d^2-row join against the d-row
+    vector) and the iteration restarts, so component k+1 converges to
+    the dominant eigenpair of the deflated remainder.
+
+    Deflation uses the UNROUNDED converged vector (rounding first would
+    inject ~1e-6*lambda of rank-1 error into every later component).
+    Input/output contract matches power_iteration: upper-triangular
+    cells in, (component, dim, loading, eigenvalue) long-format out,
+    rounded to 6 for reporting.  Each deflated matrix is cut with
+    ``localCheckpoint`` — it is referenced 2 x rounds times by the next
+    component's iteration.
+
+    Scale: the corpus pass is upstream (building ``cov``); here every
+    step is d- or d^2-row control-plane work, so m components cost m
+    power-iteration runs of tiny jobs, never another corpus pass.
+    """
+    cur = cov.select(
+        F.col(i_col).alias("i"),
+        F.col(j_col).alias("j"),
+        F.col(val_col).cast("double").alias("cov"),
+    ).coalesce(1)
+    outs = []
+    for comp in range(1, m + 1):
+        eig = _power_iteration_raw(
+            cur, "i", "j", "cov", tol, max_iters
+        ).localCheckpoint(eager=True)
+        outs.append(
+            eig.select(
+                F.lit(comp).cast("int").alias("component"),
+                "dim",
+                F.round("loading", 6).alias("loading"),
+                F.round("eigenvalue", 6).alias("eigenvalue"),
+            )
+        )
+        if comp == m:
+            break
+        vi = eig.select(
+            F.col("dim").alias("i"),
+            F.col("loading").alias("xi"),
+            F.col("eigenvalue").alias("lam"),
+        )
+        vj = eig.select(F.col("dim").alias("j"), F.col("loading").alias("xj"))
+        # upper-triangular representation is preserved: deflation is
+        # symmetric, so subtracting on the i<=j cells is exact.
+        cur = (
+            cur.join(vi, "i")
+            .join(vj, "j")
+            .select(
+                "i",
+                "j",
+                (
+                    F.col("cov") - F.col("lam") * F.col("xi") * F.col("xj")
+                ).alias("cov"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

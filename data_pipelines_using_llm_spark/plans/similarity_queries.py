@@ -1230,11 +1230,24 @@ def embedding_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("j").alias("i"), F.col("i").alias("j"), "cov"
         )
     )
+    v, nn = _pi_rounds(full, PI_ITERS)
+    return v.crossJoin(F.broadcast(nn)).select(
+        F.col("d").alias("dim"),
+        F.round("x", 6).alias("loading"),
+        F.round(F.sqrt(F.col("nn")), 6).alias("eigenvalue"),
+    )
+
+
+def _pi_rounds(full: DataFrame, iters: int):
+    """``iters`` unrolled quantized power-iteration rounds over a full
+    symmetric cell table (i, j, cov); returns the lazy (v, nn) pair —
+    the shared arithmetic of embedding_top_eigvec and
+    embedding_top2_eigvecs (and the textual mirror of their oracles)."""
     v = full.select(F.col("i").alias("d")).distinct().select(
         "d", F.lit(1.0).alias("x")
     )
     nn = None
-    for _ in range(PI_ITERS):
+    for _ in range(iters):
         w = (
             full.join(v.select(F.col("d").alias("j"), "x"), "j")
             .groupBy("i")
@@ -1263,11 +1276,82 @@ def embedding_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("i").alias("d"),
             (F.col("w") / F.sqrt(F.col("nn"))).alias("x"),
         )
-    return v.crossJoin(F.broadcast(nn)).select(
-        F.col("d").alias("dim"),
-        F.round("x", 6).alias("loading"),
-        F.round(F.sqrt(F.col("nn")), 6).alias("eigenvalue"),
+    return v, nn
+
+
+def embedding_top2_eigvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal components via in-dataflow DEFLATION (r7 verdict
+    task 7): run the unrolled power iteration for the dominant eigenpair
+    (v₁, λ₁), subtract its rank-1 term from the cell table —
+    ``C₂ = C − λ₁·v₁v₁ᵀ``, the Hotelling deflation / one Gram-Schmidt
+    step against the found component — and iterate again on C₂ for
+    (v₂, λ₂).  Together the two loading vectors are the projection basis
+    for embedding whitening/compression (project each vector onto them
+    with F.aggregate dot products).
+
+    Output is LONG format: (component, dim, loading, eigenvalue), one
+    row per component×dimension.
+
+    Determinism: the deflated cell value is one multiply-chain over
+    engine-identical inputs (``cov − sqrt(nn)·xᵢ·xⱼ``, left-associated
+    in both engines), and both components' folds use the same quantized
+    int64 discipline as :func:`embedding_top_eigvec`.  v₁/λ₁ are cut
+    with ``localCheckpoint`` before deflation — the second component's
+    plan references v₁ THREE times (two joins + output), so without the
+    cut the 2^rounds trivial-subtree blowup squares.
+
+    Scale: identical to embedding_top_eigvec — the corpus is touched
+    once (embedding_covariance); deflation joins are d²×d row tables on
+    one partition.  Residual caveat, stated honestly: ``PI_ITERS``
+    rounds is a Rayleigh ESTIMATE, so the deflated matrix carries the
+    estimate's error into component 2 (fine for a report; production
+    chains :func:`operators.similarity.power_iteration` to convergence
+    before deflating — same arithmetic, residual-gated).
+    """
+    from data_pipelines_using_llm_spark.operators.caching import barrier
+
+    cov = barrier(
+        embedding_covariance(spark, sf_dir)
+        .select("i", "j", "cov")
+        .coalesce(1)
     )
+    full = cov.unionAll(
+        cov.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    )
+    v1, nn1 = _pi_rounds(full, PI_ITERS)
+    v1 = v1.localCheckpoint(eager=True)
+    nn1 = nn1.localCheckpoint(eager=True)
+    full2 = (
+        full.join(
+            v1.select(F.col("d").alias("i"), F.col("x").alias("xi")), "i"
+        )
+        .join(v1.select(F.col("d").alias("j"), F.col("x").alias("xj")), "j")
+        .crossJoin(F.broadcast(nn1))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("cov")
+                - F.sqrt(F.col("nn")) * F.col("xi") * F.col("xj")
+            ).alias("cov"),
+        )
+        # d² rows, one partition: the second round stack references this
+        # 2^PI_ITERS times — checkpointing it keeps analysis linear.
+        .localCheckpoint(eager=True)
+    )
+    v2, nn2 = _pi_rounds(full2, PI_ITERS)
+
+    def _out(comp: int, v: DataFrame, nn: DataFrame) -> DataFrame:
+        return v.crossJoin(F.broadcast(nn)).select(
+            F.lit(comp).cast("int").alias("component"),
+            F.col("d").alias("dim"),
+            F.round("x", 6).alias("loading"),
+            F.round(F.sqrt(F.col("nn")), 6).alias("eigenvalue"),
+        )
+
+    return _out(1, v1, nn1).unionByName(_out(2, v2, nn2))
 
 
 def _top_eigvec_oracle(iters: int = PI_ITERS) -> str:
@@ -1310,6 +1394,95 @@ WITH {joined}
 SELECT d AS dim, round(x, 6) AS loading,
        round(sqrt(nn), 6) AS eigenvalue
 FROM {prev} CROSS JOIN n{iters}
+"""
+
+
+def _top2_eigvecs_oracle(iters: int = PI_ITERS) -> str:
+    """Unrolled CTE mirror of embedding_top2_eigvecs: the v/n rounds of
+    _top_eigvec_oracle, then the rank-1 deflation cell table, then a
+    second unrolled round stack (u/p/z) over the deflated cells."""
+    # Every iteration CTE is MATERIALIZED: DuckDB inlines plain CTEs,
+    # and the deflated stack references cells2 (which references the
+    # whole first stack) 2^rounds times — inlined, the oracle is
+    # exponential and never finishes; materialized, it is d^2-row work.
+    ctes = [
+        _COV_CTES,
+        f"cov AS MATERIALIZED ({_COV_SELECT})",
+        """full_m AS MATERIALIZED (
+    SELECT i, j, cov FROM cov
+    UNION ALL
+    SELECT j AS i, i AS j, cov FROM cov WHERE i <> j
+)""",
+        "v0 AS MATERIALIZED (SELECT DISTINCT i AS d, 1.0 AS x FROM full_m)",
+    ]
+    prev = "v0"
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"""w{it} AS MATERIALIZED (
+    SELECT m.i,
+           CAST(sum(CAST(floor(m.cov * v.x * {PI_Q!r}) AS BIGINT))
+               AS DOUBLE) / {PI_Q!r} AS w
+    FROM full_m m JOIN {prev} v ON v.d = m.j
+    GROUP BY m.i
+)"""
+        )
+        ctes.append(
+            f"""n{it} AS MATERIALIZED (
+    SELECT CAST(sum(CAST(floor(w * w * {PI_Q!r}) AS BIGINT))
+               AS DOUBLE) / {PI_Q!r} AS nn
+    FROM w{it}
+)"""
+        )
+        ctes.append(
+            f"v{it} AS MATERIALIZED (SELECT i AS d, w / sqrt(nn) AS x "
+            f"FROM w{it} CROSS JOIN n{it})"
+        )
+        prev = f"v{it}"
+    # Hotelling deflation: C2 = C - sqrt(nn)·v1 v1ᵀ, left-associated
+    # exactly like the Spark expression (cov - sqrt(nn)*xi*xj).
+    ctes.append(
+        f"""cells2 AS MATERIALIZED (
+    SELECT m.i, m.j,
+           m.cov - sqrt(l.nn) * vi.x * vj.x AS cov
+    FROM full_m m
+    JOIN {prev} vi ON vi.d = m.i
+    JOIN {prev} vj ON vj.d = m.j
+    CROSS JOIN n{iters} l
+)"""
+    )
+    ctes.append("z0 AS MATERIALIZED (SELECT DISTINCT i AS d, 1.0 AS x FROM cells2)")
+    zprev = "z0"
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"""u{it} AS MATERIALIZED (
+    SELECT m.i,
+           CAST(sum(CAST(floor(m.cov * v.x * {PI_Q!r}) AS BIGINT))
+               AS DOUBLE) / {PI_Q!r} AS w
+    FROM cells2 m JOIN {zprev} v ON v.d = m.j
+    GROUP BY m.i
+)"""
+        )
+        ctes.append(
+            f"""p{it} AS MATERIALIZED (
+    SELECT CAST(sum(CAST(floor(w * w * {PI_Q!r}) AS BIGINT))
+               AS DOUBLE) / {PI_Q!r} AS nn
+    FROM u{it}
+)"""
+        )
+        ctes.append(
+            f"z{it} AS MATERIALIZED (SELECT i AS d, w / sqrt(nn) AS x "
+            f"FROM u{it} CROSS JOIN p{it})"
+        )
+        zprev = f"z{it}"
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT CAST(1 AS INT) AS component, d AS dim, round(x, 6) AS loading,
+       round(sqrt(nn), 6) AS eigenvalue
+FROM {prev} CROSS JOIN n{iters}
+UNION ALL
+SELECT CAST(2 AS INT), d, round(x, 6), round(sqrt(nn), 6)
+FROM {zprev} CROSS JOIN p{iters}
 """
 
 
@@ -1381,5 +1554,11 @@ QUERIES = {
         embedding_top_eigvec,
         _top_eigvec_oracle(),
         "top principal component via unrolled in-dataflow power iteration",
+    ),
+    "embedding_top2_eigvecs": QuerySpec(
+        embedding_top2_eigvecs,
+        _top2_eigvecs_oracle(),
+        "top-2 principal components via power iteration + rank-1 "
+        "Hotelling deflation, all in-dataflow",
     ),
 }

@@ -284,13 +284,22 @@ DECON_NGRAM = 5  # docs are 10-99 tokens; 5-gram overlap = planted near-dups
 DECON_EVAL_MOD = 20  # doc_id % 20 == 0 is the held-out "benchmark" set
 
 
-def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_decontamination(
+    spark: SparkSession, sf_dir: str, eval_docs: DataFrame | None = None
+) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     ``DECON_NGRAM``-token shingle with the eval set (the pretraining
     hygiene pass every serious corpus runs — eval answers memorized via
-    verbatim overlap inflate benchmarks).  The eval set here is the
-    deterministic ``doc_id % DECON_EVAL_MOD == 0`` slice; production
-    swaps in the real benchmark corpus, the plan is unchanged.
+    verbatim overlap inflate benchmarks).
+
+    ``eval_docs`` is the PRODUCTION shape: a separate benchmark table
+    (``doc_id``, ``text`` — MMLU/GSM8K-sized, fixed size at any corpus
+    scale), whose distinct shingle set is broadcast-safe BY CONSTRUCTION;
+    every corpus document is then a training candidate.  When omitted
+    (the oracle-gated registry form), the eval set is simulated as the
+    deterministic ``doc_id % DECON_EVAL_MOD == 0`` corpus slice — same
+    machinery, but the broadcast side then grows with the corpus, which
+    is only safe at test scale (the SCALE.md caveat).
 
     Scale: shingles are joined as rolling-hash BIGINTs (8-byte shuffle
     keys, not 40-byte strings); the eval side is DISTINCT shingles of
@@ -313,15 +322,24 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.explode("grams").alias("h")
         )
     )
-    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
-    ev = exploded.filter(is_eval).select("h").distinct()
+    if eval_docs is None:
+        is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+        ev = exploded.filter(is_eval).select("h").distinct()
+        tr_exploded = exploded.filter(~is_eval)
+        train = d.filter(~is_eval).select("doc_id")
+    else:
+        ev = (
+            gram_hash_df(eval_docs, "doc_id", "text", DECON_NGRAM)
+            .select(F.explode("grams").alias("h"))
+            .distinct()
+        )
+        tr_exploded = exploded
+        train = d.select("doc_id")
     hits = (
-        exploded.filter(~is_eval)
-        .join(F.broadcast(ev), "h")
+        tr_exploded.join(F.broadcast(ev), "h")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))  # per-doc distinct already
     )
-    train = d.filter(~is_eval).select("doc_id")
     n_shared = F.coalesce(F.col("n_shared"), F.lit(0)).cast("long")
     return train.join(hits, "doc_id", "left").select(
         "doc_id",
@@ -369,28 +387,34 @@ FUZZY_DECON_THRESHOLD = 0.35
 FUZZY_DECON_BANDS = 8
 
 
-def doc_decontamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_decontamination_fuzzy(
+    spark: SparkSession, sf_dir: str, eval_docs: DataFrame | None = None
+) -> DataFrame:
     """Fuzzy benchmark decontamination: per training document, the eval
     documents whose 3-gram Jaccard similarity clears
     ``FUZZY_DECON_THRESHOLD``, found via MinHash-LSH banding — the
     near-dup complement of :func:`doc_decontamination`'s exact shingle
     membership (which misses lightly edited eval copies).
 
+    ``eval_docs`` is the PRODUCTION shape: a separate benchmark table
+    (``doc_id``, ``text``) whose size is fixed at any corpus scale
+    (MMLU/GSM8K-sized, a few 100k shingles) — that fixed size is what
+    makes broadcasting its bands and shingle sets correct at 100 TB;
+    every corpus document is then a training candidate.  When omitted
+    (the oracle-gated registry form), the eval set is simulated as the
+    ``doc_id % 20 == 0`` corpus slice — same machinery, but the
+    broadcast side then grows linearly with the corpus, only safe at
+    test scale (the SCALE.md caveat).  With a genuinely large eval
+    table, drop the broadcast hints and let the band join shuffle both
+    sides; the corpus-sized side never shuffles for the candidate step
+    either way.
+
     Plan shape: shingle + sign once behind persist barriers (the
     projection-collapse discipline of operators/dedup.py), band with
-    8x2 LSH, then join TRAIN bands against BROADCAST eval bands.  SCALE
-    CAVEAT (same as :func:`doc_decontamination`): here the "eval set" is
-    simulated as a fixed slice of the corpus (``doc_id % 20 == 0``), so
-    the broadcast side — band arrays plus shingle sets — grows linearly
-    with the corpus and the broadcast is only safe because the test
-    corpus is small.  In production the eval set is a SEPARATE benchmark
-    table whose size is fixed (MMLU/GSM8K-sized, a few 100k shingles),
-    which is what makes broadcasting it correct at 100 TB; with a large
-    eval table, drop the broadcast hints and let the band join shuffle
-    both sides.  The corpus-sized side never shuffles for the candidate
-    step either way.  The first-matching-band owner filter replaces a distinct()
-    over candidates; the verify join fetches train grams by id (one
-    hash shuffle) against broadcast eval grams.  Final report is one
+    8x2 LSH, then join TRAIN bands against BROADCAST eval bands.  The
+    first-matching-band owner filter replaces a distinct() over
+    candidates; the verify join fetches train grams by id (one hash
+    shuffle) against broadcast eval grams.  Final report is one
     grouped aggregation per flagged training doc.
     """
     from data_pipelines_using_llm_spark.operators import dedup as DD
@@ -406,22 +430,38 @@ def doc_decontamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = barrier(
         base.withColumn("sig", DD.minhash_signature(F.col("grams")))
     )
-    bands_arr = F.transform(
-        DD.lsh_bands(F.col("sig"), FUZZY_DECON_BANDS), lambda b: b["band_key"]
-    )
-    banded = sigs.select(
-        "doc_id",
-        bands_arr.alias("bands"),
-        F.posexplode(bands_arr).alias("band_id", "band_key"),
-    )
-    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
-    ev = banded.filter(is_eval).select(
+    def _banded(sig_df: DataFrame) -> DataFrame:
+        arr = F.transform(
+            DD.lsh_bands(F.col("sig"), FUZZY_DECON_BANDS),
+            lambda b: b["band_key"],
+        )
+        return sig_df.select(
+            "doc_id",
+            arr.alias("bands"),
+            F.posexplode(arr).alias("band_id", "band_key"),
+        )
+
+    banded = _banded(sigs)
+    if eval_docs is None:
+        is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+        ev_sigs = sigs
+        ev_banded = banded.filter(is_eval)
+        tr = banded.filter(~is_eval)
+    else:
+        is_eval = None
+        ev_sigs = barrier(
+            DD.gram_hash_df(eval_docs, "doc_id", "text", NGRAM_N)
+            .filter(F.size("grams") > 0)
+            .withColumn("sig", DD.minhash_signature(F.col("grams")))
+        )
+        ev_banded = _banded(ev_sigs)
+        tr = banded
+    ev = ev_banded.select(
         F.col("doc_id").alias("eval_doc_id"),
         F.col("bands").alias("ev_bands"),
         "band_id",
         "band_key",
     )
-    tr = banded.filter(~is_eval)
     # First-matching-band ownership: a (train, eval) pair colliding in
     # several bands is emitted only by its lowest shared band — no
     # distinct() shuffle over collision-sized candidates.
@@ -441,7 +481,7 @@ def doc_decontamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "eval_doc_id")
     )
     ga = sigs.select("doc_id", F.col("grams").alias("grams_t"))
-    gb = sigs.filter(is_eval).select(
+    gb = (ev_sigs.filter(is_eval) if is_eval is not None else ev_sigs).select(
         F.col("doc_id").alias("eval_doc_id"), F.col("grams").alias("grams_e")
     )
     pairs = (
@@ -1561,15 +1601,24 @@ DSIR_KEEP = 250
 DSIR_Q = float(1 << 30)  # quantum for the order-free weight fold
 
 
-def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_dsir_select(
+    spark: SparkSession, sf_dir: str, target_docs: DataFrame | None = None
+) -> DataFrame:
     """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
     score every training document by the log-likelihood ratio of a
     hashed-unigram model of the TARGET domain vs the raw corpus, and
     keep the top-``DSIR_KEEP`` — the standard "select pretraining data
-    that looks like the eval domain" pipeline op.  The target set is
-    simulated as a fixed corpus slice (``doc_id % 23 == 0``); in
-    production it is a separate small table (the decontamination
-    caveat, SCALE.md) and the machinery is unchanged.
+    that looks like the eval domain" pipeline op.
+
+    ``target_docs`` is the PRODUCTION shape: a separate small table
+    (``doc_id``, ``text``) defining the target domain; its hashed-vocab
+    model is a ≤``DSIR_BUCKETS``-row aggregate regardless of either
+    table's size, so the broadcast is safe by construction.  When
+    omitted (the oracle-gated registry form), the target is simulated
+    as the fixed corpus slice ``doc_id % 23 == 0`` — same machinery
+    (passing that slice AS ``target_docs`` reproduces the default
+    output exactly; tested).  The corpus model always comes from the
+    corpus table, matching the paper's raw-vs-target contrast.
 
     Model: token → rolling char hash → ``% DSIR_BUCKETS`` (hashed
     vocabulary, fixed size at any corpus scale); add-one-smoothed
@@ -1604,13 +1653,30 @@ def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     corpus = td.groupBy("bucket").agg(F.sum("tf").alias("cb"))
-    target = (
-        td.filter(F.col("doc_id") % DSIR_TARGET_MOD == 0)
-        .groupBy("bucket")
-        .agg(F.sum("tf").alias("tb"))
-    )
-    model = corpus.join(target, "bucket", "left").select(
-        "bucket", "cb", F.coalesce("tb", F.lit(0)).alias("tb")
+    if target_docs is None:
+        target_tf = td.filter(F.col("doc_id") % DSIR_TARGET_MOD == 0)
+    else:
+        target_tf = (
+            target_docs.select(
+                "doc_id",
+                F.explode(TX.tokens(F.lower(F.col("text")))).alias("term"),
+            )
+            .select(
+                "doc_id",
+                (TX.char_hash(F.col("term")) % DSIR_BUCKETS).alias("bucket"),
+            )
+            .groupBy("doc_id", "bucket")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+    target = target_tf.groupBy("bucket").agg(F.sum("tf").alias("tb"))
+    # full outer: with a SEPARATE target table a bucket can exist in the
+    # target only; dropping it would undercount nt and skew the
+    # smoothing.  In the slice-simulated default the target is a subset
+    # of the corpus, so full == left and the oracle is unaffected.
+    model = corpus.join(target, "bucket", "full").select(
+        "bucket",
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+        F.coalesce("tb", F.lit(0)).alias("tb"),
     )
     tot = model.agg(
         F.sum("cb").alias("nc"), F.sum("tb").alias("nt")

@@ -86,8 +86,22 @@ def main() -> int:
         else:
             results[name] = {"cold": rec["cold"], "warm": rec["warm"]}
 
-    out = {"sf_dir": sf_dir, "queries": results}
-    with open(os.path.join(REPO, "BENCH_ISOLATED.json"), "w") as fh:
+    # MERGE into the existing artifact: each run pins floors for ITS
+    # queries without discarding previously committed ones (the r6
+    # seven must survive the r7-flakiness run and vice versa).
+    path = os.path.join(REPO, "BENCH_ISOLATED.json")
+    merged: dict[str, dict] = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                prior = json.load(fh)
+            if prior.get("sf_dir") == sf_dir:
+                merged = prior.get("queries", {})
+        except Exception:
+            pass
+    merged.update(results)
+    out = {"sf_dir": sf_dir, "queries": merged}
+    with open(path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
         fh.write("\n")
     print(json.dumps(out))

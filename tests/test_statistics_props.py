@@ -241,3 +241,54 @@ def test_power_iteration_max_iters_guard_is_loud(spark):
 
     with _pt.raises(RuntimeError, match="did not converge"):
         power_iteration(cov, tol=1e-12, max_iters=5)
+
+
+def test_top_m_eigvecs_match_numpy_top2(spark):
+    """Fixpoint deflation must recover numpy's top-2 eigenpairs of the
+    same covariance cells: matching eigenvalues (rel 1e-3), matching
+    directions (|cos| > 0.999), and mutually orthogonal loadings."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from data_pipelines_using_llm_spark.operators.similarity import (
+        top_m_eigvecs,
+    )
+    from data_pipelines_using_llm_spark.plans.similarity_queries import (
+        embedding_covariance,
+    )
+
+    cov = embedding_covariance(spark, SF0001).select("i", "j", "cov")
+    rows = top_m_eigvecs(cov, m=2, tol=1e-6, max_iters=300).collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, {})[r.dim] = (r.loading, r.eigenvalue)
+    assert set(by_comp) == {1, 2}
+
+    cells = embedding_covariance(spark, SF0001).collect()
+    c = {}
+    for r in cells:
+        c[(r.i, r.j)] = r.cov
+        c[(r.j, r.i)] = r.cov
+    dims = sorted(by_comp[1])
+    pos = {d: k for k, d in enumerate(dims)}
+    mat = np.zeros((len(dims), len(dims)))
+    for (i, j), cv in c.items():
+        mat[pos[i], pos[j]] = cv
+    evals, evecs = np.linalg.eigh(mat)
+
+    for comp, np_idx in ((1, -1), (2, -2)):
+        lam = next(iter(by_comp[comp].values()))[1]
+        assert lam == pytest.approx(evals[np_idx], rel=1e-3)
+        v = {d: by_comp[comp][d][0] for d in dims}
+        v_np = evecs[:, np_idx]
+        cos = abs(sum(v[d] * v_np[pos[d]] for d in dims)) / math.sqrt(
+            sum(x * x for x in v.values())
+        )
+        assert cos > 0.999, (comp, cos)
+
+    dot12 = sum(
+        by_comp[1][d][0] * by_comp[2][d][0] for d in dims
+    )
+    assert abs(dot12) < 1e-3  # orthogonal components
