@@ -142,6 +142,9 @@ HEADLINE = [
     "audience_overlap",
     "embedding_covariance",
     "embedding_top_eigvec",
+    "embedding_top2_eigvecs",
+    "embedding_pca_projection",
+    "trade_k_core_converged",
     "daily_revenue_acf",
     "value_mad_profile",
     "mann_whitney_value_shift",

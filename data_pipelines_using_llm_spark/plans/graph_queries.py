@@ -348,6 +348,48 @@ def trade_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def trade_k_core_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME k-core decomposition through the PRODUCTION fixpoint
+    path (:func:`operators.graph.k_core`: peel-until-stable, scalar
+    edge-count probe per round, loud max_rounds guard) — registered
+    under the hash gate against the UNROLLED oracle, which is valid
+    because the peel reaches its fixpoint in round 1 on this graph and
+    the unrolled form runs past convergence.  One registry row thus
+    proves the convergence-exit mode lands on the oracle-verified core,
+    not just on a pytest fixture."""
+    from data_pipelines_using_llm_spark.operators.graph import k_core
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cnode").alias("src"), F.col("snode").alias("dst")
+    ).union(
+        pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
+    )
+    core = k_core(edges, KCORE_K, max_rounds=30)
+    return (
+        core.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(
+            F.when(F.col("src") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            (F.col("src") / 2).cast("long").alias("node_key"),
+            "core_degree",
+        )
+    )
+
+
 def _k_core_oracle(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
     parts = [
         """
@@ -390,6 +432,12 @@ QUERIES = {
         trade_k_core,
         _k_core_oracle(),
         "unrolled k-core peel of the customer-supplier trade graph",
+    ),
+    "trade_k_core_converged": QuerySpec(
+        trade_k_core_converged,
+        _k_core_oracle(),
+        "k-core via the peel-until-stable fixpoint mode (oracle: the "
+        "unrolled CTE form, valid because the peel converges in round 1)",
     ),
     "supplier_pagerank": QuerySpec(
         supplier_pagerank,

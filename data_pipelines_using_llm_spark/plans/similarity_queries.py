@@ -1397,10 +1397,10 @@ FROM {prev} CROSS JOIN n{iters}
 """
 
 
-def _top2_eigvecs_oracle(iters: int = PI_ITERS) -> str:
-    """Unrolled CTE mirror of embedding_top2_eigvecs: the v/n rounds of
-    _top_eigvec_oracle, then the rank-1 deflation cell table, then a
-    second unrolled round stack (u/p/z) over the deflated cells."""
+def _top2_stack_ctes(iters: int = PI_ITERS):
+    """Reusable unrolled CTE stacks for the top-2 eigenpair oracles:
+    returns (cte_list, v_name, n_name, z_name, p_name) — the first and
+    second components' final vector/norm CTE names."""
     # Every iteration CTE is MATERIALIZED: DuckDB inlines plain CTEs,
     # and the deflated stack references cells2 (which references the
     # whole first stack) 2^rounds times — inlined, the oracle is
@@ -1474,15 +1474,128 @@ def _top2_eigvecs_oracle(iters: int = PI_ITERS) -> str:
             f"FROM u{it} CROSS JOIN p{it})"
         )
         zprev = f"z{it}"
+    return ctes, prev, f"n{iters}", zprev, f"p{iters}"
+
+
+def _top2_eigvecs_oracle(iters: int = PI_ITERS) -> str:
+    """Unrolled CTE mirror of embedding_top2_eigvecs: the v/n rounds of
+    _top_eigvec_oracle, then the rank-1 deflation cell table, then a
+    second unrolled round stack (u/p/z) over the deflated cells."""
+    ctes, v_name, n_name, z_name, p_name = _top2_stack_ctes(iters)
     joined = ",\n".join(ctes)
     return f"""
 WITH {joined}
 SELECT CAST(1 AS INT) AS component, d AS dim, round(x, 6) AS loading,
        round(sqrt(nn), 6) AS eigenvalue
-FROM {prev} CROSS JOIN n{iters}
+FROM {v_name} CROSS JOIN {n_name}
 UNION ALL
 SELECT CAST(2 AS INT), d, round(x, 6), round(sqrt(nn), 6)
-FROM {zprev} CROSS JOIN p{iters}
+FROM {z_name} CROSS JOIN {p_name}
+"""
+
+
+PCA_PROJ_Q = float(1 << 30)  # quantum for the per-row projection fold
+
+
+def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto the top-2 principal components —
+    the PCA compression/whitening map itself: per vector,
+    ``pc_k = Σ_d (x_d − mean_d) · v_k[d]`` over the centered
+    coordinates, with the loadings from the same unrolled deflation
+    stacks as :func:`embedding_top2_eigvecs`.
+
+    The 100 TB plan shape is the point here: the loadings and the d
+    per-dimension means are COLLECTED to the driver (2·d + d scalars —
+    the k-means-centroid control-plane discipline, bounded by the
+    embedding width at any corpus size) and re-enter the plan as array
+    LITERALS, so the projection is one narrow ``transform``+
+    ``aggregate`` map over the corpus scan: no join, no shuffle, no
+    explode — the output (vec_id, pc1, pc2) partitioning inherits the
+    scan.  The oracle instead JOINS its per-dimension CTEs (same
+    values; DuckDB has no broadcast-literal idiom) — both sides fold
+    ``floor(((x−mean)·loading)·2^30)`` into an int64 sum, order-free.
+
+    Rounded (6dp) loadings are used by BOTH engines so the basis is the
+    exact surfaced output of the top-2 query, not a hidden
+    higher-precision twin.
+    """
+    from data_pipelines_using_llm_spark.operators.caching import barrier
+
+    e = barrier(
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.col("embedding").isNotNull()
+        )
+    )
+    # per-dimension quantized means, textually mirroring the oracle's
+    # means CTE: (Σ floor(x·2^26) AS DOUBLE) / 2^26 / n
+    xi = e.select(F.posexplode("embedding").alias("i0", "x"))
+    mean_rows = (
+        xi.groupBy((F.col("i0") + 1).alias("d"))
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("x").cast("double") * F.lit(float(COV_SCALE))
+                    ).cast("long")
+                ).cast("double")
+                / F.lit(float(COV_SCALE))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_d")
+        )
+        .collect()
+    )
+    means = {r["d"]: r["mean_d"] for r in mean_rows}
+    eig = embedding_top2_eigvecs(spark, sf_dir).collect()
+    v = {1: {}, 2: {}}
+    for r in eig:
+        v[r["component"]][r["dim"]] = r["loading"]
+    dims = sorted(means)
+    m_arr = F.array(*[F.lit(float(means[d])) for d in dims])
+    v1_arr = F.array(*[F.lit(float(v[1][d])) for d in dims])
+    v2_arr = F.array(*[F.lit(float(v[2][d])) for d in dims])
+
+    def _proj(varr):
+        terms = F.transform(
+            F.col("embedding"),
+            lambda x, k: F.floor(
+                (x.cast("double") - F.get(m_arr, k))
+                * F.get(varr, k)
+                * F.lit(PCA_PROJ_Q)
+            ).cast("long"),
+        )
+        return (
+            F.aggregate(
+                terms, F.lit(0).cast("long"), lambda acc, t: acc + t
+            ).cast("double")
+            / F.lit(PCA_PROJ_Q)
+        )
+
+    return e.select(
+        "vec_id",
+        F.round(_proj(v1_arr), 6).alias("pc1"),
+        F.round(_proj(v2_arr), 6).alias("pc2"),
+    )
+
+
+def _pca_projection_oracle(iters: int = PI_ITERS) -> str:
+    ctes, v_name, n_name, z_name, p_name = _top2_stack_ctes(iters)
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT x.vec_id,
+       round(CAST(sum(CAST(floor((x.xi - mn.mean_d)
+                                 * round(v.x, 6) * {PCA_PROJ_Q!r})
+                           AS BIGINT)) AS DOUBLE) / {PCA_PROJ_Q!r}, 6)
+           AS pc1,
+       round(CAST(sum(CAST(floor((x.xi - mn.mean_d)
+                                 * round(z.x, 6) * {PCA_PROJ_Q!r})
+                           AS BIGINT)) AS DOUBLE) / {PCA_PROJ_Q!r}, 6)
+           AS pc2
+FROM xi x
+JOIN means mn ON mn.d = x.i
+JOIN {v_name} v ON v.d = x.i
+JOIN {z_name} z ON z.d = x.i
+GROUP BY x.vec_id
 """
 
 
@@ -1554,6 +1667,12 @@ QUERIES = {
         embedding_top_eigvec,
         _top_eigvec_oracle(),
         "top principal component via unrolled in-dataflow power iteration",
+    ),
+    "embedding_pca_projection": QuerySpec(
+        embedding_pca_projection,
+        _pca_projection_oracle(),
+        "per-vector projection onto the top-2 principal components "
+        "(broadcast-literal loadings, zero-shuffle map over the scan)",
     ),
     "embedding_top2_eigvecs": QuerySpec(
         embedding_top2_eigvecs,

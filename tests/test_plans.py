@@ -596,3 +596,24 @@ def test_dsir_pair_explosion_is_preaggregated(spark):
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pca_projection_is_zero_shuffle_map(spark):
+    """The projection's loadings/means enter as array literals, so the
+    returned plan must be a pure narrow map over the embeddings scan:
+    no Exchange, no Join, no explode — the property that makes it the
+    right 100 TB projection (the stacks that PRODUCE the basis run at
+    build time over d²-row tables, not in this plan)."""
+    from data_pipelines_using_llm_spark.plans.similarity_queries import (
+        embedding_pca_projection,
+    )
+    from data_pipelines_using_llm_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(
+        embedding_pca_projection(spark, "/root/testdata/sf0.001")
+    )
+    import re
+
+    assert not re.search(r"\bExchange\b", plan)
+    assert "Join" not in plan
+    assert "Generate" not in plan  # no explode in the projection map
