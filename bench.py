@@ -552,6 +552,7 @@ def main() -> int:
             "trade_k_core",  # guards the per-round lineage barriers
             "doc_dsir_select",  # guards the bucket-model broadcast
             "basket_triangles",  # guards the array pair-gen edge build
+            "embedding_pca_projection",  # guards the zero-shuffle map
         ]
         for name in probes:
             if name not in registry:

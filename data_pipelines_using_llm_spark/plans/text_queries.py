@@ -348,6 +348,62 @@ def doc_decontamination(
     )
 
 
+def doc_decontamination_separate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION shape of :func:`doc_decontamination` under the
+    hash gate: the eval set arrives as a genuinely SEPARATE DataFrame
+    (here the same slice, loaded independently), so the registry
+    verifies the separate-table branch end-to-end — every corpus doc is
+    a training candidate (slice docs self-match by construction, which
+    the oracle mirrors)."""
+    ev = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        .select("doc_id", "text")
+    )
+    return doc_decontamination(spark, sf_dir, eval_docs=ev)
+
+
+def doc_dsir_select_separate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR through the separate-target-table branch; because the
+    target model only depends on the target's token counts, passing the
+    simulated slice AS a table must reproduce the default output
+    exactly — so this row shares :func:`_dsir_oracle` and the driver
+    hash-verifies the branch equivalence every round."""
+    tgt = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % DSIR_TARGET_MOD == 0)
+        .select("doc_id", "text")
+    )
+    return doc_dsir_select(spark, sf_dir, target_docs=tgt)
+
+
+def _decontamination_separate_oracle() -> str:
+    from data_pipelines_using_llm_spark.plans.dedup_queries import (
+        SQL_TOKEN_HASHES,
+        _sql_gram_fold,
+    )
+
+    return f"""
+WITH tok AS (SELECT doc_id, {SQL_TOKEN_HASHES} AS th FROM documents),
+sh AS (
+    SELECT doc_id, unnest({_sql_gram_fold(DECON_NGRAM)}) AS h FROM tok
+),
+ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % {DECON_EVAL_MOD} = 0),
+hits AS (
+    SELECT sh.doc_id, count(*) AS n_shared
+    FROM sh JOIN ev USING (h)
+    GROUP BY sh.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(hits.n_shared, 0) AS BIGINT) AS n_shared_shingles,
+       CAST(CASE WHEN coalesce(hits.n_shared, 0) > 0 THEN 1 ELSE 0 END AS INT)
+           AS is_contaminated
+FROM documents d LEFT JOIN hits USING (doc_id)
+"""
+
+
 def _decontamination_oracle() -> str:
     from data_pipelines_using_llm_spark.plans.dedup_queries import (
         SQL_TOKEN_HASHES,
@@ -2014,6 +2070,12 @@ QUERIES = {
         DOC_PII_REDACTION_ORACLE,
         "PII redaction + sequential audit counts on a seeded corpus",
     ),
+    "doc_decontamination_separate": QuerySpec(
+        doc_decontamination_separate,
+        _decontamination_separate_oracle(),
+        "exact decontamination through the separate-eval-table branch "
+        "(production shape; all corpus docs are training candidates)",
+    ),
     "doc_decontamination": QuerySpec(
         doc_decontamination,
         _decontamination_oracle(),
@@ -2068,6 +2130,12 @@ QUERIES = {
         doc_inverted_index,
         _inverted_index_oracle(),
         "top-df inverted-index postings summary (df/cf/capped postings)",
+    ),
+    "doc_dsir_select_separate": QuerySpec(
+        doc_dsir_select_separate,
+        _dsir_oracle(),
+        "DSIR through the separate-target-table branch (shares the "
+        "default oracle: branch equivalence hash-verified per round)",
     ),
     "doc_dsir_select": QuerySpec(
         doc_dsir_select,
