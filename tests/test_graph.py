@@ -388,3 +388,33 @@ def test_triangle_counts_hub_adjacency_stays_bounded(spark):
     out = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
     assert out[0] == 2 and out[1] == 1 and out[2] == 1
     assert out[3] == 1 and out[4] == 1
+
+
+def test_k_core_invariants_on_random_graphs(spark):
+    """Self-consistency on seeded random graphs: (1) every surviving
+    vertex has degree >= k inside the core (the defining property);
+    (2) the peel is idempotent — k_core(core) == core; (3) the core is
+    a subset of the input edges."""
+    import random
+
+    from data_pipelines_using_llm_spark.operators.graph import k_core
+
+    k = 3
+    for seed in (11, 29, 47):
+        rng = random.Random(seed)
+        und = {
+            tuple(sorted((rng.randrange(40), rng.randrange(40))))
+            for _ in range(120)
+        }
+        und = [(a, b) for a, b in und if a != b]
+        rows = und + [(b, a) for a, b in und]
+        edges = spark.createDataFrame(rows, "src bigint, dst bigint")
+        core = k_core(edges, k, max_rounds=50)
+        got = {(r["src"], r["dst"]) for r in core.collect()}
+        assert got <= set(rows)
+        deg = {}
+        for s2, _ in got:
+            deg[s2] = deg.get(s2, 0) + 1
+        assert all(v >= k for v in deg.values()), (seed, deg)
+        again = k_core(core, k, max_rounds=50)
+        assert {(r["src"], r["dst"]) for r in again.collect()} == got
