@@ -1642,6 +1642,7 @@ def _power_iteration_raw(
         .localCheckpoint(eager=True)
     )
     nn = None
+    delta = None  # stays None if max_iters <= 0 — the raise must not NameError
     for _ in range(max_iters):
         w = (
             full.join(v.select(F.col("d").alias("j"), "x"), "j")
@@ -1748,6 +1749,8 @@ def top_m_eigvecs(
     step is d- or d^2-row control-plane work, so m components cost m
     power-iteration runs of tiny jobs, never another corpus pass.
     """
+    if m < 1:
+        raise ValueError(f"top_m_eigvecs: m must be >= 1, got {m}")
     cur = cov.select(
         F.col(i_col).alias("i"),
         F.col(j_col).alias("j"),
@@ -1755,6 +1758,20 @@ def top_m_eigvecs(
     ).coalesce(1)
     outs = []
     for comp in range(1, m + 1):
+        # Rank-exhaustion pre-check: once deflation has removed every
+        # component, the remainder's cells quantize to zero inside the
+        # fold (|c·x| < 2^-30 for unit x), w/sqrt(0) goes NaN, and the
+        # residual would never converge — the iteration would burn
+        # max_iters and raise the MISLEADING tied-eigenvalue error.
+        # One d²-row scalar probe names the real condition instead.
+        mx = cur.agg(F.max(F.abs(F.col("cov")))).first()[0]
+        if mx is None or mx * PI_QUANTUM < 1.0:
+            raise ValueError(
+                f"top_m_eigvecs: matrix rank exhausted at component "
+                f"{comp} (deflated max |cell| "
+                f"{0.0 if mx is None else mx!r} is below the fold "
+                f"quantum); request m < {comp}"
+            )
         eig = _power_iteration_raw(
             cur, "i", "j", "cov", tol, max_iters
         ).localCheckpoint(eager=True)

@@ -37,6 +37,15 @@ class PlanReport:
     text: str = ""
 
 
+#: keys-only distinct: partial->Exchange->final HashAggregate with no
+#: partial_* function marker; the lookbehind rejects Broadcast/Reused
+#: exchanges (aggregates under those are shipped results, not combines)
+_PRE_EXCHANGE_AGG_RE = re.compile(
+    r"(?<![A-Za-z])Exchange \(\d+\)\n[^\n]*\+- "
+    r"(?:Hash|Object\w*Hash|Sort)Aggregate"
+)
+
+
 def formatted_plan(df: DataFrame) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -60,11 +69,12 @@ def plan_report(df: DataFrame) -> PlanReport:
     # sit structurally under an Exchange in the plan tree — otherwise
     # every .distinct() reads as "no map-side combine" (the r7 plan-audit
     # false-positive on dedup_ngram_jaccard).
+    # the lookbehind keeps BroadcastExchange/ReusedExchange from
+    # matching as `...Exchange` — an aggregate under a BROADCAST
+    # exchange is a final result being shipped, not a map-side combine,
+    # and counting it would silently suppress the no_partial_agg lint.
     r.partial_aggregates = text.count("partial_") + len(
-        re.findall(
-            r"Exchange \(\d+\)\n[^\n]*\+- (?:Hash|Object\w*Hash|Sort)Aggregate",
-            text,
-        )
+        _PRE_EXCHANGE_AGG_RE.findall(text)
     )
     r.final_aggregates = text.count("HashAggregate")
     r.unpartitioned_windows = len(

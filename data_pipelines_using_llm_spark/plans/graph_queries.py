@@ -273,6 +273,46 @@ KCORE_K = 8
 KCORE_ROUNDS = 2
 
 
+def _trade_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The customer↔supplier trade graph as a doubled (symmetric) edge
+    list — customers on even ids (2·custkey), suppliers on odd
+    (2·suppkey+1) — shared by trade_k_core, trade_k_core_converged, and
+    the fixture tests so the bipartite encoding has ONE definition."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        F.col("cnode").alias("src"), F.col("snode").alias("dst")
+    ).union(
+        pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
+    )
+
+
+def _core_report(edges: DataFrame) -> DataFrame:
+    """Surviving-core report shared by both k-core queries: per-vertex
+    in-core degree with the node id decoded back to (type, key)."""
+    return (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(
+            F.when(F.col("src") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            (F.col("src") / 2).cast("long").alias("node_key"),
+            "core_degree",
+        )
+    )
+
+
 def trade_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition of the customer↔supplier trade graph
     (``KCORE_ROUNDS`` unrolled peeling rounds at k=``KCORE_K``; the peel
@@ -301,26 +341,7 @@ def trade_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from data_pipelines_using_llm_spark.operators.caching import barrier
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    pairs = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("cnode"),
-            (F.col("l_suppkey") * 2 + 1).alias("snode"),
-        )
-        .distinct()
-    )
-    edges = barrier(
-        pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"))
-        .union(
-            pairs.select(
-                F.col("snode").alias("src"), F.col("cnode").alias("dst")
-            )
-        )
-    )
+    edges = barrier(_trade_graph_edges(spark, sf_dir))
     for _ in range(KCORE_ROUNDS):
         keep = (
             edges.groupBy("src")
@@ -335,17 +356,7 @@ def trade_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("src", "dst")
         )
-    return (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("core_degree"))
-        .select(
-            F.when(F.col("src") % 2 == 0, F.lit("customer"))
-            .otherwise(F.lit("supplier"))
-            .alias("node_type"),
-            (F.col("src") / 2).cast("long").alias("node_key"),
-            "core_degree",
-        )
-    )
+    return _core_report(edges)
 
 
 def trade_k_core_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,35 +370,8 @@ def trade_k_core_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     not just on a pytest fixture."""
     from data_pipelines_using_llm_spark.operators.graph import k_core
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    pairs = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("cnode"),
-            (F.col("l_suppkey") * 2 + 1).alias("snode"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(
-        F.col("cnode").alias("src"), F.col("snode").alias("dst")
-    ).union(
-        pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
-    )
-    core = k_core(edges, KCORE_K, max_rounds=30)
-    return (
-        core.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("core_degree"))
-        .select(
-            F.when(F.col("src") % 2 == 0, F.lit("customer"))
-            .otherwise(F.lit("supplier"))
-            .alias("node_type"),
-            (F.col("src") / 2).cast("long").alias("node_key"),
-            "core_degree",
-        )
-    )
+    core = k_core(_trade_graph_edges(spark, sf_dir), KCORE_K, max_rounds=30)
+    return _core_report(core)
 
 
 def _k_core_oracle(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:

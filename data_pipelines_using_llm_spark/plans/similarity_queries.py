@@ -1072,6 +1072,14 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries O(d² × partitions) rows, never O(n·d²).  No join,
     no window, one corpus scan.
     """
+    return _cov_cells(_cov_sums(spark, sf_dir))
+
+
+def _cov_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single corpus pass behind the covariance family: quantized
+    per-(i, j) accumulators (sq, sqi, n) — d² rows, map-side partials.
+    Factored so embedding_pca_projection can derive means AND cells from
+    ONE scan instead of re-reading the corpus."""
     e = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
@@ -1088,25 +1096,31 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("xi") * F.col("xj").cast("double") * F.lit(float(COV_SCALE))
     ).cast("long")
     qi = F.floor(F.col("xi") * F.lit(float(COV_SCALE))).cast("long")
-    sums = pairs.groupBy("i", (F.col("j0") + 1).alias("j")).agg(
+    return pairs.groupBy("i", (F.col("j0") + 1).alias("j")).agg(
         F.sum(q).alias("sq"),
         F.sum(qi).alias("sqi"),
         F.count(F.lit(1)).alias("n"),
     )
-    # per-dimension quantized means come from the diagonal rows (i == j,
-    # where sqi is Σ floor(x_i·2^26)); broadcast-join them onto every
-    # (i, j) cell — a d-row build side at any corpus size.
-    means = (
-        sums.filter(F.col("i") == F.col("j"))
-        .select(
-            F.col("i").alias("d"),
-            (
-                F.col("sqi").cast("double")
-                / F.lit(float(COV_SCALE))
-                / F.col("n").cast("double")
-            ).alias("mean_d"),
-        )
+
+
+def _cov_means(sums: DataFrame) -> DataFrame:
+    """Per-dimension quantized means from the diagonal accumulator rows
+    (i == j, where sqi is Σ floor(x_i·2^26)) — textually mirrors the
+    oracle's means CTE."""
+    return sums.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("d"),
+        (
+            F.col("sqi").cast("double")
+            / F.lit(float(COV_SCALE))
+            / F.col("n").cast("double")
+        ).alias("mean_d"),
     )
+
+
+def _cov_cells(sums: DataFrame) -> DataFrame:
+    """Covariance cells from the accumulators: broadcast the d-row means
+    onto every (i, j) cell (a d-row build side at any corpus size)."""
+    means = _cov_means(sums)
     mi = means.select(F.col("d").alias("i"), F.col("mean_d").alias("mean_i"))
     mj = means.select(F.col("d").alias("j"), F.col("mean_d").alias("mean_j"))
     return (
@@ -1179,7 +1193,11 @@ WITH {_COV_CTES}
 
 
 PI_ITERS = 3
-PI_Q = float(1 << 30)  # quantum for the order-free matrix-vector folds
+# One fold quantum for the whole PI family: the operator fixpoint
+# (operators/similarity.py) and these unrolled query forms promise
+# identical arithmetic per round — a drifting duplicate constant
+# would silently break that bit-identity.
+PI_Q = SIM.PI_QUANTUM
 
 
 def embedding_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1315,6 +1333,15 @@ def embedding_top2_eigvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("i", "j", "cov")
         .coalesce(1)
     )
+    v1, nn1, v2, nn2 = _top2_pair(cov)
+    return _eig_out(1, v1, nn1).unionByName(_eig_out(2, v2, nn2))
+
+
+def _top2_pair(cov: DataFrame):
+    """(v1, nn1, v2, nn2) from persisted single-partition upper-triangle
+    cells: PI_ITERS unrolled rounds for the dominant pair, one Hotelling
+    deflation, PI_ITERS rounds on the remainder — the shared core of
+    embedding_top2_eigvecs and embedding_pca_projection."""
     full = cov.unionAll(
         cov.filter(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "cov"
@@ -1342,16 +1369,16 @@ def embedding_top2_eigvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     v2, nn2 = _pi_rounds(full2, PI_ITERS)
+    return v1, nn1, v2, nn2
 
-    def _out(comp: int, v: DataFrame, nn: DataFrame) -> DataFrame:
-        return v.crossJoin(F.broadcast(nn)).select(
-            F.lit(comp).cast("int").alias("component"),
-            F.col("d").alias("dim"),
-            F.round("x", 6).alias("loading"),
-            F.round(F.sqrt(F.col("nn")), 6).alias("eigenvalue"),
-        )
 
-    return _out(1, v1, nn1).unionByName(_out(2, v2, nn2))
+def _eig_out(comp: int, v: DataFrame, nn: DataFrame) -> DataFrame:
+    return v.crossJoin(F.broadcast(nn)).select(
+        F.lit(comp).cast("int").alias("component"),
+        F.col("d").alias("dim"),
+        F.round("x", 6).alias("loading"),
+        F.round(F.sqrt(F.col("nn")), 6).alias("eigenvalue"),
+    )
 
 
 def _top_eigvec_oracle(iters: int = PI_ITERS) -> str:
@@ -1511,7 +1538,9 @@ def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     LITERALS, so the projection is one narrow ``transform``+
     ``aggregate`` map over the corpus scan: no join, no shuffle, no
     explode — the output (vec_id, pc1, pc2) partitioning inherits the
-    scan.  The oracle instead JOINS its per-dimension CTEs (same
+    scan.  Two corpus passes total: the shared (i, j) accumulator
+    aggregation (means + covariance cells from ONE scan, _cov_sums) and
+    the projection map itself.  The oracle instead JOINS its per-dimension CTEs (same
     values; DuckDB has no broadcast-literal idiom) — both sides fold
     ``floor(((x−mean)·loading)·2^30)`` into an int64 sum, order-free.
 
@@ -1521,34 +1550,25 @@ def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from data_pipelines_using_llm_spark.operators.caching import barrier
 
-    e = barrier(
-        load_table(spark, sf_dir, "embeddings").filter(
-            F.col("embedding").isNotNull()
-        )
-    )
-    # per-dimension quantized means, textually mirroring the oracle's
-    # means CTE: (Σ floor(x·2^26) AS DOUBLE) / 2^26 / n
-    xi = e.select(F.posexplode("embedding").alias("i0", "x"))
-    mean_rows = (
-        xi.groupBy((F.col("i0") + 1).alias("d"))
-        .agg(
-            (
-                F.sum(
-                    F.floor(
-                        F.col("x").cast("double") * F.lit(float(COV_SCALE))
-                    ).cast("long")
-                ).cast("double")
-                / F.lit(float(COV_SCALE))
-                / F.count(F.lit(1)).cast("double")
-            ).alias("mean_d")
-        )
-        .collect()
-    )
-    means = {r["d"]: r["mean_d"] for r in mean_rows}
-    eig = embedding_top2_eigvecs(spark, sf_dir).collect()
+    # ONE corpus pass: the (i, j, sq, sqi, n) accumulators feed both the
+    # per-dimension means (diagonal rows) and the covariance cells the
+    # power-iteration stacks run on — the old form re-scanned the corpus
+    # for the means and again inside embedding_top2_eigvecs, and
+    # persisted the whole embeddings table.  Values are unchanged: the
+    # mean and cell expressions are the same ones embedding_covariance
+    # derives from these accumulators (and the oracle's means CTE).
+    sums = barrier(_cov_sums(spark, sf_dir).coalesce(1))
+    means = {
+        r["d"]: r["mean_d"] for r in _cov_means(sums).collect()
+    }
+    # the stacks reference the cells 2^PI_ITERS times — persist the
+    # derived d²-row table, not just the accumulators beneath it
+    cells = barrier(_cov_cells(sums).select("i", "j", "cov").coalesce(1))
+    v1, nn1, v2, nn2 = _top2_pair(cells)
     v = {1: {}, 2: {}}
-    for r in eig:
-        v[r["component"]][r["dim"]] = r["loading"]
+    for comp, vec in ((1, v1), (2, v2)):
+        for r in vec.select("d", F.round("x", 6).alias("loading")).collect():
+            v[comp][r["d"]] = r["loading"]
     dims = sorted(means)
     m_arr = F.array(*[F.lit(float(means[d])) for d in dims])
     v1_arr = F.array(*[F.lit(float(v[1][d])) for d in dims])
@@ -1570,6 +1590,9 @@ def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(PCA_PROJ_Q)
         )
 
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     return e.select(
         "vec_id",
         F.round(_proj(v1_arr), 6).alias("pc1"),

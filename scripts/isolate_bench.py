@@ -99,7 +99,12 @@ def main() -> int:
                 merged = prior.get("queries", {})
         except Exception:
             pass
-    merged.update(results)
+    # never let a transiently failed child overwrite a committed floor:
+    # error records only land for queries with no prior good entry.
+    for name, rec2 in results.items():
+        if "error" in rec2 and "warm" in merged.get(name, {}):
+            continue
+        merged[name] = rec2
     out = {"sf_dir": sf_dir, "queries": merged}
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)

@@ -250,37 +250,12 @@ def test_k_core_fixpoint_equals_unrolled_query(spark):
     max_rounds far above the unrolled count would hang/balloon if the
     probe were broken."""
     from data_pipelines_using_llm_spark.operators.graph import k_core
-    from data_pipelines_using_llm_spark.sources.tables import load_table
 
     sf = "/root/testdata/sf0.001"
-    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("cnode"),
-            (F.col("l_suppkey") * 2 + 1).alias("snode"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(
-        F.col("cnode").alias("src"), F.col("snode").alias("dst")
-    ).union(
-        pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
-    )
-    core = k_core(edges, GQ.KCORE_K, max_rounds=30)
+    core = k_core(GQ._trade_graph_edges(spark, sf), GQ.KCORE_K, max_rounds=30)
     got = {
         (r["node_type"], r["node_key"]): r["core_degree"]
-        for r in core.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("core_degree"))
-        .select(
-            F.when(F.col("src") % 2 == 0, F.lit("customer"))
-            .otherwise(F.lit("supplier"))
-            .alias("node_type"),
-            (F.col("src") / 2).cast("long").alias("node_key"),
-            "core_degree",
-        )
-        .collect()
+        for r in GQ._core_report(core).collect()
     }
     want = {
         (r["node_type"], r["node_key"]): r["core_degree"]

@@ -617,3 +617,24 @@ def test_pca_projection_is_zero_shuffle_map(spark):
     assert not re.search(r"\bExchange\b", plan)
     assert "Join" not in plan
     assert "Generate" not in plan  # no explode in the projection map
+
+
+def test_pre_exchange_agg_regex_rejects_broadcast_and_reused():
+    """The structural partial-aggregate detector must count aggregates
+    feeding a plain shuffle Exchange, and must NOT count aggregates
+    under BroadcastExchange/ReusedExchange (a broadcast result is not a
+    map-side combine; counting it would suppress the no_partial_agg
+    lint exactly where it matters)."""
+    from data_pipelines_using_llm_spark.plans.audit import (
+        _PRE_EXCHANGE_AGG_RE,
+    )
+
+    genuine = "   :  +- Exchange (26)\n   :     +- HashAggregate (25)\n"
+    broadcast = (
+        "   +- BroadcastExchange (22)\n      +- HashAggregate (21)\n"
+    )
+    reused = "   +- ReusedExchange (8)\n      +- HashAggregate (7)\n"
+    assert len(_PRE_EXCHANGE_AGG_RE.findall(genuine)) == 1
+    assert len(_PRE_EXCHANGE_AGG_RE.findall(broadcast)) == 0
+    assert len(_PRE_EXCHANGE_AGG_RE.findall(reused)) == 0
+    assert len(_PRE_EXCHANGE_AGG_RE.findall(genuine + broadcast + reused)) == 1

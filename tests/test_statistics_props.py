@@ -292,3 +292,22 @@ def test_top_m_eigvecs_match_numpy_top2(spark):
         by_comp[1][d][0] * by_comp[2][d][0] for d in dims
     )
     assert abs(dot12) < 1e-3  # orthogonal components
+
+
+def test_top_m_eigvecs_guards(spark):
+    """m=0 raises loudly, and requesting more components than the
+    matrix's rank names the real condition (rank exhausted) instead of
+    burning max_iters into a misleading non-convergence error."""
+    import pytest
+
+    from data_pipelines_using_llm_spark.operators.similarity import (
+        top_m_eigvecs,
+    )
+
+    rank1 = spark.createDataFrame(
+        [(0, 0, 4.0), (0, 1, 0.0), (1, 1, 0.0)], "i int, j int, cov double"
+    )
+    with pytest.raises(ValueError, match="m must be >= 1"):
+        top_m_eigvecs(rank1, m=0)
+    with pytest.raises(ValueError, match="rank exhausted"):
+        top_m_eigvecs(rank1, m=2, max_iters=50)
