@@ -1548,19 +1548,31 @@ def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact surfaced output of the top-2 query, not a hidden
     higher-precision twin.
     """
+    means, v, _lam = _pca_basis(spark, sf_dir)
+    m_arr, v1_arr, v2_arr = _pca_basis_literals(means, v)
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    return e.select(
+        "vec_id",
+        F.round(_pca_fold(m_arr, v1_arr), 6).alias("pc1"),
+        F.round(_pca_fold(m_arr, v2_arr), 6).alias("pc2"),
+    )
+
+
+def _pca_basis(spark: SparkSession, sf_dir: str):
+    """(means, loadings, eigenvalues) for the top-2 basis, all as plain
+    dicts of driver-side scalars (3·d + 2 values at any corpus size).
+
+    ONE corpus pass: the (i, j, sq, sqi, n) accumulators feed both the
+    per-dimension means (diagonal rows) and the covariance cells the
+    power-iteration stacks run on.  Values textually match the oracle's
+    means/cov CTEs and the surfaced (6dp-rounded) top-2 output — the
+    basis IS the published query output, not a higher-precision twin."""
     from data_pipelines_using_llm_spark.operators.caching import barrier
 
-    # ONE corpus pass: the (i, j, sq, sqi, n) accumulators feed both the
-    # per-dimension means (diagonal rows) and the covariance cells the
-    # power-iteration stacks run on — the old form re-scanned the corpus
-    # for the means and again inside embedding_top2_eigvecs, and
-    # persisted the whole embeddings table.  Values are unchanged: the
-    # mean and cell expressions are the same ones embedding_covariance
-    # derives from these accumulators (and the oracle's means CTE).
     sums = barrier(_cov_sums(spark, sf_dir).coalesce(1))
-    means = {
-        r["d"]: r["mean_d"] for r in _cov_means(sums).collect()
-    }
+    means = {r["d"]: r["mean_d"] for r in _cov_means(sums).collect()}
     # the stacks reference the cells 2^PI_ITERS times — persist the
     # derived d²-row table, not just the accumulators beneath it
     cells = barrier(_cov_cells(sums).select("i", "j", "cov").coalesce(1))
@@ -1569,34 +1581,66 @@ def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     for comp, vec in ((1, v1), (2, v2)):
         for r in vec.select("d", F.round("x", 6).alias("loading")).collect():
             v[comp][r["d"]] = r["loading"]
+    lam = {
+        comp: nn.select(
+            F.round(F.sqrt(F.col("nn")), 6).alias("l")
+        ).first()["l"]
+        for comp, nn in ((1, nn1), (2, nn2))
+    }
+    return means, v, lam
+
+
+def _pca_basis_literals(means: dict, v: dict):
     dims = sorted(means)
     m_arr = F.array(*[F.lit(float(means[d])) for d in dims])
     v1_arr = F.array(*[F.lit(float(v[1][d])) for d in dims])
     v2_arr = F.array(*[F.lit(float(v[2][d])) for d in dims])
+    return m_arr, v1_arr, v2_arr
 
-    def _proj(varr):
-        terms = F.transform(
-            F.col("embedding"),
-            lambda x, k: F.floor(
-                (x.cast("double") - F.get(m_arr, k))
-                * F.get(varr, k)
-                * F.lit(PCA_PROJ_Q)
-            ).cast("long"),
-        )
-        return (
-            F.aggregate(
-                terms, F.lit(0).cast("long"), lambda acc, t: acc + t
-            ).cast("double")
-            / F.lit(PCA_PROJ_Q)
-        )
 
+def _pca_fold(m_arr, varr):
+    """Quantized per-row projection fold: Σ floor(((x−mean)·v)·2^30) as
+    int64, back to double — order-free, mirrored in the oracles."""
+    terms = F.transform(
+        F.col("embedding"),
+        lambda x, k: F.floor(
+            (x.cast("double") - F.get(m_arr, k))
+            * F.get(varr, k)
+            * F.lit(PCA_PROJ_Q)
+        ).cast("long"),
+    )
+    return (
+        F.aggregate(
+            terms, F.lit(0).cast("long"), lambda acc, t: acc + t
+        ).cast("double")
+        / F.lit(PCA_PROJ_Q)
+    )
+
+
+def embedding_pca_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-whitened coordinates: the top-2 projection with each
+    component scaled by ``1/sqrt(eigenvalue)``, so the output
+    components have ~unit variance — the standard preprocessing for
+    embedding compression, Mahalanobis-style outlier scoring, and
+    similarity metrics that must not be dominated by the leading
+    direction.  Same zero-shuffle plan shape as
+    :func:`embedding_pca_projection` (the eigenvalues join the
+    collected basis as two more driver scalars); the divisor is the
+    SURFACED 6dp eigenvalue, mirrored as ``sqrt(round(sqrt(nn), 6))``
+    in the oracle."""
+    means, v, lam = _pca_basis(spark, sf_dir)
+    m_arr, v1_arr, v2_arr = _pca_basis_literals(means, v)
     e = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
     return e.select(
         "vec_id",
-        F.round(_proj(v1_arr), 6).alias("pc1"),
-        F.round(_proj(v2_arr), 6).alias("pc2"),
+        F.round(
+            _pca_fold(m_arr, v1_arr) / F.sqrt(F.lit(float(lam[1]))), 6
+        ).alias("w1"),
+        F.round(
+            _pca_fold(m_arr, v2_arr) / F.sqrt(F.lit(float(lam[2]))), 6
+        ).alias("w2"),
     )
 
 
@@ -1619,6 +1663,30 @@ JOIN means mn ON mn.d = x.i
 JOIN {v_name} v ON v.d = x.i
 JOIN {z_name} z ON z.d = x.i
 GROUP BY x.vec_id
+"""
+
+
+def _pca_whitened_oracle(iters: int = PI_ITERS) -> str:
+    ctes, v_name, n_name, z_name, p_name = _top2_stack_ctes(iters)
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT x.vec_id,
+       round((CAST(sum(CAST(floor((x.xi - mn.mean_d)
+                                  * round(v.x, 6) * {PCA_PROJ_Q!r})
+                            AS BIGINT)) AS DOUBLE) / {PCA_PROJ_Q!r})
+             / sqrt(round(sqrt(l1.nn), 6)), 6) AS w1,
+       round((CAST(sum(CAST(floor((x.xi - mn.mean_d)
+                                  * round(z.x, 6) * {PCA_PROJ_Q!r})
+                            AS BIGINT)) AS DOUBLE) / {PCA_PROJ_Q!r})
+             / sqrt(round(sqrt(l2.nn), 6)), 6) AS w2
+FROM xi x
+JOIN means mn ON mn.d = x.i
+JOIN {v_name} v ON v.d = x.i
+JOIN {z_name} z ON z.d = x.i
+CROSS JOIN {n_name} l1
+CROSS JOIN {p_name} l2
+GROUP BY x.vec_id, l1.nn, l2.nn
 """
 
 
@@ -1696,6 +1764,12 @@ QUERIES = {
         _pca_projection_oracle(),
         "per-vector projection onto the top-2 principal components "
         "(broadcast-literal loadings, zero-shuffle map over the scan)",
+    ),
+    "embedding_pca_whitened": QuerySpec(
+        embedding_pca_whitened,
+        _pca_whitened_oracle(),
+        "PCA-whitened top-2 coordinates (unit-variance components; "
+        "same zero-shuffle projection map)",
     ),
     "embedding_top2_eigvecs": QuerySpec(
         embedding_top2_eigvecs,

@@ -419,3 +419,42 @@ def test_ivf_nprobe8_matches_lsh_recall_sf01(spark):
     hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
     recall = hits / sum(len(v) for v in truth.values())
     assert recall >= 0.9, recall
+
+
+def test_pca_whitened_consistent_with_projection(spark):
+    """w_k must equal pc_k / sqrt(eigenvalue_k) using the SURFACED
+    top-2 eigenvalues — the three queries share one basis, so the
+    whitened output is derivable from the other two up to the 6dp
+    output rounding."""
+    import math
+
+    from data_pipelines_using_llm_spark.plans.similarity_queries import (
+        embedding_pca_projection,
+        embedding_pca_whitened,
+        embedding_top2_eigvecs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    lam = {
+        r["component"]: r["eigenvalue"]
+        for r in embedding_top2_eigvecs(spark, sf).collect()
+        if r["dim"] == 1
+    }
+    pc = {
+        r["vec_id"]: (r["pc1"], r["pc2"])
+        for r in embedding_pca_projection(spark, sf).collect()
+    }
+    w = {
+        r["vec_id"]: (r["w1"], r["w2"])
+        for r in embedding_pca_whitened(spark, sf).collect()
+    }
+    assert set(pc) == set(w) and pc
+    # pc is rounded to 6dp BEFORE this division, so its half-ulp error
+    # is amplified by 1/sqrt(lambda); w adds its own half-ulp.
+    for comp in (1, 2):
+        tol = 0.5e-6 / math.sqrt(lam[comp]) + 0.6e-6
+        for vid in pc:
+            assert (
+                abs(w[vid][comp - 1] - pc[vid][comp - 1] / math.sqrt(lam[comp]))
+                < tol
+            ), (vid, comp)
