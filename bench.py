@@ -175,6 +175,26 @@ def _round_of(name: str) -> int:
     return int(m.group(1)) if m else -1
 
 
+def _previous_tier2_skipped(sf: float | str) -> list[str]:
+    """The previous run's tier-2 budget casualties at the SAME scale
+    factor (from the committed BENCH_DETAIL sidecar), so this run can
+    measure them FIRST — a slow session must thin bench coverage for at
+    most one round (r9: the 300s budget dropped three streaming queries
+    and nothing re-prioritized them)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json")) as fh:
+            detail = json.load(fh)
+    except Exception:
+        return []
+    if detail.get("sf") != sf:
+        return []
+    skipped = detail.get("tier2_skipped")
+    return [n for n in skipped if isinstance(n, str)] if isinstance(
+        skipped, list
+    ) else []
+
+
 def _previous_bench(sf: float | str) -> tuple[str, dict[str, float]] | None:
     """Most recent round's per-query timings (for the regression gate),
     restricted to runs at the SAME scale factor — a sf0.01 smoke run must
@@ -367,6 +387,15 @@ def main() -> int:
     # truncated pass must not read as full coverage.
     tier2_budget = float(os.environ.get("SPARK_GRAFT_TIER2_BUDGET_SEC", "300"))
     tier2_skipped: list[str] = []
+    # Rotate the PREVIOUS run's budget casualties to the front (r9: the
+    # 300s budget fired for the first time and dropped three streaming
+    # queries) — a slow session thins coverage for one round, not
+    # permanently: whatever was skipped last time is measured first now.
+    prev_skipped = _previous_tier2_skipped(sf_probe_val)
+    if prev_skipped:
+        front = [n for n in prev_skipped if n in tier2_names]
+        rest = [n for n in tier2_names if n not in set(front)]
+        tier2_names = front + rest
     saved_timings, saved_cold = timings, cold_timings
     timings, cold_timings = tier2, tier2_cold
     for i, name in enumerate(tier2_names):
@@ -441,12 +470,30 @@ def main() -> int:
         .save(),
         "write": _write_gold,
     }
+    # Warm-run discipline (r8 verdict task 2, proven necessary by r9's
+    # 3.2x no-code-change swing on knn_pq_train): every stage is timed
+    # cold once, then re-run and the WARM MINIMUM recorded in `stages`
+    # — the same min-of-warm rule the per-query loop applies, so stage
+    # numbers are comparable round-over-round.  Cold lives in
+    # `stages_cold` (BENCH_DETAIL only; the compact line stays small).
     stages: dict[str, float] = {}
-    for stage, fn in stage_fns.items():
-        try:
+    stages_cold: dict[str, float] = {}
+    _STAGE_WARM_RUNS = int(os.environ.get("SPARK_GRAFT_STAGE_WARM_RUNS", "2"))
+
+    def _time_stage(stage: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        stages_cold[stage] = round(time.perf_counter() - t0, 4)
+        warm = []
+        for _ in range(_STAGE_WARM_RUNS):
             t0 = time.perf_counter()
             fn()
-            stages[stage] = round(time.perf_counter() - t0, 4)
+            warm.append(time.perf_counter() - t0)
+        stages[stage] = round(min(warm), 4)
+
+    for stage, fn in stage_fns.items():
+        try:
+            _time_stage(stage, fn)
         except Exception as exc:
             errors[f"stage:{stage}"] = f"{type(exc).__name__}: {exc}"[:400]
 
@@ -460,21 +507,29 @@ def main() -> int:
             knn_ivf_kmeans_train,
         )
 
-        t0 = time.perf_counter()
-        emb, cells = knn_ivf_kmeans_train(spark, sf_dir)
-        stages["knn_ivf_kmeans_train"] = round(time.perf_counter() - t0, 4)
-        t0 = time.perf_counter()
-        knn_ivf_kmeans_serve(emb, cells).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        stages["knn_ivf_kmeans_serve"] = round(time.perf_counter() - t0, 4)
+        trained: dict[str, object] = {}
+
+        def _ivf_train() -> None:
+            trained["emb"], trained["cells"] = knn_ivf_kmeans_train(
+                spark, sf_dir
+            )
+
+        _time_stage("knn_ivf_kmeans_train", _ivf_train)
+        _time_stage(
+            "knn_ivf_kmeans_serve",
+            lambda: knn_ivf_kmeans_serve(trained["emb"], trained["cells"])
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
         _safe_release()
     except Exception as exc:
         errors["stage:knn_ivf_kmeans_split"] = f"{type(exc).__name__}: {exc}"[:400]
         _safe_release()
 
     # Same split for the PQ family: codebook training (m k-means runs,
-    # amortized once in production) vs the ADC serve scan.
+    # amortized once in production) vs the ADC serve scan and the
+    # refine stage's extra full-precision pass.
     try:
         from data_pipelines_using_llm_spark.operators import similarity as SIM
         from data_pipelines_using_llm_spark.plans.similarity_queries import (
@@ -484,18 +539,34 @@ def main() -> int:
         from data_pipelines_using_llm_spark.sources.tables import load_table
 
         emb = load_table(spark, sf_dir, "embeddings")
-        t0 = time.perf_counter()
-        codes, pqcents = SIM.pq_train(emb, "vec_id", "embedding")
-        pq = (
-            codes.localCheckpoint(eager=True),
-            pqcents.localCheckpoint(eager=True),
+        pq_art: dict[str, object] = {}
+
+        def _pq_train() -> None:
+            codes, pqcents = SIM.pq_train(emb, "vec_id", "embedding")
+            pq_art["pq"] = (
+                codes.localCheckpoint(eager=True),
+                pqcents.localCheckpoint(eager=True),
+            )
+
+        _time_stage("knn_pq_train", _pq_train)
+        _time_stage(
+            "knn_pq_serve",
+            lambda: SIM.knn_pq(
+                emb, "vec_id", "embedding", SQ_MOD, SQ_K, pq=pq_art["pq"]
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
         )
-        stages["knn_pq_train"] = round(time.perf_counter() - t0, 4)
-        t0 = time.perf_counter()
-        SIM.knn_pq(
-            emb, "vec_id", "embedding", SQ_MOD, SQ_K, pq=pq
-        ).write.format("noop").mode("overwrite").save()
-        stages["knn_pq_serve"] = round(time.perf_counter() - t0, 4)
+        _time_stage(
+            "knn_pq_refined_serve",
+            lambda: SIM.knn_pq_refined(
+                emb, "vec_id", "embedding", SQ_MOD, SQ_K, pq=pq_art["pq"]
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
         _safe_release()
     except Exception as exc:
         errors["stage:knn_pq_split"] = f"{type(exc).__name__}: {exc}"[:400]
@@ -624,6 +695,9 @@ def main() -> int:
         "tier2_skipped": tier2_skipped,
         "errors": errors,
         "stages": stages,
+        "stages_cold": stages_cold,
+        "stage_timing": "cold once + min of "
+        f"{_STAGE_WARM_RUNS} warm re-runs (warm reported in stages)",
         "scale_probe": scale,
         "plan_audit": audit,
         "bench_delta": bench_delta,

@@ -1384,6 +1384,7 @@ def knn_pq(
     kcodes: int = PQ_K,
     iters: int = PQ_ITERS,
     pq: tuple[DataFrame, DataFrame] | None = None,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Exhaustive PQ search with ASYMMETRIC DISTANCE COMPUTATION (ADC) —
     FAISS's ``IndexPQ`` re-expressed as a dataflow: queries stay float,
@@ -1408,7 +1409,7 @@ def knn_pq(
     :func:`knn_ivf_int8` composes unchanged with this scorer.
     """
     subdim = DIM // m
-    base = normed(df, id_col, vec_col)
+    base = base if base is not None else normed(df, id_col, vec_col)
     codes, cents = (
         pq if pq is not None else pq_train(df, id_col, vec_col, m, kcodes, iters)
     )
@@ -1493,25 +1494,29 @@ def knn_pq_refined(
     the float vectors fetched by id, and emits the exact-cosine top-k.
 
     Scale shape: the candidate set is |queries|·C rows — broadcast into
-    the corpus scan, so the full-precision fetch is a broadcast hash
-    semi-join over ONE corpus pass (no corpus shuffle, no all-pairs).
-    Refine cost is O(|queries|·C·d) exact dot products regardless of
-    corpus size; C is a serving constant, so at 100 TB the stage costs
-    one scan + a driver-negligible re-score.
+    a full-precision fetch that is a broadcast inner join over one
+    additional corpus pass on top of ``knn_pq``'s code-table scan (one
+    corpus row duplicated per referencing query; no corpus shuffle, no
+    all-pairs).  Refine cost is O(|queries|·C·d) exact dot products
+    regardless of corpus size; C is a serving constant, so at 100 TB
+    the stage costs one extra scan + a driver-negligible re-score.
 
     Recall: exact re-ranking surfaces every true neighbor present in
     the candidate set, so recall@k equals the ADC candidate recall@C —
-    measured 0.80 at C=8k on the driver's i.i.d. near-orthogonal
-    embeddings (PQ's worst case; see SCALE.md), vs 0.15 worst-case for
-    raw :func:`knn_pq`.  Determinism: ADC scores are sequenced folds
-    (hash-gated in ``knn_pq``); exact cosine is the same fold
-    :func:`knn_brute_force` gates — so the composition hash-gates too.
+    measured 0.80 at sf0.01 with C=8k (and 0.64 at sf0.001) on the
+    driver's i.i.d. near-orthogonal embeddings (PQ's worst case; floor
+    asserted in tests/test_similarity.py and recorded in SCALE.md), vs
+    0.15 worst-case floor for raw :func:`knn_pq`.  Determinism: ADC
+    scores are sequenced folds (hash-gated in ``knn_pq``); exact cosine
+    is the same fold :func:`knn_brute_force` gates — so the composition
+    hash-gates too.
     """
     ncand = refine_factor * k
-    cands = knn_pq(
-        df, id_col, vec_col, query_mod, ncand, m, kcodes, iters, pq=pq
-    ).select("query_id", "neighbor_id")
     base = normed(df, id_col, vec_col)
+    cands = knn_pq(
+        df, id_col, vec_col, query_mod, ncand, m, kcodes, iters, pq=pq,
+        base=base,
+    ).select("query_id", "neighbor_id")
     queries = base.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

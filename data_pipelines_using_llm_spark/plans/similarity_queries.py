@@ -961,6 +961,89 @@ FROM ranked WHERE rank <= {K}
 """
 
 
+def knn_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC candidates + exact re-rank — FAISS ``IndexRefineFlat``
+    over ``IndexPQ``: the ADC scan proposes top-C (C = 8·k) per query,
+    one additional full-precision corpus pass re-scores them exactly
+    under a broadcast inner join, and the exact-cosine top-k is emitted.
+    Measured recall@10 vs exact: 0.80 at sf0.01 (0.64 at sf0.001); raw
+    knn_pq floors at 0.15.  See operators/similarity.py::knn_pq_refined
+    for the 100 TB plan argument and SCALE.md for the recall record."""
+    e = load_table(spark, sf_dir, "embeddings")
+    codes, cents = SIM.pq_train(e, "vec_id", "embedding")
+    pq = (codes.localCheckpoint(eager=True), cents.localCheckpoint(eager=True))
+    return SIM.knn_pq_refined(e, "vec_id", "embedding", QUERY_MOD, K, pq=pq)
+
+
+def _knn_pq_refined_oracle(
+    m: int = SIM.PQ_M,
+    kcodes: int = SIM.PQ_K,
+    iters: int = SIM.PQ_ITERS,
+    refine_factor: int = SIM.PQ_REFINE_FACTOR,
+) -> str:
+    """The PQ-candidate CTE family (same ``_pq_prefix`` as the knn_pq
+    oracle, ranked to C = refine_factor·k) composed with the exact
+    cosine re-rank the knn_brute_force oracle expresses — the SQL
+    statement of IndexRefineFlat-over-IndexPQ."""
+    sd = SIM.DIM // m
+    ncand = refine_factor * K
+    return f"""
+WITH {_SQL_BASE},
+{_pq_prefix(m, kcodes, iters)},
+q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+      WHERE vec_id % {QUERY_MOD} = 0),
+lut AS (
+    SELECT q.query_id, q.qnrm, c.m, c.code,
+           list_reduce(list_prepend(0.0,
+               list_transform(range(1, {sd + 1}),
+                   i -> q.qv[c.m * {sd} + i] * c.cv[i])),
+               (acc, x) -> acc + x) AS partial,
+           c.cn2
+    FROM q CROSS JOIN pcentn c
+),
+sp AS (
+    SELECT l.query_id, c.vec_id, l.qnrm, l.m, l.partial, l.cn2
+    FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+    WHERE c.vec_id != l.query_id
+),
+pagg AS (
+    SELECT query_id, vec_id,
+           list_reduce(list_prepend(0.0, array_agg(partial ORDER BY m)),
+                       (acc, x) -> acc + x) AS adc,
+           list_reduce(list_prepend(0.0, array_agg(cn2 ORDER BY m)),
+                       (acc, x) -> acc + x) AS rn2,
+           min(qnrm) AS qnrm
+    FROM sp GROUP BY query_id, vec_id
+),
+cand AS (
+    SELECT query_id, vec_id AS neighbor_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY adc / (qnrm * sqrt(rn2)) DESC, vec_id
+               ) AS crank
+        FROM pagg
+    ) WHERE crank <= {ncand}
+),
+exact AS (
+    SELECT cd.query_id, cd.neighbor_id,
+           {_sql_dot('q.qv', 'c.v')} / (q.qnrm * c.nrm) AS cos
+    FROM cand cd
+    JOIN n c ON c.vec_id = cd.neighbor_id
+    JOIN q ON q.query_id = cd.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM exact
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine_sim,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {K}
+"""
+
+
 def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means cells) + PQ codes — the FAISS IVFPQ serving stack:
     probe float, score compressed via the ADC lookup table.  Training
@@ -1598,11 +1681,33 @@ def _pca_basis_literals(means: dict, v: dict):
     return m_arr, v1_arr, v2_arr
 
 
-def _pca_fold(m_arr, varr):
+def _pca_fold(m_arr, varr, dim: int = SIM.DIM):
     """Quantized per-row projection fold: Σ floor(((x−mean)·v)·2^30) as
-    int64, back to double — order-free, mirrored in the oracles."""
-    terms = F.transform(
+    int64, back to double — order-free, mirrored in the oracles.
+
+    Input contract, ENFORCED (r9 ADVICE): every embedding must be a
+    fixed-width array of exactly ``dim`` non-null elements.  Without
+    the guard a null element folds the whole pc to NULL (and a short
+    array silently truncates the sum) while the DuckDB oracle's unnest
+    just omits the term — a latent silent hash mismatch.  A violating
+    row now raises loudly instead; whole-row NULL embeddings are the
+    callers' documented drop (``.filter(embedding IS NOT NULL)``, same
+    as the oracle's unnest semantics)."""
+    guarded = F.when(
+        (F.size(F.col("embedding")) == dim)
+        & ~F.exists(F.col("embedding"), lambda x: x.isNull()),
         F.col("embedding"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "PCA contract violation at vec_id=%s: embedding must be "
+                f"an array of exactly {dim} non-null floats",
+                F.col("vec_id").cast("string"),
+            )
+        )
+    )
+    terms = F.transform(
+        guarded,
         lambda x, k: F.floor(
             (x.cast("double") - F.get(m_arr, k))
             * F.get(varr, k)
@@ -1725,6 +1830,12 @@ QUERIES = {
         knn_pq,
         _knn_pq_oracle(),
         "product-quantization ADC top-k (FAISS IndexPQ shape)",
+    ),
+    "knn_pq_refined": QuerySpec(
+        knn_pq_refined,
+        _knn_pq_refined_oracle(),
+        "PQ ADC top-C candidates + exact-cosine re-rank "
+        "(FAISS IndexRefineFlat-over-IndexPQ shape)",
     ),
     "knn_ivfpq": QuerySpec(
         knn_ivfpq,

@@ -109,6 +109,66 @@ def test_knn_pq_structure_and_recall_floor(spark):
     assert recall >= 0.15, recall
 
 
+def test_pca_fold_enforces_fixed_width_non_null_contract(spark):
+    """The PCA projection fold must raise loudly on ragged or
+    null-element embeddings (r9 ADVICE): a null element would fold the
+    pc to NULL and a short array would silently truncate the sum while
+    the DuckDB oracle's unnest omits the term — a silent hash mismatch
+    if the embeddings table ever stops being fixed-width non-null."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    m = F.array(F.lit(0.0), F.lit(0.0))
+    v = F.array(F.lit(1.0), F.lit(1.0))
+    ok = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id bigint, embedding array<double>"
+    )
+    assert ok.select(
+        F.round(SQ._pca_fold(m, v, dim=2), 6).alias("pc")
+    ).collect()[0]["pc"] == 3.0
+    for bad in ([(2, [1.0])], [(3, [1.0, None])]):
+        df = spark.createDataFrame(
+            bad, "vec_id bigint, embedding array<double>"
+        )
+        with _pt.raises(Exception, match="PCA contract violation"):
+            df.select(SQ._pca_fold(m, v, dim=2).alias("pc")).collect()
+
+
+def test_knn_pq_refined_recall_floor_and_exact_consistency(spark):
+    """The refine stage's contract, at the oracle scale (sf0.01):
+
+    1. recall@10 vs exact clears 0.8 — the measured ADC candidate
+       recall@C at C=8k (SCALE.md; sf0.001 measures 0.64, which is why
+       the floor is pinned at THIS scale, not the smaller fixture's);
+    2. it strictly beats raw knn_pq's recall (the whole point of the
+       extra corpus pass);
+    3. exact-cosine consistency: every (query, neighbor) pair the
+       refined output shares with knn_brute_force carries the SAME
+       rounded score — the re-rank is exact, not a second approximation.
+    """
+    sf = "/root/testdata/sf0.01"
+    truth: dict[int, set[int]] = {}
+    exact_score: dict[tuple[int, int], float] = {}
+    for r in SQ.knn_brute_force(spark, sf).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        exact_score[(r["query_id"], r["neighbor_id"])] = r["cosine_sim"]
+    refined = SQ.knn_pq_refined(spark, sf).collect()
+    got: dict[int, set[int]] = {}
+    for r in refined:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_score:
+            assert r["cosine_sim"] == exact_score[key], key
+    total = sum(len(v) for v in truth.values())
+    recall = sum(len(truth[q] & got.get(q, set())) for q in truth) / total
+    assert recall >= 0.8, recall
+    raw: dict[int, set[int]] = {}
+    for r in SQ.knn_pq(spark, sf).collect():
+        raw.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    raw_recall = sum(len(truth[q] & raw.get(q, set())) for q in truth) / total
+    assert recall > raw_recall, (recall, raw_recall)
+
+
 def test_knn_ivfpq_subset_of_probed_cells(spark):
     """IVFPQ candidates must come only from the probed cells: every
     returned neighbor's cell is one of its query's top-nprobe cells by
