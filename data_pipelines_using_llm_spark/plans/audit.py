@@ -38,12 +38,38 @@ class PlanReport:
 
 
 #: keys-only distinct: partial->Exchange->final HashAggregate with no
-#: partial_* function marker; the lookbehind rejects Broadcast/Reused
-#: exchanges (aggregates under those are shipped results, not combines)
+#: partial_* function marker.  The lookbehind rejects Broadcast/Reused
+#: exchanges (aggregates under those are shipped results, not combines);
+#: the optional ``* `` tolerates whole-stage-codegen stars in the tree
+#: (``+- * HashAggregate (5)``); the captured node id is cross-checked
+#: against the detail sections so ONLY keys-only aggregates
+#: (``Functions: []``) count structurally — a FINAL aggregate sitting
+#: under a later reshuffle Exchange carries real function markers and
+#: must NOT be mistaken for a map-side partial (r9 ADVICE: the old
+#: regex did exactly that, silently suppressing the no_partial_agg
+#: warn, and broke outright on codegen stars).
 _PRE_EXCHANGE_AGG_RE = re.compile(
     r"(?<![A-Za-z])Exchange \(\d+\)\n[^\n]*\+- "
-    r"(?:Hash|Object\w*Hash|Sort)Aggregate"
+    r"(?:\* )?(?:Hash|Object\w*Hash|Sort)Aggregate \((\d+)\)"
 )
+
+#: detail-section header + body for each aggregate node, used to find
+#: the keys-only ones (empty function list)
+_AGG_DETAIL_RE = re.compile(
+    r"\((\d+)\) (?:Hash|Object\w*Hash|Sort)Aggregate[^\n]*\n"
+    r"(.*?)(?=\n\(\d+\)|\Z)",
+    re.S,
+)
+
+
+def _keys_only_agg_ids(text: str) -> set[str]:
+    """Node ids of aggregates whose detail section shows an EMPTY
+    function list (``Functions: []``) — the keys-only distinct shape."""
+    return {
+        m.group(1)
+        for m in _AGG_DETAIL_RE.finditer(text)
+        if "Functions: []" in m.group(2)
+    }
 
 
 def formatted_plan(df: DataFrame) -> str:
@@ -68,13 +94,15 @@ def plan_report(df: DataFrame) -> PlanReport:
     # NO function marker (Functions: []), so ALSO count aggregates that
     # sit structurally under an Exchange in the plan tree — otherwise
     # every .distinct() reads as "no map-side combine" (the r7 plan-audit
-    # false-positive on dedup_ngram_jaccard).
-    # the lookbehind keeps BroadcastExchange/ReusedExchange from
-    # matching as `...Exchange` — an aggregate under a BROADCAST
-    # exchange is a final result being shipped, not a map-side combine,
-    # and counting it would silently suppress the no_partial_agg lint.
-    r.partial_aggregates = text.count("partial_") + len(
-        _PRE_EXCHANGE_AGG_RE.findall(text)
+    # false-positive on dedup_ngram_jaccard).  The structural count is
+    # restricted to keys-only aggregates (detail cross-check): a FINAL
+    # aggregate under a later reshuffle Exchange has real function
+    # markers and is NOT a map-side partial.
+    keys_only = _keys_only_agg_ids(text)
+    r.partial_aggregates = text.count("partial_") + sum(
+        1
+        for m in _PRE_EXCHANGE_AGG_RE.finditer(text)
+        if m.group(1) in keys_only
     )
     r.final_aggregates = text.count("HashAggregate")
     r.unpartitioned_windows = len(

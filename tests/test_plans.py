@@ -556,6 +556,63 @@ def test_audit_keys_only_distinct_counts_as_partial(spark):
     assert not [f for f in audit_plan(df) if f["code"] == "no_partial_agg"]
 
 
+def test_audit_final_agg_under_reshuffle_is_not_a_partial(spark):
+    """A FINAL HashAggregate that sits under a LATER reshuffle Exchange
+    (repartition after the agg) must not be miscounted as a map-side
+    partial (r9 ADVICE): the structural matcher only accepts keys-only
+    (Functions: []) aggregates, so the partial count here comes solely
+    from the partial_count marker."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_using_llm_spark.plans.audit import (
+        formatted_plan,
+        plan_report,
+    )
+
+    df = (
+        spark.range(100)
+        .selectExpr("id % 7 AS k")
+        .groupBy("k")
+        .agg(F.count("*").alias("c"))
+        .repartition(4)
+    )
+    text = formatted_plan(df)
+    r = plan_report(df)
+    # exactly the marker-based partials — the final agg under the
+    # repartition Exchange contributes nothing structurally
+    assert r.partial_aggregates == text.count("partial_") >= 1
+
+
+def test_audit_tolerates_codegen_stars_in_tree(spark):
+    """With AQE off the formatted tree prints `+- * HashAggregate (n)`
+    (whole-stage-codegen star); the structural keys-only matcher must
+    still see the distinct's map-side combine (r9 ADVICE: the old
+    literal regex broke on the star)."""
+    from data_pipelines_using_llm_spark.plans.audit import (
+        audit_plan,
+        formatted_plan,
+        plan_report,
+    )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = (
+            spark.range(100)
+            .selectExpr("id % 7 AS k", "id % 3 AS v")
+            .repartition(4)
+            .distinct()
+        )
+        text = formatted_plan(df)
+        assert "* HashAggregate" in text, "fixture lost its codegen star"
+        r = plan_report(df)
+        assert r.partial_aggregates >= 1
+        assert not [
+            f for f in audit_plan(df) if f["code"] == "no_partial_agg"
+        ]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def test_fuzzy_decontamination_eval_side_broadcasts(spark):
     """Candidate generation and verify must both broadcast the eval side
     (the benchmark corpus is tiny at any training scale); the corpus side
