@@ -98,11 +98,25 @@ def pagerank(
         raise ValueError(f"dangling must be error|redistribute: {dangling!r}")
     if fold not in ("quantized", "plain", "sorted"):
         raise ValueError(f"fold must be quantized|plain|sorted: {fold!r}")
-    # persist the loop-invariant graph structure ONCE (the GraphX-style
-    # lineage cut): edges/deg/nodes are referenced by every iteration —
-    # without the barrier each round re-runs the distinct + degree
-    # shuffles from scratch, and the dangling probe would add a third
-    # full derivation on top
+    edges, deg, nodes, sinks, n_df = _pagerank_setup(
+        edges, src_col, dst_col, dangling
+    )
+    rank = nodes.crossJoin(F.broadcast(n_df)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(iters):
+        rank = _pagerank_round(
+            rank, edges, deg, nodes, sinks, n_df, damping, dangling, fold, salt
+        )
+    return rank
+
+
+def _pagerank_setup(edges, src_col, dst_col, dangling):
+    """Loop-invariant PageRank structure, persisted ONCE (the
+    GraphX-style lineage cut): edges/deg/nodes are referenced by every
+    iteration — without the barrier each round re-runs the distinct +
+    degree shuffles from scratch, and the dangling probe would add a
+    third full derivation on top."""
     edges = barrier(
         edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -126,126 +140,229 @@ def pagerank(
                 "dangling='redistribute'"
             )
     n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
-    rank = nodes.crossJoin(F.broadcast(n_df)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("r")
-    )
-    for _ in range(iters):
-        # Pre-join the two VERTEX-sized tables (rank, degree) before
-        # touching the edge list: the corpus-sized join then happens
-        # exactly once per iteration, and — because nothing downstream
-        # of it requires src partitioning (the fold shuffles on dst) —
-        # AQE's skew split is free to break a celebrity vertex's hub
-        # partition into chunks (tests/test_graph.py hub-skew fixture).
-        # The old edges⋈rank⋈deg chain pinned src partitioning across
-        # two joins, which vetoed the split exactly where it mattered.
-        rd = rank.withColumnRenamed("node", "src").join(deg, "src")
-        if salt:
-            rd_s = rd.withColumn(
-                "salt",
-                F.explode(F.sequence(F.lit(0), F.lit(salt - 1))),
-            )
-            e_s = edges.withColumn(
-                "salt",
-                F.pmod(F.xxhash64("dst"), F.lit(salt)).cast("int"),
-            )
-            contrib = e_s.join(rd_s, ["src", "salt"]).select(
-                "dst", "src", (F.col("r") / F.col("deg")).alias("c")
-            )
-        else:
-            contrib = edges.join(rd, "src").select(
-                "dst", "src", (F.col("r") / F.col("deg")).alias("c")
-            )
+    return edges, deg, nodes, sinks, n_df
+
+
+def _pagerank_round(
+    rank, edges, deg, nodes, sinks, n_df, damping, dangling, fold, salt
+):
+    """ONE damped PageRank round — the loop body shared verbatim by the
+    fixed-``iters`` mode and :func:`pagerank_converged`.
+
+    Pre-join the two VERTEX-sized tables (rank, degree) before
+    touching the edge list: the corpus-sized join then happens
+    exactly once per iteration, and — because nothing downstream
+    of it requires src partitioning (the fold shuffles on dst) —
+    AQE's skew split is free to break a celebrity vertex's hub
+    partition into chunks (tests/test_graph.py hub-skew fixture).
+    The old edges⋈rank⋈deg chain pinned src partitioning across
+    two joins, which vetoed the split exactly where it mattered."""
+    rd = rank.withColumnRenamed("node", "src").join(deg, "src")
+    if salt:
+        rd_s = rd.withColumn(
+            "salt",
+            F.explode(F.sequence(F.lit(0), F.lit(salt - 1))),
+        )
+        e_s = edges.withColumn(
+            "salt",
+            F.pmod(F.xxhash64("dst"), F.lit(salt)).cast("int"),
+        )
+        contrib = e_s.join(rd_s, ["src", "salt"]).select(
+            "dst", "src", (F.col("r") / F.col("deg")).alias("c")
+        )
+    else:
+        contrib = edges.join(rd, "src").select(
+            "dst", "src", (F.col("r") / F.col("deg")).alias("c")
+        )
+    if fold == "quantized":
+        # fixed-point fold: floor(c·2^50) is IEEE-identical in every
+        # engine, and int64 addition is exact & order-independent —
+        # deterministic AND a plain map-side-partial sum (no per-dst
+        # array).  sum ≤ 2^50 ≪ int64 max at any scale.
+        summed = contrib.groupBy("dst").agg(
+            (
+                F.sum(F.floor(F.col("c") * F.lit(QUANT_SCALE))).cast(
+                    "double"
+                )
+                / F.lit(QUANT_SCALE)
+            ).alias("s")
+        )
+    elif fold == "sorted":
+        # legacy oracle path: sorted fold, bit-identical to the
+        # unrolled SQL's array_agg(... ORDER BY src) + list_reduce
+        summed = contrib.groupBy("dst").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("src", "c"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["c"],
+            ).alias("s")
+        )
+    else:
+        # plain map-side-partial double sum — PageRank tolerates
+        # last-ulp summation-order noise
+        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+    if dangling == "redistribute":
+        sink_ranks = rank.join(sinks, "node", "left_semi")
         if fold == "quantized":
-            # fixed-point fold: floor(c·2^50) is IEEE-identical in every
-            # engine, and int64 addition is exact & order-independent —
-            # deterministic AND a plain map-side-partial sum (no per-dst
-            # array).  sum ≤ 2^50 ≪ int64 max at any scale.
-            summed = contrib.groupBy("dst").agg(
+            # same fixed-point trick on the leak scalar: exact,
+            # order-independent, no collect_list over the sink set
+            leak = sink_ranks.agg(
                 (
-                    F.sum(F.floor(F.col("c") * F.lit(QUANT_SCALE))).cast(
-                        "double"
-                    )
+                    F.coalesce(
+                        F.sum(
+                            F.floor(F.col("r") * F.lit(QUANT_SCALE))
+                        ),
+                        F.lit(0),
+                    ).cast("double")
                     / F.lit(QUANT_SCALE)
-                ).alias("s")
+                ).alias("leak")
             )
         elif fold == "sorted":
-            # legacy oracle path: sorted fold, bit-identical to the
-            # unrolled SQL's array_agg(... ORDER BY src) + list_reduce
-            summed = contrib.groupBy("dst").agg(
+            # legacy oracle path: the leak scalar is a SORTED fold
+            # over (node, r) — bit-identical to the oracle's
+            # array_agg(r ORDER BY node) + list_reduce
+            leak = sink_ranks.agg(
                 F.aggregate(
-                    F.array_sort(F.collect_list(F.struct("src", "c"))),
+                    F.array_sort(F.collect_list(F.struct("node", "r"))),
                     F.lit(0.0),
-                    lambda acc, s: acc + s["c"],
-                ).alias("s")
+                    lambda acc, s: acc + s["r"],
+                ).alias("leak")
             )
         else:
-            # plain map-side-partial double sum — PageRank tolerates
-            # last-ulp summation-order noise
-            summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        if dangling == "redistribute":
-            sink_ranks = rank.join(sinks, "node", "left_semi")
-            if fold == "quantized":
-                # same fixed-point trick on the leak scalar: exact,
-                # order-independent, no collect_list over the sink set
-                leak = sink_ranks.agg(
-                    (
-                        F.coalesce(
-                            F.sum(
-                                F.floor(F.col("r") * F.lit(QUANT_SCALE))
-                            ),
-                            F.lit(0),
-                        ).cast("double")
-                        / F.lit(QUANT_SCALE)
-                    ).alias("leak")
-                )
-            elif fold == "sorted":
-                # legacy oracle path: the leak scalar is a SORTED fold
-                # over (node, r) — bit-identical to the oracle's
-                # array_agg(r ORDER BY node) + list_reduce
-                leak = sink_ranks.agg(
-                    F.aggregate(
-                        F.array_sort(F.collect_list(F.struct("node", "r"))),
-                        F.lit(0.0),
-                        lambda acc, s: acc + s["r"],
-                    ).alias("leak")
-                )
-            else:
-                leak = sink_ranks.agg(
-                    F.coalesce(F.sum("r"), F.lit(0.0)).alias("leak")
-                )
-            rank = (
-                nodes.join(
-                    summed.withColumnRenamed("dst", "node"), "node", "left"
-                )
-                .crossJoin(F.broadcast(n_df))
-                .crossJoin(F.broadcast(leak))
-                .select(
-                    "node",
-                    (
-                        F.lit(1 - damping) / F.col("n")
-                        + F.lit(damping)
-                        * (
-                            F.coalesce("s", F.lit(0.0))
-                            + F.col("leak") / F.col("n")
-                        )
-                    ).alias("r"),
-                )
+            leak = sink_ranks.agg(
+                F.coalesce(F.sum("r"), F.lit(0.0)).alias("leak")
             )
-        else:
-            rank = (
-                nodes.join(
-                    summed.withColumnRenamed("dst", "node"), "node", "left"
-                )
-                .crossJoin(F.broadcast(n_df))
-                .select(
-                    "node",
-                    (
-                        F.lit(1 - damping) / F.col("n")
-                        + F.lit(damping) * F.coalesce("s", F.lit(0.0))
-                    ).alias("r"),
-                )
+        rank = (
+            nodes.join(
+                summed.withColumnRenamed("dst", "node"), "node", "left"
             )
+            .crossJoin(F.broadcast(n_df))
+            .crossJoin(F.broadcast(leak))
+            .select(
+                "node",
+                (
+                    F.lit(1 - damping) / F.col("n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("s", F.lit(0.0))
+                        + F.col("leak") / F.col("n")
+                    )
+                ).alias("r"),
+            )
+        )
+    else:
+        rank = (
+            nodes.join(
+                summed.withColumnRenamed("dst", "node"), "node", "left"
+            )
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "node",
+                (
+                    F.lit(1 - damping) / F.col("n")
+                    + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+                ).alias("r"),
+            )
+        )
     return rank
+
+
+def pagerank_converged(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    tol: float = 1e-6,
+    max_rounds: int = 40,
+    damping: float = DAMPING,
+    dangling: str = "error",
+    fold: str = "quantized",
+    salt: int | None = None,
+) -> tuple[DataFrame, int]:
+    """PageRank iterated to CONVERGENCE — the production fixpoint mode
+    matching :func:`k_core_with_rounds`: run :func:`_pagerank_round`
+    until the L1 rank delta ``Σ|r_t − r_{t−1}|`` drops to ``tol``, with
+    a loud ``max_rounds`` guard instead of silent truncation.
+
+    Returns ``(rank, rounds)`` — rounds is how many damped rounds ran,
+    i.e. the unrolled-oracle depth that reproduces these exact ranks
+    (registry queries gated against a fixed-depth CTE oracle assert it,
+    the trade_k_core_converged discipline).
+
+    Determinism of the EXIT, not just the ranks: under the default
+    quantized fold the ranks are bit-identical cross-engine, and the
+    delta probe is the same fixed-point trick — one exact
+    order-independent int64 sum of ``floor(|Δr|·2^50)`` per round (a
+    scalar control-plane probe, not data movement) — so the round count
+    is a pure function of the graph, never of partitioning or
+    summation order.
+
+    Lineage discipline — STRONGER than a persist barrier here: a
+    convergence loop can legitimately run dozens of rounds, and persist
+    caches data but leaves the LOGICAL plan growing round over round,
+    so Catalyst re-analyzes an ever-deeper tree each iteration and the
+    driver heap dies long before the data does (measured: OOM at
+    default heap near round ~40 on a 25-node fixture with per-round
+    persist; the knn_ivfpq train-lineage lesson).  Each round is
+    therefore cut with an eager ``localCheckpoint`` — constant plan
+    depth, one materialization per round (the delta probe needs the
+    data anyway); a dropped round's blocks are reclaimed by Spark's
+    ContextCleaner once unreferenced.  The loop-invariant setup
+    barriers are released on BOTH exits (the k_core_with_rounds rule,
+    r9 ADVICE): the returned rank is its own checkpoint, so nothing
+    this call persisted outlives it.
+    """
+    if dangling not in ("error", "redistribute"):
+        raise ValueError(f"dangling must be error|redistribute: {dangling!r}")
+    if fold not in ("quantized", "plain", "sorted"):
+        raise ValueError(f"fold must be quantized|plain|sorted: {fold!r}")
+    edges, deg, nodes, sinks, n_df = _pagerank_setup(
+        edges, src_col, dst_col, dangling
+    )
+    setup_barriers = (edges, deg, nodes)
+
+    def _release_setup() -> None:
+        for b in setup_barriers:
+            b.unpersist(blocking=False)
+
+    rank = (
+        nodes.crossJoin(F.broadcast(n_df))
+        .select("node", (F.lit(1.0) / F.col("n")).alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    tol_q = int(tol * QUANT_SCALE)
+    delta_q = None
+    for rnd in range(1, max_rounds + 1):
+        nxt = _pagerank_round(
+            rank, edges, deg, nodes, sinks, n_df, damping, dangling,
+            fold, salt,
+        ).localCheckpoint(eager=True)
+        # exact L1 delta: int64 sum of floor(|Δr|·2^50) — order-free,
+        # so the convergence round is deterministic cross-engine; one
+        # scalar control-plane probe per round, not data movement
+        delta_q = nxt.join(
+            rank.select("node", F.col("r").alias("r_prev")), "node"
+        ).agg(
+            F.coalesce(
+                F.sum(
+                    F.floor(
+                        F.abs(F.col("r") - F.col("r_prev"))
+                        * F.lit(QUANT_SCALE)
+                    )
+                ),
+                F.lit(0),
+            ).alias("dq")
+        ).first()["dq"]
+        rank = nxt
+        if delta_q <= tol_q:
+            _release_setup()
+            return rank, rnd
+    _release_setup()
+    raise RuntimeError(
+        f"pagerank_converged: L1 delta {delta_q / QUANT_SCALE:.3g} still "
+        f"above tol={tol} after max_rounds={max_rounds} damped rounds; "
+        "raise max_rounds or loosen tol — rounds are early-exit, so a "
+        "generous bound only costs work when needed"
+    )
 
 
 def k_core(
@@ -255,6 +372,21 @@ def k_core(
     dst_col: str = "dst",
     max_rounds: int = 30,
 ) -> DataFrame:
+    """:func:`k_core_with_rounds` without the round count — see there
+    for the algorithm, contracts, and cache discipline."""
+    core, _rounds = k_core_with_rounds(
+        edges, k, src_col, dst_col, max_rounds
+    )
+    return core
+
+
+def k_core_with_rounds(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 30,
+) -> tuple[DataFrame, int]:
     """Peel-until-STABLE k-core over a SYMMETRIC (doubled) edge list —
     the production fixpoint mode the fixed-round registry query
     (plans/graph_queries.py::trade_k_core) documents: drop every vertex
@@ -263,8 +395,14 @@ def k_core(
 
     Input contract: ``edges`` carries BOTH orientations of every
     undirected edge (the doubled list trade_k_core builds), so
-    degree(v) = count of ``src_col = v`` rows.  Returns the surviving
-    symmetric edge list with the input column names.
+    degree(v) = count of ``src_col = v`` rows.  Returns
+    ``(core, shrinking_rounds)``: the surviving symmetric edge list
+    with the input column names, plus how many rounds removed at least
+    one edge — i.e. the MINIMAL unrolled-oracle depth that reproduces
+    the fixpoint, which registry queries gated against a fixed-depth
+    CTE oracle use to fail LOUDLY (named error, not a bare hash
+    mismatch) if the data ever needs a deeper peel than the oracle
+    expresses (r9 ADVICE).
 
     Convergence discipline (matches connected_components,
     operators/dedup.py): the peel is monotone — the edge set only
@@ -286,7 +424,7 @@ def k_core(
         )
     )
     n_prev = cur.count()
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         keep = (
             cur.groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
@@ -302,10 +440,20 @@ def k_core(
         cur.unpersist(blocking=False)
         cur = nxt
         if n == n_prev:
-            return cur.select(
+            # Release the final barrier as soon as the result is safely
+            # materialized behind a lineage cut: the converged list is
+            # already cached, so the eager localCheckpoint is one cheap
+            # scan, its blocks are ContextCleaner-managed (freed when
+            # the reference drops), and no persist outlives the call —
+            # callers outside the release_barriers() loop (library use)
+            # no longer strand an edge list in executor storage.
+            out = cur.select(
                 F.col("src").alias(src_col), F.col("dst").alias(dst_col)
-            )
+            ).localCheckpoint(eager=True)
+            cur.unpersist(blocking=False)
+            return out, rnd
         n_prev = n
+    cur.unpersist(blocking=False)  # raise path must not leak the last round
     raise RuntimeError(
         f"k_core did not converge within max_rounds={max_rounds} (edge "
         "set still shrinking); raise `max_rounds` — rounds are "

@@ -363,15 +363,243 @@ def trade_k_core_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME k-core decomposition through the PRODUCTION fixpoint
     path (:func:`operators.graph.k_core`: peel-until-stable, scalar
     edge-count probe per round, loud max_rounds guard) — registered
-    under the hash gate against the UNROLLED oracle, which is valid
-    because the peel reaches its fixpoint in round 1 on this graph and
-    the unrolled form runs past convergence.  One registry row thus
-    proves the convergence-exit mode lands on the oracle-verified core,
-    not just on a pytest fixture."""
-    from data_pipelines_using_llm_spark.operators.graph import k_core
+    under the hash gate against the UNROLLED oracle — valid exactly
+    when the peel converges within the oracle's ``KCORE_ROUNDS`` depth,
+    so that precondition is now CHECKED, not assumed (r9 ADVICE): if a
+    future scale factor makes the peel need a deeper unroll, this
+    raises a named error naming the required depth instead of
+    surfacing a bare hash mismatch.  One registry row thus proves the
+    convergence-exit mode lands on the oracle-verified core; the
+    multi-round peel itself is hash-gated by
+    :func:`chain_k_core_converged`."""
+    from data_pipelines_using_llm_spark.operators.graph import (
+        k_core_with_rounds,
+    )
 
-    core = k_core(_trade_graph_edges(spark, sf_dir), KCORE_K, max_rounds=30)
+    core, rounds = k_core_with_rounds(
+        _trade_graph_edges(spark, sf_dir), KCORE_K, max_rounds=30
+    )
+    if rounds > KCORE_ROUNDS:
+        raise RuntimeError(
+            f"trade_k_core_converged: peel needed {rounds} shrinking "
+            f"rounds but the unrolled oracle is only {KCORE_ROUNDS} "
+            "deep — regenerate _k_core_oracle(rounds=...) at depth >= "
+            f"{rounds} (the fixpoint result would hash-mismatch the "
+            "shallow oracle, so this fails loudly instead)"
+        )
     return _core_report(core)
+
+
+CHAIN_CLIQUE_N = 5  # K5 core
+CHAIN_TAIL = 4  # 4-edge tail => 4 shrinking rounds at k=2
+
+
+def _chain_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic clique-plus-tail graph derived from the ``nation``
+    table's fixed 25 keys: a K5 clique on nodes {0..4} with a 4-edge
+    tail 4–5–6–7–8 hanging off it, doubled to a symmetric list.  At
+    k=2 the peel removes exactly ONE tail vertex per round (degree-1
+    ends cascade), so the fixpoint needs 4 shrinking rounds — a
+    multi-round convergence case the trade graph (converges in round
+    1) cannot exercise under the hash gate."""
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("a")
+    )
+    clique = (
+        n.alias("x")
+        .join(n.alias("y"), F.col("x.a") < F.col("y.a"))
+        .filter(F.col("y.a") < CHAIN_CLIQUE_N)
+        .select(F.col("x.a").alias("src"), F.col("y.a").alias("dst"))
+    )
+    tail_lo = CHAIN_CLIQUE_N - 1
+    tail = n.filter(
+        (F.col("a") >= tail_lo) & (F.col("a") < tail_lo + CHAIN_TAIL)
+    ).select(F.col("a").alias("src"), (F.col("a") + 1).alias("dst"))
+    pairs = clique.union(tail)
+    return pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def chain_k_core_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=2 core of the clique-plus-tail fixture graph via the
+    PRODUCTION fixpoint peel — the registry row that puts a MULTI-ROUND
+    convergence (4 shrinking rounds; asserted, so the fixture cannot
+    silently degenerate) under the cross-engine hash gate, closing the
+    r8/r9 gap where the only gated fixpoint run converged in round 1.
+    Oracle: the same graph unrolled 5 rounds in CTEs (one past
+    convergence).  Output: surviving vertices with in-core degree —
+    exactly the K5 clique, every vertex at degree 4."""
+    from data_pipelines_using_llm_spark.operators.graph import (
+        k_core_with_rounds,
+    )
+
+    core, rounds = k_core_with_rounds(
+        _chain_graph_edges(spark, sf_dir), 2, max_rounds=10
+    )
+    if rounds != CHAIN_TAIL:
+        raise RuntimeError(
+            f"chain_k_core_converged fixture degenerated: expected "
+            f"exactly {CHAIN_TAIL} shrinking rounds, got {rounds}"
+        )
+    return (
+        core.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(F.col("src").alias("node_key"), "core_degree")
+    )
+
+
+RING_PR_TOL = 5e-3
+RING_PR_ROUNDS = 17  # measured fixpoint depth at tol=5e-3; asserted below
+
+
+def _ring_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic directed ring-with-chords graph over the
+    ``nation`` table's fixed 25 keys: every node i has the ring edge
+    i→(i+1)%25 (so out-degree ≥ 1 everywhere — no dangling mass) and
+    nodes 0..11 add a chord i→(2i+5)%25 (never a self-loop or a ring
+    duplicate in that range), giving the non-uniform degree profile a
+    convergence test needs.  Fixed at every scale factor, so the
+    convergence round count is a constant of the fixture."""
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("a")
+    )
+    ring = n.select(
+        F.col("a").alias("src"), ((F.col("a") + 1) % 25).alias("dst")
+    )
+    chords = n.filter(F.col("a") < 12).select(
+        F.col("a").alias("src"), ((F.col("a") * 2 + 5) % 25).alias("dst")
+    )
+    return ring.union(chords)
+
+
+def ring_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank run to CONVERGENCE (L1 delta ≤ 5e-3, quantized-exact
+    probe) on the ring-with-chords fixture graph — the registry row
+    that puts the production convergence-exit mode
+    (:func:`operators.graph.pagerank_converged`) under the cross-engine
+    hash gate, the trade_k_core_converged discipline: the measured
+    convergence depth (17 damped rounds — far past the fixed-``iters``
+    queries' 2) is ASSERTED, so the fixture cannot silently
+    degenerate, and the oracle unrolls exactly that many rounds.
+    Output: per-node rank normalized to graph-mean 1.0, like
+    supplier_pagerank."""
+    from data_pipelines_using_llm_spark.operators.graph import (
+        pagerank_converged,
+    )
+
+    pr, rounds = pagerank_converged(
+        _ring_graph_edges(spark, sf_dir),
+        tol=RING_PR_TOL,
+        max_rounds=40,
+        damping=DAMPING,
+    )
+    if rounds != RING_PR_ROUNDS:
+        raise RuntimeError(
+            f"ring_pagerank_converged: peel converged in {rounds} rounds "
+            f"but the unrolled oracle is pinned at {RING_PR_ROUNDS} — "
+            "the fixture graph or tolerance changed; re-measure and "
+            "regenerate _ring_pagerank_oracle at the new depth"
+        )
+    n_df = pr.agg(F.count(F.lit(1)).alias("n"))
+    return pr.crossJoin(F.broadcast(n_df)).select(
+        F.col("node").alias("node_key"),
+        F.round(F.col("r") * F.col("n"), 6).alias("pr_score"),
+    )
+
+
+def _ring_pagerank_oracle(
+    rounds: int = RING_PR_ROUNDS, damping: float = DAMPING
+) -> str:
+    ctes = [
+        """keys AS (
+    SELECT CAST(n_nationkey AS BIGINT) AS a FROM nation
+)""",
+        """edges AS (
+    SELECT a AS src, (a + 1) % 25 AS dst FROM keys
+    UNION ALL
+    SELECT a AS src, (a * 2 + 5) % 25 AS dst FROM keys WHERE a < 12
+)""",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        """nodes AS (
+    SELECT DISTINCT src AS node FROM edges
+    UNION
+    SELECT DISTINCT dst AS node FROM edges
+)""",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "r0 AS (SELECT node, 1.0 / n AS r FROM nodes CROSS JOIN nn)",
+    ]
+    prev = "r0"
+    for it in range(1, rounds + 1):
+        ctes.append(
+            f"""c{it} AS (
+    SELECT e.dst AS node,
+           CAST(sum(CAST(floor(r.r / d.deg * {QUANT_SQL}) AS BIGINT))
+                AS DOUBLE) / {QUANT_SQL} AS s
+    FROM edges e
+    JOIN {prev} r ON r.node = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+)"""
+        )
+        ctes.append(
+            f"""r{it} AS MATERIALIZED (
+    SELECT nd.node, {1 - damping!r} / nn.n + {damping!r} * coalesce(c.s, 0.0) AS r
+    FROM nodes nd CROSS JOIN nn LEFT JOIN c{it} c ON c.node = nd.node
+)"""
+        )
+        prev = f"r{it}"
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT node AS node_key, round(r * nn.n, 6) AS pr_score
+FROM {prev} CROSS JOIN nn
+"""
+
+
+def _chain_k_core_oracle(rounds: int = CHAIN_TAIL + 1) -> str:
+    parts = [
+        f"""
+WITH keys AS (
+    SELECT CAST(n_nationkey AS BIGINT) AS a FROM nation
+),
+clique AS (
+    SELECT x.a AS src, y.a AS dst
+    FROM keys x JOIN keys y ON x.a < y.a
+    WHERE y.a < {CHAIN_CLIQUE_N}
+),
+tail AS (
+    SELECT a AS src, a + 1 AS dst FROM keys
+    WHERE a >= {CHAIN_CLIQUE_N - 1} AND a < {CHAIN_CLIQUE_N - 1 + CHAIN_TAIL}
+),
+pairs AS (
+    SELECT src, dst FROM clique UNION ALL SELECT src, dst FROM tail
+),
+e0 AS (
+    SELECT src, dst FROM pairs
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM pairs
+)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+k{r} AS (
+    SELECT src FROM e{r} GROUP BY src HAVING count(*) >= 2
+),
+e{r + 1} AS (
+    SELECT src, dst FROM e{r}
+    WHERE src IN (SELECT src FROM k{r})
+      AND dst IN (SELECT src FROM k{r})
+)"""
+        )
+    parts.append(
+        f"""
+SELECT src AS node_key, count(*) AS core_degree
+FROM e{rounds}
+GROUP BY src"""
+    )
+    return "".join(parts)
 
 
 def _k_core_oracle(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
@@ -421,7 +649,20 @@ QUERIES = {
         trade_k_core_converged,
         _k_core_oracle(),
         "k-core via the peel-until-stable fixpoint mode (oracle: the "
-        "unrolled CTE form, valid because the peel converges in round 1)",
+        "unrolled CTE form; convergence-within-depth is CHECKED and "
+        "raises a named error if the data ever needs a deeper unroll)",
+    ),
+    "ring_pagerank_converged": QuerySpec(
+        ring_pagerank_converged,
+        _ring_pagerank_oracle(),
+        "PageRank to convergence (L1<=5e-3, 17 rounds asserted) on the "
+        "ring-with-chords fixture vs a 17-round unrolled oracle",
+    ),
+    "chain_k_core_converged": QuerySpec(
+        chain_k_core_converged,
+        _chain_k_core_oracle(),
+        "multi-round (4 shrinking rounds, asserted) fixpoint k-core of "
+        "the clique-plus-tail fixture graph vs a 5-round unrolled oracle",
     ),
     "supplier_pagerank": QuerySpec(
         supplier_pagerank,

@@ -302,6 +302,143 @@ def test_k_core_converges_on_multi_round_peel_and_guards(spark):
         )
 
 
+def test_pagerank_converged_exits_before_cap_and_matches_fixed_iters(spark):
+    """Convergence-exit PageRank on the trade graph (sf0.001): the L1
+    delta must hit tol strictly BEFORE the max_rounds cap, and —
+    because the quantized fold makes every round bit-deterministic —
+    the converged ranks must be IDENTICAL to the fixed-iters mode run
+    for exactly that many rounds (the convergence exit changes when to
+    stop, never what a round computes)."""
+    import data_pipelines_using_llm_spark.plans.graph_queries as GQ
+    from data_pipelines_using_llm_spark.operators.graph import (
+        pagerank,
+        pagerank_converged,
+    )
+
+    edges = GQ._trade_graph_edges(spark, "/root/testdata/sf0.001")
+    # the damped delta decays ~0.85^t from ~1.5, so tol=0.05 converges
+    # around round 22 — comfortably before the cap, long after round 1
+    pr, rounds = pagerank_converged(edges, tol=5e-2, max_rounds=40)
+    assert 1 < rounds < 40, rounds
+    got = {r["node"]: r["r"] for r in pr.collect()}
+    fixed = {
+        r["node"]: r["r"]
+        for r in pagerank(edges, iters=rounds).collect()
+    }
+    assert got == fixed
+
+
+def test_pagerank_converged_raises_loudly_at_cap(spark):
+    """A too-small max_rounds must raise the named error, not return a
+    half-converged rank vector."""
+    import pytest as _pt
+
+    import data_pipelines_using_llm_spark.plans.graph_queries as GQ
+    from data_pipelines_using_llm_spark.operators.graph import (
+        pagerank_converged,
+    )
+
+    edges = GQ._ring_graph_edges(spark, "/root/testdata/sf0.001")
+    with _pt.raises(RuntimeError, match="raise max_rounds or loosen tol"):
+        pagerank_converged(edges, tol=1e-9, max_rounds=2)
+
+
+def test_ring_pagerank_converged_asserts_pinned_depth(spark, monkeypatch):
+    """The registry row must fail with a NAMED error — not a bare hash
+    mismatch — if the measured convergence depth ever drifts from the
+    oracle's pinned unroll (the trade_k_core_converged discipline)."""
+    import pytest as _pt
+
+    import data_pipelines_using_llm_spark.plans.graph_queries as GQ
+
+    monkeypatch.setattr(GQ, "RING_PR_ROUNDS", 3)
+    with _pt.raises(RuntimeError, match="regenerate _ring_pagerank_oracle"):
+        GQ.ring_pagerank_converged(spark, "/root/testdata/sf0.001")
+
+
+def test_k_core_with_rounds_reports_minimal_oracle_depth(spark):
+    """shrinking_rounds must equal the number of rounds that removed
+    edges — the minimal unrolled-oracle depth (r9 ADVICE): 0 for an
+    already-stable core, and exactly CHAIN_TAIL for the clique-plus-
+    tail fixture whose tail peels one vertex per round."""
+    import data_pipelines_using_llm_spark.plans.graph_queries as GQ
+    from data_pipelines_using_llm_spark.operators.graph import (
+        k_core_with_rounds,
+    )
+
+    tri = [(1, 2), (2, 3), (1, 3)]
+    rows = tri + [(b, a) for a, b in tri]
+    stable = spark.createDataFrame(rows, "src bigint, dst bigint")
+    _core, rounds = k_core_with_rounds(stable, 2)
+    assert rounds == 0
+
+    sf = "/root/testdata/sf0.001"
+    core, rounds = k_core_with_rounds(GQ._chain_graph_edges(spark, sf), 2)
+    assert rounds == GQ.CHAIN_TAIL
+    got = {(r["src"], r["dst"]) for r in core.collect()}
+    want = {
+        (a, b)
+        for a in range(GQ.CHAIN_CLIQUE_N)
+        for b in range(GQ.CHAIN_CLIQUE_N)
+        if a != b
+    }
+    assert got == want
+
+
+def test_trade_k_core_converged_raises_named_error_past_oracle_depth(
+    spark, monkeypatch
+):
+    """If the peel ever needs more shrinking rounds than the unrolled
+    oracle expresses, the registry query must raise a NAMED error
+    telling the maintainer to regenerate the oracle at the required
+    depth — not surface a bare hash mismatch (r9 ADVICE).  Simulated by
+    shrinking the declared oracle depth below the trade graph's actual
+    1-round peel."""
+    import pytest as _pt
+
+    import data_pipelines_using_llm_spark.plans.graph_queries as GQ
+
+    monkeypatch.setattr(GQ, "KCORE_ROUNDS", 0)
+    with _pt.raises(RuntimeError, match="regenerate _k_core_oracle"):
+        GQ.trade_k_core_converged(spark, "/root/testdata/sf0.001")
+
+
+def test_k_core_releases_all_barriers_on_both_exit_paths(spark):
+    """k_core must not strand persisted edge lists in executor storage
+    (r9 ADVICE): on convergence the result is handed back behind an
+    eager localCheckpoint and every per-round barrier is unpersisted;
+    on the max_rounds raise path the last round's cache is released
+    too.  Asserted via the caching registry: every barrier k_core
+    created during the call ends the call with storage level NONE."""
+    from data_pipelines_using_llm_spark.operators import caching
+    from data_pipelines_using_llm_spark.operators.graph import k_core
+
+    def _new_barriers_released(fn):
+        before = len(caching._TRACKED)
+        try:
+            fn()
+        except RuntimeError:
+            pass
+        new = caching._TRACKED[before:]
+        assert new, "fixture did not exercise the barrier path"
+        return all(
+            not d.storageLevel.useMemory and not d.storageLevel.useDisk
+            for d in new
+        )
+
+    tri = [(1, 2), (2, 3), (1, 3), (3, 9)]
+    rows = tri + [(b, a) for a, b in tri]
+    edges = spark.createDataFrame(rows, "src bigint, dst bigint")
+    # converged exit: consume the result, then check storage is clean
+    assert _new_barriers_released(lambda: k_core(edges, 2).collect())
+
+    path = [(i, i + 1) for i in range(1, 6)]
+    rows = path + [(b, a) for a, b in path]
+    shrinking = spark.createDataFrame(rows, "src bigint, dst bigint")
+    # raise exit: max_rounds=1 on a 3-round peel must release the cache
+    assert _new_barriers_released(lambda: k_core(shrinking, 2, max_rounds=1))
+
+
 def test_pagerank_salted_join_bounds_hub_tasks(spark):
     """r7 verdict task 6, hub-skew fixture: pagerank's per-iteration
     ``edges ⋈ rank`` join fans out by out-degree, and AQE's skew split
