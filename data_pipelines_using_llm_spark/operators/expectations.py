@@ -81,6 +81,83 @@ def _violation_expr(rule: Rule):
     raise ValueError(f"unknown rule kind {rule.kind}")
 
 
+def flag_violations(
+    df: DataFrame,
+    rules: list[Rule],
+    unique_order: list[str] | None = None,
+    out_col: str = "violated_rules",
+) -> DataFrame:
+    """Row-level flag-and-filter primitive (the reference's
+    flag-then-filter cleaning, ``First experiment/Claude Opus 4.py:
+    248-256``, generalized to the rule engine): every input row comes
+    back with ``out_col`` = the comma-joined names of the rules it
+    violates, in declared rule order ('' = clean row).
+
+    ONE scan, no joins: each row-level rule is a column predicate fused
+    into one projection (``concat_ws`` skips non-violated NULL slots,
+    so the same expression is oracle-expressible verbatim in DuckDB).
+    ``unique`` rules are the exception as always — keep-first needs a
+    total order, so they cost one window shuffle over the SAME scan and
+    require ``unique_order`` (the deterministic tiebreak columns;
+    violators are rows ranked past the first in their key group, the
+    exact rows :func:`expect` counts)."""
+    row_rules = [r for r in rules if r.kind != "unique"]
+    unique_rules = [r for r in rules if r.kind == "unique"]
+    if unique_rules and not unique_order:
+        raise ValueError(
+            "flag_violations: unique rules need unique_order (a "
+            "deterministic tiebreak) to decide which duplicate rows "
+            "are the violators"
+        )
+    from pyspark.sql.window import Window
+
+    out = df
+    slots: list = []
+    for r in rules:
+        if r.kind == "unique":
+            w = Window.partitionBy(*[F.col(c) for c in r.params]).orderBy(
+                *[F.col(c) for c in unique_order]
+            )
+            rn_col = f"__rn_{r.name}"
+            out = out.withColumn(rn_col, F.row_number().over(w))
+            slots.append((r.name, F.col(rn_col) > 1))
+        else:
+            slots.append((r.name, _violation_expr(r)))
+    flagged = out.withColumn(
+        out_col,
+        F.concat_ws(
+            ",",
+            *[F.when(cond, F.lit(name)) for name, cond in slots],
+        ),
+    )
+    return flagged.drop(
+        *[f"__rn_{r.name}" for r in unique_rules]
+    )
+
+
+def quarantine_split(
+    df: DataFrame,
+    rules: list[Rule],
+    unique_order: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Split ``df`` into (passed, quarantined) in one flagged pass:
+    ``passed`` carries the input columns of every clean row;
+    ``quarantined`` carries every violating row PLUS
+    ``violated_rules`` naming what it broke — the dead-letter routing
+    the report-only :func:`expect` cannot do.  By construction
+    passed ∪ quarantined ≡ input (each row goes to exactly one side —
+    proven in tests/test_expectations_quarantine.py).  Callers that
+    write both sides should persist the flagged intermediate so the
+    two filters share one materialization
+    (:func:`sinks.writers.write_audit_publish_split` does)."""
+    flagged = flag_violations(df, rules, unique_order)
+    passed = flagged.filter(F.col("violated_rules") == "").drop(
+        "violated_rules"
+    )
+    quarantined = flagged.filter(F.col("violated_rules") != "")
+    return passed, quarantined
+
+
 def expect(
     df: DataFrame,
     rules: list[Rule],

@@ -74,10 +74,75 @@ FROM report
 """
 
 
+QUARANTINE_ORDER = ["ts", "user_id", "event_type", "value", "props"]
+
+
+def events_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing for the expectation suite (r8 task 7): the
+    rows the rules reject, each carrying the comma-joined names of the
+    rules it violates — the flag-and-filter primitive
+    (operators/expectations.py::quarantine_split; reference ancestor:
+    the flag-then-filter cleaning in ``First experiment/Claude Opus
+    4.py:248-256``) whose pass-side complement publishes via
+    sinks/writers.py::write_audit_publish_split.  One scan: every
+    row-level rule is a fused column predicate; the ``unique`` rule
+    adds its keep-first window over the same scan (deterministic
+    tiebreak = the full remaining row)."""
+    ev = load_table(spark, sf_dir, "events")
+    rules = [
+        EX.not_null("user_id"),
+        EX.in_range("value", VALUE_LO, VALUE_HI),
+        EX.in_set("event_type", KNOWN_TYPES),
+        EX.unique("event_id"),
+    ]
+    _passed, quarantined = EX.quarantine_split(
+        ev, rules, unique_order=QUARANTINE_ORDER
+    )
+    return quarantined.select(
+        "event_id", "user_id", "event_type", "value", "violated_rules"
+    )
+
+
+EVENTS_QUARANTINE_ORACLE = f"""
+WITH ranked AS (
+    SELECT event_id, user_id, event_type, value,
+           row_number() OVER (
+               PARTITION BY event_id
+               ORDER BY ts NULLS FIRST, user_id NULLS FIRST,
+                        event_type NULLS FIRST, value NULLS FIRST,
+                        props NULLS FIRST
+           ) AS rn
+    FROM events
+),
+flagged AS (
+    SELECT event_id, user_id, event_type, value,
+           concat_ws(',',
+               CASE WHEN user_id IS NULL THEN 'not_null_user_id' END,
+               CASE WHEN value IS NOT NULL
+                     AND NOT (value BETWEEN {VALUE_LO} AND {VALUE_HI})
+                    THEN 'in_range_value' END,
+               CASE WHEN event_type IS NOT NULL
+                     AND event_type NOT IN ({_TYPES_SQL})
+                    THEN 'in_set_event_type' END,
+               CASE WHEN rn > 1 THEN 'unique_event_id' END
+           ) AS violated_rules
+    FROM ranked
+)
+SELECT event_id, user_id, event_type, value, violated_rules
+FROM flagged WHERE violated_rules <> ''
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_expectations": QuerySpec(
         events_expectations,
         EVENTS_EXPECTATIONS_ORACLE,
         "declarative expectations: N rules, one scan, per-rule report",
+    ),
+    "events_quarantine": QuerySpec(
+        events_quarantine,
+        EVENTS_QUARANTINE_ORACLE,
+        "dead-letter split: violating rows with violated-rule names "
+        "(flag-and-filter, one scan + keep-first window)",
     ),
 }

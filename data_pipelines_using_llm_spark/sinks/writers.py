@@ -614,3 +614,87 @@ def write_audit_publish(
         os.makedirs(os.path.dirname(path.rstrip("/")) or ".", exist_ok=True)
         os.rename(stage, path)
     return spark.createDataFrame(report_rows)
+
+
+def write_audit_publish_split(
+    df: DataFrame,
+    path: str,
+    quarantine_path: str,
+    rules: list,
+    unique_order: list | None = None,
+) -> DataFrame:
+    """Write-Audit-Publish with DEAD-LETTER ROUTING instead of
+    all-or-nothing: stage the batch, flag every staged row against the
+    expectation rules in one pass
+    (operators/expectations.py::flag_violations), publish the clean
+    rows live and the violating rows — carrying ``violated_rules``
+    names — to ``quarantine_path``, so a handful of bad rows no longer
+    blocks the whole batch the way :func:`write_audit_publish` (by
+    design) does, and nothing is silently dropped: by construction
+    published ∪ quarantined ≡ staged input.
+
+    One materialization feeds both sinks: the flagged read-back is
+    persisted, so the pass-side write and the quarantine-side write are
+    two filters over ONE cached scan of the staged files (not two scans
+    of the upstream plan), then the cache is released.  Both publishes
+    use the same crash-recoverable rename-aside swap as
+    :func:`write_audit_publish`.
+
+    Returns the routing report: one row per rule
+    ``(rule, n_quarantined)`` (rows violating that rule; a row
+    violating k rules appears in k counts) plus the ``__total__`` row
+    (distinct quarantined rows).
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_pipelines_using_llm_spark.operators.expectations import (
+        flag_violations,
+    )
+
+    spark = df.sparkSession
+    stage = path.rstrip("/") + "__stage"
+    if os.path.exists(stage):
+        shutil.rmtree(stage)
+    df.write.mode("overwrite").parquet(stage)
+    flagged = flag_violations(
+        spark.read.parquet(stage), rules, unique_order
+    ).persist()
+    try:
+        qrows = flagged.filter(F.col("violated_rules") != "")
+        q_stage = quarantine_path.rstrip("/") + "__stage"
+        if os.path.exists(q_stage):
+            shutil.rmtree(q_stage)
+        qrows.write.mode("overwrite").parquet(q_stage)
+        pass_stage = path.rstrip("/") + "__stage_pass"
+        if os.path.exists(pass_stage):
+            shutil.rmtree(pass_stage)
+        flagged.filter(F.col("violated_rules") == "").drop(
+            "violated_rules"
+        ).write.mode("overwrite").parquet(pass_stage)
+        per_rule = (
+            qrows.select(
+                F.explode(F.split("violated_rules", ",")).alias("rule")
+            )
+            .groupBy("rule")
+            .agg(F.count(F.lit(1)).alias("n_quarantined"))
+        )
+        total = qrows.agg(
+            F.lit("__total__").alias("rule"),
+            F.count(F.lit(1)).alias("n_quarantined"),
+        )
+        report_rows = per_rule.unionByName(total).collect()
+    finally:
+        flagged.unpersist(blocking=False)
+    for live, staged_dir in ((quarantine_path, q_stage), (path, pass_stage)):
+        if _has_data_files(live):
+            _swap_in(live, staged_dir)
+        else:
+            os.makedirs(
+                os.path.dirname(live.rstrip("/")) or ".", exist_ok=True
+            )
+            os.rename(staged_dir, live)
+    shutil.rmtree(stage)
+    return spark.createDataFrame(report_rows)

@@ -108,3 +108,133 @@ def test_single_scan_for_scalar_rules(spark):
         rep.explain("formatted")
     plan = buf.getvalue()
     assert plan.count("Scan ExistingRDD") + plan.count("FileScan") <= 2  # tree+detail
+
+
+# --- quarantine split (flag-and-filter dead-letter routing, r8 task 7) ---
+
+
+def test_quarantine_split_partitions_input_exactly(spark):
+    """pass ∪ quarantine ≡ input, disjoint, with violated-rule names in
+    declared rule order — and the whole flagged plan reads its source
+    exactly ONCE (one scan + the unique rule's window, no joins)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "click"),
+            (2, None, "view"),       # clean: NULL doesn't violate range
+            (3, 500.0, "weird"),     # in_range + in_set
+            (3, 20.0, "click"),      # unique dup (id=3, second by v order)
+            (4, -1.0, "view"),       # in_range
+        ],
+        "id long, v double, t string",
+    )
+    rules = [
+        EX.in_range("v", 0, 100),
+        EX.in_set("t", ("click", "view")),
+        EX.unique("id"),
+    ]
+    passed, quarantined = EX.quarantine_split(df, rules, unique_order=["v"])
+    p = [tuple(r) for r in passed.collect()]
+    # id=3 rows ordered by v → (3, 20.0) is FIRST in its key group, so
+    # it is NOT a unique violator and stays clean
+    assert sorted(p) == [
+        (1, 10.0, "click"),
+        (2, None, "view"),
+        (3, 20.0, "click"),
+    ]
+    flags = {(r["id"], r["v"]): r["violated_rules"] for r in quarantined.collect()}
+    assert flags[(3, 500.0)] == "in_range_v,in_set_t,unique_id"
+    assert flags[(4, -1.0)] == "in_range_v"
+    assert (3, 20.0) not in flags  # first-by-order dup stays clean
+    assert passed.count() + quarantined.count() == df.count()
+    # one source scan in the flagged plan
+    from data_pipelines_using_llm_spark.plans.audit import formatted_plan
+
+    import re
+
+    flagged = EX.flag_violations(df, rules, unique_order=["v"])
+    text = formatted_plan(flagged)
+    assert len(re.findall(r"\(\d+\) Scan ", text)) == 1, text
+
+
+def test_quarantine_flags_agree_with_expect_counts(spark):
+    """Per-rule quarantine flag counts must equal expect()'s
+    n_violations on the same data — routing and reporting are two views
+    of one rule semantics."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    rules = [
+        EX.not_null("user_id"),
+        EX.in_range("value", 0, 100),
+        EX.in_set("event_type", ("click", "view", "purchase", "signup")),
+        EX.unique("event_id"),
+    ]
+    report = {
+        r["rule"]: r["n_violations"]
+        for r in EX.expect(ev, rules, max_violation_rate=1.0).collect()
+    }
+    _p, quarantined = EX.quarantine_split(
+        ev, rules, unique_order=["ts", "user_id", "event_type", "value", "props"]
+    )
+    flag_counts = {
+        r["rule"]: r["n"]
+        for r in quarantined.select(
+            F.explode(F.split("violated_rules", ",")).alias("rule")
+        )
+        .groupBy("rule")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for rule, n in report.items():
+        assert flag_counts.get(rule, 0) == n, (rule, n, flag_counts)
+
+
+def test_quarantine_unique_requires_order(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    with _pt.raises(ValueError, match="unique_order"):
+        EX.quarantine_split(df, [EX.unique("id")])
+
+
+def test_write_audit_publish_split_routes_and_conserves(spark, tmp_path):
+    """The WAP dead-letter sink: clean rows publish live, violators land
+    in the quarantine table with rule names, published ∪ quarantined ≡
+    staged input, and the report totals match."""
+    from data_pipelines_using_llm_spark.sinks.writers import (
+        write_audit_publish_split,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "click"),
+            (2, 500.0, "view"),
+            (3, 20.0, "weird"),
+            (4, 30.0, "view"),
+        ],
+        "id long, v double, t string",
+    )
+    live = str(tmp_path / "live")
+    dead = str(tmp_path / "dead")
+    rules = [EX.in_range("v", 0, 100), EX.in_set("t", ("click", "view"))]
+    report = {
+        r["rule"]: r["n_quarantined"]
+        for r in write_audit_publish_split(df, live, dead, rules).collect()
+    }
+    assert report == {
+        "in_range_v": 1,
+        "in_set_t": 1,
+        "__total__": 2,
+    }
+    pub = spark.read.parquet(live)
+    quar = spark.read.parquet(dead)
+    assert sorted(r["id"] for r in pub.collect()) == [1, 4]
+    assert {
+        (r["id"], r["violated_rules"]) for r in quar.collect()
+    } == {(2, "in_range_v"), (3, "in_set_t")}
+    assert pub.count() + quar.count() == df.count()
+    assert "violated_rules" not in pub.columns
