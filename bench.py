@@ -572,6 +572,41 @@ def main() -> int:
         errors["stage:knn_pq_split"] = f"{type(exc).__name__}: {exc}"[:400]
         _safe_release()
 
+    # PCA train-vs-serve split (r8 task 6): basis training (covariance
+    # pass + deflation stacks, amortized once via the versioned
+    # artifact) vs the zero-shuffle stored-basis projection map.
+    try:
+        import shutil
+        import tempfile
+
+        from data_pipelines_using_llm_spark.plans.similarity_queries import (
+            _pca_project,
+            pca_basis_load,
+            pca_basis_train,
+        )
+        from data_pipelines_using_llm_spark.sources.tables import load_table
+
+        tdir = tempfile.mkdtemp(prefix="bench_pca_basis_")
+        try:
+            _time_stage(
+                "pca_basis_train", lambda: pca_basis_train(spark, sf_dir, tdir)
+            )
+            basis: dict[str, object] = {}
+
+            def _pca_serve() -> None:
+                means, v, _lam = pca_basis_load(spark, tdir)
+                _pca_project(
+                    load_table(spark, sf_dir, "embeddings"), means, v
+                ).write.format("noop").mode("overwrite").save()
+
+            _time_stage("pca_serve_stored", _pca_serve)
+        finally:
+            shutil.rmtree(tdir, ignore_errors=True)
+        _safe_release()
+    except Exception as exc:
+        errors["stage:pca_split"] = f"{type(exc).__name__}: {exc}"[:400]
+        _safe_release()
+
     # Plan-audit sweep (plans/audit.py): count fatal/warn findings across
     # the headline plans so a lost broadcast / new cartesian / stray
     # row-UDF shows up in the per-round artifact, not just in pytest.

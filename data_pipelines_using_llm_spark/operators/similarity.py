@@ -1517,6 +1517,18 @@ def knn_pq_refined(
         df, id_col, vec_col, query_mod, ncand, m, kcodes, iters, pq=pq,
         base=base,
     ).select("query_id", "neighbor_id")
+    return _refine_exact(base, cands, query_mod, k)
+
+
+def _refine_exact(
+    base: DataFrame, cands: DataFrame, query_mod: int, k: int
+) -> DataFrame:
+    """The exact re-rank stage shared by every ``*_refined`` variant:
+    fetch the candidates' full-precision vectors via a broadcast inner
+    join over one corpus pass of ``base`` (the |queries|·C candidate
+    set is always broadcastable; the corpus never shuffles), score with
+    the same sequenced-fold cosine :func:`knn_brute_force` hash-gates,
+    and emit the exact top-k per query."""
     queries = base.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -1545,6 +1557,42 @@ def knn_pq_refined(
             "rank",
         )
     )
+
+
+def knn_ivfpq_refined(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    query_mod: int = 100,
+    k: int = DEFAULT_K,
+    nprobe: int = 2,
+    refine_factor: int = PQ_REFINE_FACTOR,
+    m: int = PQ_M,
+    kcodes: int = PQ_K,
+    iters: int = PQ_ITERS,
+    pq: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """The full FAISS production serving stack as one dataflow —
+    ``IndexRefineFlat(IndexIVFPQ)``: the coarse quantizer bounds WHICH
+    vectors are ADC-scored (:func:`knn_ivfpq`, nprobe cells), the PQ
+    codes bound the BYTES the candidate scan reads, and this refine
+    stage re-scores each query's top-C survivors exactly
+    (:func:`_refine_exact` — broadcast inner join, one extra
+    full-precision pass restricted by the fetch join, O(|q|·C·d)
+    re-score).  Recall@k = the IVFPQ candidate recall@C, so the refine
+    converts the compressed index's weak ORDERING into exact ordering
+    while inheriting the IVF scan-fraction economics — the standard
+    billion-scale recipe.  Determinism: candidate ranks and exact
+    cosines are both sequenced folds, so the composition hash-gates
+    like its two factors."""
+    ncand = refine_factor * k
+    cands = knn_ivfpq(
+        df, id_col, vec_col, cell_col, query_mod, ncand, nprobe,
+        m, kcodes, iters, pq=pq,
+    ).select("query_id", "neighbor_id")
+    base = normed(df, id_col, vec_col)
+    return _refine_exact(base, cands, query_mod, k)
 
 
 def knn_ivfpq(

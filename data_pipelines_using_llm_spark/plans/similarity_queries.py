@@ -1130,6 +1130,106 @@ FROM ranked WHERE rank <= {K}
 """
 
 
+def knn_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production ANN serving stack under one hash gate —
+    FAISS ``IndexRefineFlat(IndexIVFPQ)``: k-means cells bound the scan,
+    PQ codes bound the bytes, exact re-rank restores exact ordering
+    over each query's top-C survivors.  Training artifacts behind
+    localCheckpoint lineage cuts as in knn_ivfpq."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = (
+        SIM.kmeans_assign(e, "vec_id", "embedding", k=10, iters=2)
+        .select("vec_id", F.col("cluster_id").alias("kcell"))
+        .localCheckpoint(eager=True)
+    )
+    codes, pqcents = SIM.pq_train(e, "vec_id", "embedding")
+    pq = (
+        codes.localCheckpoint(eager=True),
+        pqcents.localCheckpoint(eager=True),
+    )
+    return SIM.knn_ivfpq_refined(
+        e.join(cells, "vec_id"), "vec_id", "embedding", "kcell", QUERY_MOD,
+        K, IVF_KMEANS_NPROBE, pq=pq,
+    )
+
+
+def _knn_ivfpq_refined_oracle(
+    k: int = 10,
+    iters: int = 2,
+    m: int = SIM.PQ_M,
+    kcodes: int = SIM.PQ_K,
+    pq_iters: int = SIM.PQ_ITERS,
+    refine_factor: int = SIM.PQ_REFINE_FACTOR,
+) -> str:
+    """The IVFPQ candidate CTE families (cells + codes, ranked to
+    C = refine_factor·k) composed with the exact-cosine re-rank —
+    IndexRefineFlat(IndexIVFPQ) in SQL."""
+    sd = SIM.DIM // m
+    ncand = refine_factor * K
+    return f"""
+WITH {_SQL_BASE},
+{_kmeans_lbl_body(k, iters)},
+{_ivf_probe_body()},
+{_pq_prefix(m, kcodes, pq_iters)},
+cand0 AS (
+    SELECT p.query_id, c.vec_id
+    FROM probes p JOIN lbl c ON c.cell = p.cell
+    WHERE p.crank <= {IVF_KMEANS_NPROBE} AND c.vec_id != p.query_id
+),
+lut AS (
+    SELECT q.query_id, q.qnrm, c.m, c.code,
+           list_reduce(list_prepend(0.0,
+               list_transform(range(1, {sd + 1}),
+                   i -> q.qv[c.m * {sd} + i] * c.cv[i])),
+               (acc, x) -> acc + x) AS partial,
+           c.cn2
+    FROM q CROSS JOIN pcentn c
+),
+sp AS (
+    SELECT cd.query_id, cd.vec_id, l.qnrm, co.m, l.partial, l.cn2
+    FROM cand0 cd
+    JOIN codes co ON co.vec_id = cd.vec_id
+    JOIN lut l ON l.query_id = cd.query_id
+             AND l.m = co.m AND l.code = co.code
+),
+pagg AS (
+    SELECT query_id, vec_id,
+           list_reduce(list_prepend(0.0, array_agg(partial ORDER BY m)),
+                       (acc, x) -> acc + x) AS adc,
+           list_reduce(list_prepend(0.0, array_agg(cn2 ORDER BY m)),
+                       (acc, x) -> acc + x) AS rn2,
+           min(qnrm) AS qnrm
+    FROM sp GROUP BY query_id, vec_id
+),
+cand AS (
+    SELECT query_id, vec_id AS neighbor_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY adc / (qnrm * sqrt(rn2)) DESC, vec_id
+               ) AS crank
+        FROM pagg
+    ) WHERE crank <= {ncand}
+),
+exact AS (
+    SELECT cd.query_id, cd.neighbor_id,
+           {_sql_dot('q.qv', 'c.v')} / (q.qnrm * c.nrm) AS cos
+    FROM cand cd
+    JOIN n c ON c.vec_id = cd.neighbor_id
+    JOIN q ON q.query_id = cd.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM exact
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine_sim,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {K}
+"""
+
+
 COV_SCALE = 1 << 26  # quantization step for order-free exact sums
 
 
@@ -1632,14 +1732,102 @@ def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-precision twin.
     """
     means, v, _lam = _pca_basis(spark, sf_dir)
-    m_arr, v1_arr, v2_arr = _pca_basis_literals(means, v)
-    e = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
+    return _pca_project(
+        load_table(spark, sf_dir, "embeddings"), means, v
     )
-    return e.select(
+
+
+def _pca_project(e: DataFrame, means: dict, v: dict) -> DataFrame:
+    """The zero-shuffle serve-path projection map, shared by the
+    in-plan query and the stored-basis one: (vec_id, pc1, pc2) from the
+    broadcast-literal basis, partitioning inherited from the scan."""
+    m_arr, v1_arr, v2_arr = _pca_basis_literals(means, v)
+    return e.filter(F.col("embedding").isNotNull()).select(
         "vec_id",
         F.round(_pca_fold(m_arr, v1_arr), 6).alias("pc1"),
         F.round(_pca_fold(m_arr, v2_arr), 6).alias("pc2"),
+    )
+
+
+def pca_basis_train(spark: SparkSession, sf_dir: str, table_dir: str) -> int:
+    """TRAIN step of the PCA train/serve split (r8 task 6): run the
+    covariance pass + deflation stacks ONCE and persist the complete
+    basis — d means, 2·d loadings (6dp, the surfaced query output), 2
+    eigenvalues — as a versioned artifact (sinks/versioned.py: snapshot
+    + atomic pointer flip, the write-the-index-between-train-and-serve
+    discipline the ANN family already applies via localCheckpoint, made
+    durable).  3·d + 2 rows at ANY corpus size — the artifact is
+    O(embedding width), never O(data).  Returns the artifact version."""
+    from data_pipelines_using_llm_spark.sinks.versioned import (
+        versioned_write,
+    )
+
+    means, v, lam = _pca_basis(spark, sf_dir)
+    rows = (
+        [("mean", d, float(means[d])) for d in sorted(means)]
+        + [("v1", d, float(v[1][d])) for d in sorted(v[1])]
+        + [("v2", d, float(v[2][d])) for d in sorted(v[2])]
+        + [("lam", 1, float(lam[1])), ("lam", 2, float(lam[2]))]
+    )
+    df = spark.createDataFrame(rows, "kind string, d int, x double")
+    return versioned_write(df, table_dir)
+
+
+def pca_basis_load(
+    spark: SparkSession, table_dir: str, version: int | None = None
+):
+    """SERVE-side load of a trained basis: resolve the version pointer,
+    collect the 3·d + 2 scalars (control-plane — bounded by embedding
+    width), and hand back the same (means, v, lam) dicts
+    :func:`_pca_basis` produces, so projection is literally the same
+    code path.  Parquet doubles round-trip bit-exactly, so a projection
+    from a stored basis is hash-identical to the in-plan one (asserted
+    in tests and by the embedding_pca_projection_stored gate)."""
+    from data_pipelines_using_llm_spark.sinks.versioned import read_version
+
+    rows = read_version(spark, table_dir, version).collect()
+    means: dict = {}
+    v: dict = {1: {}, 2: {}}
+    lam: dict = {}
+    for r in rows:
+        if r["kind"] == "mean":
+            means[r["d"]] = r["x"]
+        elif r["kind"] == "v1":
+            v[1][r["d"]] = r["x"]
+        elif r["kind"] == "v2":
+            v[2][r["d"]] = r["x"]
+        elif r["kind"] == "lam":
+            lam[r["d"]] = r["x"]
+    if not means or len(v[1]) != len(means) or len(v[2]) != len(means):
+        raise ValueError(
+            f"pca_basis_load: malformed basis artifact at {table_dir}"
+        )
+    return means, v, lam
+
+
+def embedding_pca_projection_stored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The stored-basis serve path under the hash gate: train → persist
+    (versioned artifact) → load → project, asserted hash-identical to
+    the in-plan :func:`embedding_pca_projection` by sharing its ORACLE
+    verbatim — if the persist/load round trip perturbed one bit of the
+    basis, the gate would catch it.  The artifact directory is
+    ephemeral here (the gate needs no durable state between runs); the
+    durable production shape is `pca_basis_train(..., permanent_dir)`
+    once, then any number of `pca_basis_load` + `_pca_project` serves
+    that never rerun the covariance pass."""
+    import shutil
+    import tempfile
+
+    tdir = tempfile.mkdtemp(prefix="pca_basis_")
+    try:
+        pca_basis_train(spark, sf_dir, tdir)
+        means, v, _lam = pca_basis_load(spark, tdir)
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    return _pca_project(
+        load_table(spark, sf_dir, "embeddings"), means, v
     )
 
 
@@ -1842,6 +2030,12 @@ QUERIES = {
         _knn_ivfpq_oracle(),
         "IVF cells + PQ codes: probe float, ADC-score compressed (FAISS IVFPQ)",
     ),
+    "knn_ivfpq_refined": QuerySpec(
+        knn_ivfpq_refined,
+        _knn_ivfpq_refined_oracle(),
+        "the full serving stack: IVF cells bound the scan, PQ codes the "
+        "bytes, exact re-rank the ordering (IndexRefineFlat(IndexIVFPQ))",
+    ),
     "embedding_cosine_pairs": QuerySpec(
         embedding_cosine_pairs, _pairs_oracle(), "cosine near-dup pairs"
     ),
@@ -1875,6 +2069,13 @@ QUERIES = {
         _pca_projection_oracle(),
         "per-vector projection onto the top-2 principal components "
         "(broadcast-literal loadings, zero-shuffle map over the scan)",
+    ),
+    "embedding_pca_projection_stored": QuerySpec(
+        embedding_pca_projection_stored,
+        _pca_projection_oracle(),
+        "train -> persist (versioned artifact) -> load -> project; "
+        "shares embedding_pca_projection's oracle verbatim, so the "
+        "stored-basis serve path is proven hash-identical",
     ),
     "embedding_pca_whitened": QuerySpec(
         embedding_pca_whitened,

@@ -109,6 +109,40 @@ def test_knn_pq_structure_and_recall_floor(spark):
     assert recall >= 0.15, recall
 
 
+def test_pca_stored_basis_projection_is_bit_identical(spark, tmp_path):
+    """Train → persist (versioned artifact) → load → project must equal
+    the in-plan projection ROW FOR ROW (parquet doubles round-trip
+    bit-exactly), and the artifact must be the documented 3·d + 2
+    scalars with a live version pointer."""
+    from data_pipelines_using_llm_spark.sinks.versioned import (
+        current_version,
+        read_version,
+    )
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    tdir = str(tmp_path / "basis")
+    ver = SQ.pca_basis_train(spark, sf, tdir)
+    assert current_version(tdir) == ver
+    d = SIM_DIM = __import__(
+        "data_pipelines_using_llm_spark.operators.similarity",
+        fromlist=["DIM"],
+    ).DIM
+    assert read_version(spark, tdir).count() == 3 * d + 2
+    means, v, _lam = SQ.pca_basis_load(spark, tdir)
+    stored = {
+        r["vec_id"]: (r["pc1"], r["pc2"])
+        for r in SQ._pca_project(
+            load_table(spark, sf, "embeddings"), means, v
+        ).collect()
+    }
+    inplane = {
+        r["vec_id"]: (r["pc1"], r["pc2"])
+        for r in SQ.embedding_pca_projection(spark, sf).collect()
+    }
+    assert stored == inplane
+
+
 def test_pca_fold_enforces_fixed_width_non_null_contract(spark):
     """The PCA projection fold must raise loudly on ragged or
     null-element embeddings (r9 ADVICE): a null element would fold the
@@ -167,6 +201,34 @@ def test_knn_pq_refined_recall_floor_and_exact_consistency(spark):
         raw.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     raw_recall = sum(len(truth[q] & raw.get(q, set())) for q in truth) / total
     assert recall > raw_recall, (recall, raw_recall)
+
+
+def test_knn_ivfpq_refined_improves_and_scores_exactly(spark):
+    """IndexRefineFlat(IndexIVFPQ) contract at sf0.01: recall@10 vs
+    exact must be at least raw knn_ivfpq's (exact re-ranking of a
+    superset candidate pool can only help), and every pair shared with
+    knn_brute_force carries the identical rounded score — the refine
+    stage is exact, not another approximation."""
+    sf = "/root/testdata/sf0.01"
+    truth: dict[int, set[int]] = {}
+    exact_score: dict[tuple[int, int], float] = {}
+    for r in SQ.knn_brute_force(spark, sf).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        exact_score[(r["query_id"], r["neighbor_id"])] = r["cosine_sim"]
+    total = sum(len(v) for v in truth.values())
+
+    def recall(rows) -> float:
+        got: dict[int, set[int]] = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(truth[q] & got.get(q, set())) for q in truth) / total
+
+    refined_rows = SQ.knn_ivfpq_refined(spark, sf).collect()
+    for r in refined_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_score:
+            assert r["cosine_sim"] == exact_score[key], key
+    assert recall(refined_rows) >= recall(SQ.knn_ivfpq(spark, sf).collect())
 
 
 def test_knn_ivfpq_subset_of_probed_cells(spark):
