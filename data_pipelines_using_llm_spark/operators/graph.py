@@ -411,18 +411,24 @@ def k_core_with_rounds(
     early-exit, and the loud ``max_rounds`` guard turns a
     never-converging loop into an error instead of silent truncation.
     Each round's plan is the unrolled query's plan verbatim: one
-    map-side-combinable degree aggregation + two semi-joins, with a
-    persist barrier per round because the next round references the
-    edge list three times (degree + two probes) — the 3^rounds lineage
-    cut.  The previous round's cache is dropped as soon as its
-    successor materializes, so peak storage is two shrinking edge
-    lists regardless of round count.
+    map-side-combinable degree aggregation + two semi-joins.
+
+    Lineage discipline — eager ``localCheckpoint`` per round, NOT a
+    persist barrier (r10 measurement): each round references the
+    previous edge list three times (degree + two semi-join probes), and
+    persist only cuts EXECUTION — the logical plan still grows
+    3^rounds, so Catalyst re-ANALYZES an exponentially deeper tree each
+    round (measured: the 5-round fixture peel spent ~6 s/round on
+    analysis alone, 30 s warm for a 25-node graph; the same defect
+    class that OOMs pagerank_converged at depth ~40).  The checkpoint
+    truncates the plan to a scan per round, its materialization doubles
+    as the probe's input, blocks are ContextCleaner-reclaimed once a
+    round's reference drops, and NOTHING this call persists outlives it
+    (r9 ADVICE — no stranded executor storage on either exit path).
     """
-    cur = barrier(
-        edges.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-        )
-    )
+    cur = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
     n_prev = cur.count()
     for rnd in range(max_rounds):
         keep = (
@@ -431,29 +437,22 @@ def k_core_with_rounds(
             .filter(F.col("deg") >= k)
             .select("src")
         )
-        nxt = barrier(
+        nxt = (
             cur.join(keep, "src", "left_semi")
             .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
             .select("src", "dst")
-        )
-        n = nxt.count()  # also materializes the new barrier
-        cur.unpersist(blocking=False)
+        ).localCheckpoint(eager=True)
+        n = nxt.count()
         cur = nxt
         if n == n_prev:
-            # Release the final barrier as soon as the result is safely
-            # materialized behind a lineage cut: the converged list is
-            # already cached, so the eager localCheckpoint is one cheap
-            # scan, its blocks are ContextCleaner-managed (freed when
-            # the reference drops), and no persist outlives the call —
-            # callers outside the release_barriers() loop (library use)
-            # no longer strand an edge list in executor storage.
-            out = cur.select(
-                F.col("src").alias(src_col), F.col("dst").alias(dst_col)
-            ).localCheckpoint(eager=True)
-            cur.unpersist(blocking=False)
-            return out, rnd
+            return (
+                cur.select(
+                    F.col("src").alias(src_col),
+                    F.col("dst").alias(dst_col),
+                ),
+                rnd,
+            )
         n_prev = n
-    cur.unpersist(blocking=False)  # raise path must not leak the last round
     raise RuntimeError(
         f"k_core did not converge within max_rounds={max_rounds} (edge "
         "set still shrinking); raise `max_rounds` — rounds are "

@@ -403,40 +403,37 @@ def test_trade_k_core_converged_raises_named_error_past_oracle_depth(
         GQ.trade_k_core_converged(spark, "/root/testdata/sf0.001")
 
 
-def test_k_core_releases_all_barriers_on_both_exit_paths(spark):
+def test_k_core_strands_no_persisted_storage_on_either_exit(spark):
     """k_core must not strand persisted edge lists in executor storage
-    (r9 ADVICE): on convergence the result is handed back behind an
-    eager localCheckpoint and every per-round barrier is unpersisted;
-    on the max_rounds raise path the last round's cache is released
-    too.  Asserted via the caching registry: every barrier k_core
-    created during the call ends the call with storage level NONE."""
+    (r9 ADVICE): the loop cuts lineage with per-round eager
+    localCheckpoints (ContextCleaner-managed blocks), never persist —
+    so the caching registry gains NOTHING from a call, on the converged
+    exit or the max_rounds raise.  (The checkpoint-over-persist choice
+    is also a measured 6x: persist leaves the logical plan growing
+    3^rounds and analysis dominated the 5-round fixture peel at ~6
+    s/round.)"""
     from data_pipelines_using_llm_spark.operators import caching
     from data_pipelines_using_llm_spark.operators.graph import k_core
 
-    def _new_barriers_released(fn):
+    def _no_tracked_persists(fn):
         before = len(caching._TRACKED)
         try:
             fn()
         except RuntimeError:
             pass
-        new = caching._TRACKED[before:]
-        assert new, "fixture did not exercise the barrier path"
-        return all(
-            not d.storageLevel.useMemory and not d.storageLevel.useDisk
-            for d in new
-        )
+        return len(caching._TRACKED) == before
 
     tri = [(1, 2), (2, 3), (1, 3), (3, 9)]
     rows = tri + [(b, a) for a, b in tri]
     edges = spark.createDataFrame(rows, "src bigint, dst bigint")
-    # converged exit: consume the result, then check storage is clean
-    assert _new_barriers_released(lambda: k_core(edges, 2).collect())
+    # converged exit: consume the result, then check nothing was persisted
+    assert _no_tracked_persists(lambda: k_core(edges, 2).collect())
 
     path = [(i, i + 1) for i in range(1, 6)]
     rows = path + [(b, a) for a, b in path]
     shrinking = spark.createDataFrame(rows, "src bigint, dst bigint")
-    # raise exit: max_rounds=1 on a 3-round peel must release the cache
-    assert _new_barriers_released(lambda: k_core(shrinking, 2, max_rounds=1))
+    # raise exit: max_rounds=1 on a 3-round peel must not persist either
+    assert _no_tracked_persists(lambda: k_core(shrinking, 2, max_rounds=1))
 
 
 def test_pagerank_salted_join_bounds_hub_tasks(spark):
