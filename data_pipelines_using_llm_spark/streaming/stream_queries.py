@@ -584,7 +584,60 @@ SELECT row, bucket, count(*) AS counter FROM cells GROUP BY 1, 2
 """
 
 
+def stream_quarantine_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dead-letter routing — the batch quarantine primitive
+    (operators/expectations.py::flag_violations) applied to the event
+    STREAM unchanged: every row-level rule is a pure column predicate,
+    so the flag-and-filter split is a STATELESS projection — no
+    watermark, no state store, append mode, same code path and same
+    rule semantics as the batch `events_quarantine` row (unique rules
+    are the one exclusion: keep-first needs ordered state, which is the
+    watermark-dedup query's territory).  At 100 TB/day this is the
+    shape that routes malformed telemetry to a dead-letter table in
+    -flight instead of poisoning the bronze append."""
+    from data_pipelines_using_llm_spark.operators import expectations as EX
+
+    sdf = stream_events(spark, sf_dir)
+    rules = [
+        EX.not_null("user_id"),
+        EX.in_range("value", 0, 100),
+        EX.in_set("event_type", ("click", "view", "purchase", "signup")),
+    ]
+    flagged = EX.flag_violations(sdf, rules)
+    quarantined = flagged.filter(F.col("violated_rules") != "").select(
+        "event_id", "user_id", "event_type", "value", "violated_rules"
+    )
+    return run_to_table(
+        quarantined, spark, "dpls_stream_quarantine", "append"
+    )
+
+
+STREAM_QUARANTINE_ORACLE = """
+WITH flagged AS (
+    SELECT event_id, user_id, event_type, value,
+           concat_ws(',',
+               CASE WHEN user_id IS NULL THEN 'not_null_user_id' END,
+               CASE WHEN value IS NOT NULL
+                     AND NOT (value BETWEEN 0 AND 100)
+                    THEN 'in_range_value' END,
+               CASE WHEN event_type IS NOT NULL
+                     AND event_type NOT IN
+                         ('click', 'view', 'purchase', 'signup')
+                    THEN 'in_set_event_type' END
+           ) AS violated_rules
+    FROM events
+)
+SELECT event_id, user_id, event_type, value, violated_rules
+FROM flagged WHERE violated_rules <> ''
+"""
+
+
 QUERIES = {
+    "stream_quarantine_events": QuerySpec(
+        stream_quarantine_events,
+        STREAM_QUARANTINE_ORACLE,
+        "streaming dead-letter routing: stateless flag-and-filter split",
+    ),
     "stream_user_cms": QuerySpec(stream_user_cms, _stream_user_cms_oracle(), "streaming CMS sketch maintenance (sketch = state)"),
     "stream_static_enrich": QuerySpec(stream_static_enrich, STREAM_STATIC_ENRICH_ORACLE, "stream-static broadcast join"),
     "stream_click_purchase_join": QuerySpec(stream_click_purchase_join, STREAM_CLICK_PURCHASE_ORACLE, "stream-stream interval join"),

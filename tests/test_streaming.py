@@ -236,3 +236,32 @@ def test_gold_rollup_replay_after_crash_is_byte_noop(spark, tmp_path):
     # no double-count: totals match the batch ground truth
     n_total = sum(n for n, _ in final.values())
     assert n_total == events.filter(F.col("value").isNotNull()).count()
+
+
+def test_stream_quarantine_matches_batch_split(spark):
+    """The streaming dead-letter route must emit EXACTLY the rows the
+    batch quarantine_split flags under the same row-level rules — one
+    rule semantics, two execution modes (the flag expression is a
+    stateless projection, so streaming adds no state and loses no
+    rows)."""
+    from data_pipelines_using_llm_spark.operators import expectations as EX
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+    from data_pipelines_using_llm_spark.streaming.stream_queries import (
+        stream_quarantine_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["event_id"], r["violated_rules"])
+        for r in stream_quarantine_events(spark, sf).collect()
+    }
+    rules = [
+        EX.not_null("user_id"),
+        EX.in_range("value", 0, 100),
+        EX.in_set("event_type", ("click", "view", "purchase", "signup")),
+    ]
+    _p, q = EX.quarantine_split(load_table(spark, sf, "events"), rules)
+    want = {
+        (r["event_id"], r["violated_rules"]) for r in q.collect()
+    }
+    assert got == want and got, len(got)
