@@ -147,6 +147,156 @@ GROUP BY 1, 2
 """
 
 
+CLF_STEPS = 12
+CLF_LR = 16.0
+CLF_FEATURES = ["x1", "x2", "x3", "x4"]
+CLF_OTHER_LANGS = ("es", "de", "fr", "zh")
+
+
+def _clf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, x1..x4, y) training frame for the distilled language
+    classifier: token count (/100), English stopword ratio, average
+    token length (/10), the STRONGEST OTHER language's stopword ratio
+    (the teacher is an argmax across languages, so en-ratio minus
+    max-other-ratio makes its boundary linear — the feature engineering
+    IS the distillation), and the teacher label: the n-gram
+    language-ID heuristic's 'en' verdict.  All exact arithmetic
+    (integer counts, divisions, greatest), so both engines see
+    bit-identical features."""
+    d = load_table(spark, sf_dir, "documents")
+    f = TX.quality_features("text")
+    n_tok = TX.token_count(F.col("text"))
+    n_other = F.greatest(
+        *[TX.stopword_hits(F.col("text"), lg) for lg in CLF_OTHER_LANGS]
+    )
+    return d.select(
+        "doc_id",
+        (f["n_tokens"].cast("double") / F.lit(100.0)).alias("x1"),
+        (f["stopword_ratio"] * F.lit(10.0)).alias("x2"),
+        (f["avg_token_len"] / F.lit(10.0)).alias("x3"),
+        F.when(n_tok > 0, n_other.cast("double") / n_tok * F.lit(10.0))
+        .otherwise(F.lit(0.0))
+        .alias("x4"),
+        F.when(TX.language_id("text") == "en", F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+
+
+def doc_lang_classifier_distilled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DISTILL the rule-based language-ID gate into a linear scorer —
+    in-dataflow supervised training (operators/learn.py): a
+    hard-sigmoid linear classifier fit by 6 batch-GD passes, each pass
+    ONE map-side-combinable aggregation producing 4 quantized gradient
+    sums; the model is 4 driver scalars at any corpus size.  The
+    teacher is :func:`TX.language_id` (the production pattern of
+    distilling an expensive filter into a cheap model — here the
+    teacher is cheap too, which is exactly what makes the trainer
+    hash-gateable: the whole weight TRAJECTORY is deterministic, so
+    the oracle walks the identical 6-step CTE chain).  Output:
+    per-document student score, student verdict, teacher verdict."""
+    from data_pipelines_using_llm_spark.operators import learn as LN
+
+    feats = _clf_features(spark, sf_dir)
+    w = LN.linear_classifier_train(
+        feats, CLF_FEATURES, "y", steps=CLF_STEPS, lr=CLF_LR
+    )
+    score = LN.hard_sigmoid(LN.linear_score(CLF_FEATURES, w))
+    return feats.select(
+        "doc_id",
+        F.round(score, 6).alias("en_score"),
+        (score >= 0.5).cast("int").alias("student_en"),
+        F.col("y").cast("int").alias("teacher_en"),
+    )
+
+
+def _clf_oracle(steps: int = CLF_STEPS, lr: float = CLF_LR) -> str:
+    """The trainer unrolled: one gradient CTE + one weight CTE per GD
+    step (weights MATERIALIZED — referenced by the next step and the
+    final scorer), walking the bit-identical trajectory the Spark
+    driver walks."""
+    from data_pipelines_using_llm_spark.operators.learn import GRAD_Q
+
+    q = repr(GRAD_Q)
+    others = ", ".join(
+        sql_stop_hits("text", lg) for lg in CLF_OTHER_LANGS
+    )
+    ctes = [
+        f"""raw AS (
+    SELECT doc_id, length(text) AS n_chars, {_SQL_NTOK} AS n_tokens,
+           {sql_stop_hits('text', 'en')} AS n_stop,
+           greatest({others}) AS n_other,
+           CASE WHEN {sql_language_id('text')} = 'en'
+                THEN 1.0 ELSE 0.0 END AS y
+    FROM documents
+)""",
+        """feats AS MATERIALIZED (
+    SELECT doc_id,
+           CAST(n_tokens AS DOUBLE) / 100.0 AS x1,
+           CASE WHEN n_tokens > 0
+                THEN CAST(n_stop AS DOUBLE) / n_tokens * 10.0
+                ELSE 0.0 END AS x2,
+           (CASE WHEN n_tokens > 0
+                 THEN CAST(n_chars AS DOUBLE) / n_tokens
+                 ELSE 0.0 END) / 10.0 AS x3,
+           CASE WHEN n_tokens > 0
+                THEN CAST(n_other AS DOUBLE) / n_tokens * 10.0
+                ELSE 0.0 END AS x4,
+           y
+    FROM raw
+)""",
+        "nn AS (SELECT count(*) AS n FROM feats)",
+        "w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, "
+        "0.0 AS w3, 0.0 AS w4)",
+    ]
+    for t in range(1, steps + 1):
+        prev = f"w{t - 1}"
+        ctes.append(
+            f"""g{t} AS (
+    SELECT CAST(sum(floor(err * {q})) AS BIGINT) AS g0,
+           CAST(sum(floor(err * x1 * {q})) AS BIGINT) AS g1,
+           CAST(sum(floor(err * x2 * {q})) AS BIGINT) AS g2,
+           CAST(sum(floor(err * x3 * {q})) AS BIGINT) AS g3,
+           CAST(sum(floor(err * x4 * {q})) AS BIGINT) AS g4
+    FROM (
+        SELECT greatest(0.0, least(1.0,
+                   (w.b + w.w1 * x1 + w.w2 * x2 + w.w3 * x3 + w.w4 * x4)
+                   * 0.25 + 0.5
+               )) - y AS err,
+               x1, x2, x3, x4
+        FROM feats CROSS JOIN {prev} w
+    )
+)"""
+        )
+        ctes.append(
+            f"""w{t} AS MATERIALIZED (
+    SELECT w.b  - {lr!r} * (CAST(g.g0 AS DOUBLE) / {q} / nn.n) AS b,
+           w.w1 - {lr!r} * (CAST(g.g1 AS DOUBLE) / {q} / nn.n) AS w1,
+           w.w2 - {lr!r} * (CAST(g.g2 AS DOUBLE) / {q} / nn.n) AS w2,
+           w.w3 - {lr!r} * (CAST(g.g3 AS DOUBLE) / {q} / nn.n) AS w3,
+           w.w4 - {lr!r} * (CAST(g.g4 AS DOUBLE) / {q} / nn.n) AS w4
+    FROM {prev} w CROSS JOIN g{t} g CROSS JOIN nn
+)"""
+        )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT doc_id, round(score, 6) AS en_score,
+       CAST(score >= 0.5 AS INT) AS student_en,
+       CAST(y AS INT) AS teacher_en
+FROM (
+    SELECT doc_id, y,
+           greatest(0.0, least(1.0,
+               (w.b + w.w1 * x1 + w.w2 * x2 + w.w3 * x3 + w.w4 * x4)
+               * 0.25 + 0.5
+           )) AS score
+    FROM feats CROSS JOIN w{steps} w
+)
+"""
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash fingerprint of normalized text (exact-dup key)."""
     d = load_table(spark, sf_dir, "documents")
@@ -2062,6 +2212,13 @@ QUERIES = {
     ),
     "doc_token_stats": QuerySpec(doc_token_stats, DOC_TOKEN_STATS_ORACLE, "token counting"),
     "doc_quality_scores": QuerySpec(doc_quality_scores, DOC_QUALITY_ORACLE, "quality scoring"),
+    "doc_lang_classifier_distilled": QuerySpec(
+        doc_lang_classifier_distilled,
+        _clf_oracle(),
+        "in-dataflow batch-GD linear classifier distilling the "
+        "language-ID gate (6 one-pass gradient steps, hash-gated "
+        "weight trajectory)",
+    ),
     "doc_language_id": QuerySpec(doc_language_id, DOC_LANGUAGE_ID_ORACLE, "language ID"),
     "lang_confusion": QuerySpec(lang_confusion, LANG_CONFUSION_ORACLE, "lang ID aggregate"),
     "doc_fingerprints": QuerySpec(doc_fingerprints, DOC_FINGERPRINTS_ORACLE, "rolling-hash fingerprint"),

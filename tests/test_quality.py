@@ -290,3 +290,49 @@ def test_redact_pii_category_subset(spark):
     )
     got = df.select(redact_pii("text", ["email"]).alias("r")).first()["r"]
     assert got == "[EMAIL] and 10.0.0.1"
+
+
+def test_linear_classifier_distills_language_gate(spark):
+    """The in-dataflow GD trainer must actually LEARN, not memorize the
+    prior: student-teacher agreement at the oracle scale clears 0.99
+    while the majority-class baseline sits near 0.91 — and the whole
+    run is deterministic (two trainings, identical weights), which is
+    what lets the oracle hash-gate the weight trajectory."""
+    import data_pipelines_using_llm_spark.plans.text_queries as TQ
+    from data_pipelines_using_llm_spark.operators import learn as LN
+
+    sf = "/root/testdata/sf0.01"
+    rows = TQ.doc_lang_classifier_distilled(spark, sf).collect()
+    n = len(rows)
+    agree = sum(1 for r in rows if r["student_en"] == r["teacher_en"])
+    teach1 = sum(r["teacher_en"] for r in rows)
+    baseline = max(teach1, n - teach1) / n
+    assert agree / n >= 0.99, (agree / n, baseline)
+    assert agree / n > baseline
+
+    feats = TQ._clf_features(spark, sf)
+    w1 = LN.linear_classifier_train(
+        feats, TQ.CLF_FEATURES, "y", steps=TQ.CLF_STEPS, lr=TQ.CLF_LR
+    )
+    w2 = LN.linear_classifier_train(
+        feats, TQ.CLF_FEATURES, "y", steps=TQ.CLF_STEPS, lr=TQ.CLF_LR
+    )
+    assert w1 == w2, (w1, w2)
+
+
+def test_linear_classifier_separates_crafted_labels(spark):
+    """Sanity on crafted, perfectly separable data: GD drives the
+    hard-sigmoid scores to the right side of 0.5 for every row."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_using_llm_spark.operators import learn as LN
+
+    rows = [(float(i), 1.0 if i >= 5 else 0.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "x1 double, y double").select(
+        (F.col("x1") / 10.0).alias("x1"), "y"
+    )
+    w = LN.linear_classifier_train(df, ["x1"], "y", steps=30, lr=8.0)
+    scored = df.select(
+        "y", LN.hard_sigmoid(LN.linear_score(["x1"], w)).alias("p")
+    ).collect()
+    assert all((r["p"] >= 0.5) == (r["y"] == 1.0) for r in scored), scored
