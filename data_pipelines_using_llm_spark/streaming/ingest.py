@@ -169,6 +169,70 @@ def stream_silver_upsert(
         query.stop()
 
 
+def stream_quarantine_route(
+    spark: SparkSession,
+    sf_dir: str,
+    pass_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+    rules: list | None = None,
+    timeout_sec: int = 300,
+) -> None:
+    """Streaming dead-letter ROUTING SINK — the table-side complement of
+    the gated `stream_quarantine_events` view: every micro-batch is
+    flagged ONCE against the expectation rules
+    (operators/expectations.py::flag_violations, persisted so the two
+    routes share one materialization), clean rows land in the live
+    table and violators — carrying ``violated_rules`` — in the
+    quarantine table, both through the keyed idempotent upsert so
+    Structured Streaming's at-least-once ``foreachBatch`` replays
+    rewrite the same keys instead of duplicating rows (the same
+    exactly-once recipe as :func:`stream_silver_upsert`, proven under
+    fresh-checkpoint full replay in tests/test_streaming.py).  By
+    construction pass ∪ quarantine ≡ delivered events."""
+    from data_pipelines_using_llm_spark.operators import expectations as EX
+    from data_pipelines_using_llm_spark.sinks.writers import idempotent_upsert
+
+    if rules is None:
+        rules = [
+            EX.not_null("user_id"),
+            EX.in_range("value", 0, 100),
+            EX.in_set("event_type", ("click", "view", "purchase", "signup")),
+        ]
+    sdf = stream_events(spark, sf_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        flagged = EX.flag_violations(batch_df, rules).persist()
+        try:
+            passed = flagged.filter(F.col("violated_rules") == "").drop(
+                "violated_rules"
+            )
+            quarantined = flagged.filter(F.col("violated_rules") != "")
+            if passed.limit(1).count():
+                idempotent_upsert(spark, passed, pass_path, key=["event_id"])
+            if quarantined.limit(1).count():
+                idempotent_upsert(
+                    spark, quarantined, quarantine_path, key=["event_id"]
+                )
+        finally:
+            flagged.unpersist(blocking=False)
+
+    query = (
+        sdf.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    try:
+        finished = query.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(
+                f"stream_quarantine_route exceeded {timeout_sec}s"
+            )
+    finally:
+        query.stop()
+
+
 def stream_gold_rollup(
     spark: SparkSession,
     input_dir: str,

@@ -265,3 +265,60 @@ def test_stream_quarantine_matches_batch_split(spark):
         (r["event_id"], r["violated_rules"]) for r in q.collect()
     }
     assert got == want and got, len(got)
+
+
+def test_stream_quarantine_route_exactly_once_and_conserving(spark, tmp_path):
+    """The streaming dead-letter sink: pass ∪ quarantine ≡ events with
+    no overlap, quarantine rows carry rule names matching the batch
+    split, and a FULL REPLAY (fresh checkpoint, same tables) is a
+    row-level no-op — the keyed upsert turns at-least-once delivery
+    into exactly-once tables."""
+    from data_pipelines_using_llm_spark.operators import expectations as EX
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+    from data_pipelines_using_llm_spark.streaming.ingest import (
+        stream_quarantine_route,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pass_path = str(tmp_path / "live")
+    dead_path = str(tmp_path / "dead")
+    stream_quarantine_route(
+        spark, sf, pass_path, dead_path, str(tmp_path / "ckpt1")
+    )
+    ev = load_table(spark, sf, "events")
+    pub = spark.read.parquet(pass_path)
+    quar = spark.read.parquet(dead_path)
+    assert pub.count() + quar.count() == ev.count()
+    pub_ids = {r["event_id"] for r in pub.select("event_id").collect()}
+    quar_ids = {r["event_id"] for r in quar.select("event_id").collect()}
+    assert not (pub_ids & quar_ids)
+    rules = [
+        EX.not_null("user_id"),
+        EX.in_range("value", 0, 100),
+        EX.in_set("event_type", ("click", "view", "purchase", "signup")),
+    ]
+    _p, batch_q = EX.quarantine_split(ev, rules)
+    want = {
+        (r["event_id"], r["violated_rules"]) for r in batch_q.collect()
+    }
+    got = {
+        (r["event_id"], r["violated_rules"])
+        for r in quar.select("event_id", "violated_rules").collect()
+    }
+    assert got == want and got
+
+    # full replay with a FRESH checkpoint: every batch redelivers; the
+    # keyed upserts must leave both tables row-identical (compare to
+    # the pre-replay collections — the swap invalidates old file lists)
+    n_pub = len(pub_ids)
+    stream_quarantine_route(
+        spark, sf, pass_path, dead_path, str(tmp_path / "ckpt2")
+    )
+    assert spark.read.parquet(pass_path).count() == n_pub
+    quar2 = {
+        (r["event_id"], r["violated_rules"])
+        for r in spark.read.parquet(dead_path)
+        .select("event_id", "violated_rules")
+        .collect()
+    }
+    assert quar2 == want
