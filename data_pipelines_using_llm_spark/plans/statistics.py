@@ -1755,7 +1755,86 @@ GROUP BY r.event_type, n, k
 """
 
 
+def event_value_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression ``value ~ hour + dow`` fit in ONE
+    corpus scan — closed-form normal equations
+    (operators/learn.py::ols_fit_one_pass): nine map-side-combinable
+    moments (X^T X exact int64 — the features are small integers;
+    X^T y quantized order-free), a 3x3 Cramer solve on the driver, and
+    the oracle re-derives the identical coefficients from the same
+    moments with the same term order — the whole fit, solve included,
+    sits under the hash gate.  The one-pass-moments discipline is this
+    pack's power-sum trick generalized from simple to MULTIPLE
+    regression (value_trend_slope is the 1-feature special case)."""
+    from data_pipelines_using_llm_spark.operators import learn as LN
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    feats = ev.select(
+        F.hour("ts").alias("h"),
+        F.dayofweek("ts").alias("dw"),
+        "value",
+    )
+    b0, b1, b2 = LN.ols_fit_one_pass(feats, ["h", "dw"], "value")
+    return spark.createDataFrame(
+        [("intercept", b0), ("hour", b1), ("dow", b2)],
+        "term string, coef double",
+    ).select("term", F.round("coef", 6).alias("coef"))
+
+
+_OLS_Q_SQL = repr(float(2**24))
+
+EVENT_VALUE_OLS_ORACLE = f"""
+WITH feats AS (
+    SELECT hour(ts) AS h, dayofweek(ts) + 1 AS dw, value
+    FROM events
+    WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+mom AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(h) AS DOUBLE) AS s1,
+           CAST(sum(dw) AS DOUBLE) AS s2,
+           CAST(sum(h * h) AS DOUBLE) AS s11,
+           CAST(sum(h * dw) AS DOUBLE) AS s12,
+           CAST(sum(dw * dw) AS DOUBLE) AS s22,
+           CAST(sum(CAST(floor(value * {_OLS_Q_SQL}) AS BIGINT))
+                AS DOUBLE) / {_OLS_Q_SQL} AS sy,
+           CAST(sum(CAST(floor(CAST(h AS DOUBLE) * value * {_OLS_Q_SQL})
+                         AS BIGINT)) AS DOUBLE) / {_OLS_Q_SQL} AS sy1,
+           CAST(sum(CAST(floor(CAST(dw AS DOUBLE) * value * {_OLS_Q_SQL})
+                         AS BIGINT)) AS DOUBLE) / {_OLS_Q_SQL} AS sy2
+    FROM feats
+),
+solved AS (
+    SELECT
+        (sy * (s11 * s22 - s12 * s12) - s1 * (sy1 * s22 - s12 * sy2)
+         + s2 * (sy1 * s12 - s11 * sy2))
+        / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2)) AS b0,
+        (n * (sy1 * s22 - s12 * sy2) - sy * (s1 * s22 - s12 * s2)
+         + s2 * (s1 * sy2 - sy1 * s2))
+        / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2)) AS b1,
+        (n * (s11 * sy2 - sy1 * s12) - s1 * (s1 * sy2 - sy1 * s2)
+         + sy * (s1 * s12 - s11 * s2))
+        / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2)) AS b2
+    FROM mom
+)
+SELECT 'intercept' AS term, round(b0, 6) AS coef FROM solved
+UNION ALL SELECT 'hour', round(b1, 6) FROM solved
+UNION ALL SELECT 'dow', round(b2, 6) FROM solved
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "event_value_ols_trend": QuerySpec(
+        event_value_ols_trend,
+        EVENT_VALUE_OLS_ORACLE,
+        "multiple regression value ~ hour + dow: one-pass normal-equation "
+        "moments + Cramer solve, fit hash-gated end to end",
+    ),
     "value_hour_correlation": QuerySpec(
         value_hour_correlation,
         VALUE_HOUR_CORRELATION_ORACLE,

@@ -336,3 +336,45 @@ def test_linear_classifier_separates_crafted_labels(spark):
         "y", LN.hard_sigmoid(LN.linear_score(["x1"], w)).alias("p")
     ).collect()
     assert all((r["p"] >= 0.5) == (r["y"] == 1.0) for r in scored), scored
+
+
+def test_ols_one_pass_matches_numpy_lstsq(spark):
+    """The one-pass normal-equation fit must agree with numpy's lstsq
+    on the real events regression to 6dp — the closed-form solve is
+    exact, the quantized label moments cost < 2^-24 per term."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_pipelines_using_llm_spark.operators import learn as LN
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    feats = ev.select(
+        F.hour("ts").alias("h"), F.dayofweek("ts").alias("dw"), "value"
+    )
+    b = LN.ols_fit_one_pass(feats, ["h", "dw"], "value")
+    rows = feats.collect()
+    X = np.array([[1.0, r["h"], r["dw"]] for r in rows])
+    y = np.array([r["value"] for r in rows])
+    ref, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert np.allclose(b, ref, atol=1e-5), (b, ref)
+
+
+def test_ols_one_pass_guards(spark):
+    import pytest as _pt
+
+    from data_pipelines_using_llm_spark.operators import learn as LN
+
+    df = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 4, 2.0), (3, 6, 3.0)],
+        "a long, b long, y double",
+    )
+    with _pt.raises(ValueError, match="exactly two"):
+        LN.ols_fit_one_pass(df, ["a"], "y")
+    with _pt.raises(ValueError, match="singular"):
+        LN.ols_fit_one_pass(df, ["a", "b"], "y")  # b = 2a, collinear
+    empty = df.filter("a < 0")
+    with _pt.raises(ValueError, match="empty"):
+        LN.ols_fit_one_pass(empty, ["a", "b"], "y")
