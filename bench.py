@@ -617,6 +617,52 @@ def main() -> int:
         errors["stage:pca_split"] = f"{type(exc).__name__}: {exc}"[:400]
         _safe_release()
 
+    # IVFPQ stored-index train-vs-serve split (r10 verdict task 1): index
+    # training (coarse k-means + IVF centroids + PQ codebooks, persisted
+    # once as a versioned artifact) vs serving from the LOADED artifact —
+    # the number a production deployment actually pays per query batch.
+    try:
+        import shutil
+        import tempfile
+
+        from data_pipelines_using_llm_spark.operators import similarity as SIM2
+        from data_pipelines_using_llm_spark.plans.similarity_queries import (
+            IVF_KMEANS_NPROBE as SQ_NPROBE,
+            K as SQ_K2,
+            QUERY_MOD as SQ_MOD2,
+            ann_index_load,
+            ann_index_train,
+        )
+        from data_pipelines_using_llm_spark.sources.tables import load_table
+
+        tdir = tempfile.mkdtemp(prefix="bench_ann_index_")
+        _jvm_gc()
+        try:
+            _time_stage(
+                "ann_index_train",
+                lambda: ann_index_train(spark, sf_dir, tdir),
+            )
+            idx: dict[str, object] = {}
+
+            def _ivfpq_stored_serve() -> None:
+                cells, icents, codes, pqcents = ann_index_load(spark, tdir)
+                emb2 = load_table(spark, sf_dir, "embeddings")
+                SIM2.knn_ivfpq(
+                    emb2.join(
+                        cells.withColumnRenamed("cell", "kcell"), "vec_id"
+                    ),
+                    "vec_id", "embedding", "kcell", SQ_MOD2, SQ_K2,
+                    SQ_NPROBE, pq=(codes, pqcents), ivf=icents,
+                ).write.format("noop").mode("overwrite").save()
+
+            _time_stage("knn_ivfpq_stored_serve", _ivfpq_stored_serve)
+        finally:
+            shutil.rmtree(tdir, ignore_errors=True)
+        _safe_release()
+    except Exception as exc:
+        errors["stage:ann_index_split"] = f"{type(exc).__name__}: {exc}"[:400]
+        _safe_release()
+
     # Plan-audit sweep (plans/audit.py): count fatal/warn findings across
     # the headline plans so a lost broadcast / new cartesian / stray
     # row-UDF shows up in the per-round artifact, not just in pytest.
@@ -715,6 +761,100 @@ def main() -> int:
             "queries": per_query,
         }
 
+    # Mechanical noise adjudication (r10 verdict task 2): three rounds of
+    # handwritten BENCH_NOTES paragraphs compared each >1.5x flag against
+    # its fresh-JVM isolated floor BY HAND — exactly where a real
+    # regression eventually gets waved through as noise.  Apply the
+    # written rule mechanically instead: a flag whose warm time sits at or
+    # below its isolated warm floor (x1.1 measurement slack) is
+    # ``below_floor`` (pure shared-session noise); between floor and the
+    # isolated COLD time is ``in_band`` (codegen/contention, not a plan
+    # change); above the cold time is ``above_band`` — the only class that
+    # still warrants prose and a plan diff.  Flags with no committed floor
+    # get one automatically (scripts/isolate_bench.py in merge mode, fresh
+    # JVM per query) so the band always exists next round.
+    noise_adjudication: dict | None = None
+    if bench_delta is not None and bench_delta["regressions_gt_1.5x"]:
+        flagged_all = bench_delta["regressions_gt_1.5x"]
+        iso_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_ISOLATED.json"
+        )
+
+        def _load_floors() -> dict[str, dict]:
+            try:
+                with open(iso_path) as fh:
+                    iso = json.load(fh)
+            except Exception:
+                return {}
+            return (
+                iso.get("queries", {})
+                if iso.get("sf_dir") == sf_dir
+                else {}
+            )
+
+        floors = _load_floors()
+        missing = [
+            n
+            for n in flagged_all
+            if not isinstance(floors.get(n, {}).get("warm"), (int, float))
+        ]
+        if missing and os.environ.get("SPARK_GRAFT_AUTO_ISOLATE", "1") == "1":
+            import subprocess
+
+            try:
+                subprocess.run(
+                    [
+                        sys.executable,
+                        os.path.join(
+                            os.path.dirname(os.path.abspath(__file__)),
+                            "scripts",
+                            "isolate_bench.py",
+                        ),
+                        *missing[:8],  # bound the extra wall per round
+                    ],
+                    env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+                    capture_output=True,
+                    timeout=1200,
+                )
+                floors = _load_floors()
+            except Exception as exc:
+                errors["auto_isolate"] = f"{type(exc).__name__}: {exc}"[:200]
+        flags = []
+        for name in flagged_all:
+            now = {**timings, **tier2}.get(name)
+            rec = floors.get(name, {})
+            floor, cold = rec.get("warm"), rec.get("cold")
+            if not isinstance(now, (int, float)) or not isinstance(
+                floor, (int, float)
+            ):
+                verdict = "no_floor"
+            elif now <= 1.1 * floor:
+                verdict = "below_floor"
+            elif isinstance(cold, (int, float)) and now <= cold:
+                verdict = "in_band"
+            else:
+                verdict = "above_band"
+            flags.append(
+                {
+                    "query": name,
+                    "prev": bench_delta["queries"][name]["prev"],
+                    "now": now,
+                    "ratio": bench_delta["queries"][name]["ratio"],
+                    "floor": floor,
+                    "cold": cold,
+                    "verdict": verdict,
+                }
+            )
+        noise_adjudication = {
+            "rule": "now<=1.1*isolated_warm: below_floor (noise); "
+            "<=isolated_cold: in_band (contention/codegen); else "
+            "above_band (investigate — prose + plan diff required)",
+            "flags": flags,
+            "above_band": sorted(
+                f["query"] for f in flags if f["verdict"] == "above_band"
+            ),
+        }
+
     rnd = _current_round()
 
     # Full per-query detail goes to a COMMITTED sidecar, not stdout: the
@@ -746,6 +886,19 @@ def main() -> int:
         "scale_probe": scale,
         "plan_audit": audit,
         "bench_delta": bench_delta,
+        "noise_adjudication": noise_adjudication,
+        # Machine-emitted run manifest (r10 verdict task 8): the EXACT
+        # executed query lists, so coverage counts in notes can never
+        # drift from what actually ran (the r10 93-vs-94 discrepancy).
+        "manifest": {
+            "tier1_executed": sorted(timings),
+            "tier1_n": len(timings),
+            "tier2_executed": sorted(tier2),
+            "tier2_n": len(tier2),
+            "tier2_skipped": tier2_skipped,
+            "stages_executed": sorted(stages),
+            "errors_n": len(errors),
+        },
         "sf": sf_val,
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -776,6 +929,9 @@ def main() -> int:
         "regressions_gt_1.5x": (
             bench_delta["regressions_gt_1.5x"] if bench_delta else None
         ),
+        "noise_above_band": (
+            noise_adjudication["above_band"] if noise_adjudication else None
+        ),
         "vs": bench_delta["vs"] if bench_delta else None,
         "stages": stages,
         "detail": detail_name,
@@ -784,7 +940,7 @@ def main() -> int:
         compact["errors"] = sorted(errors)[:10]
     line = json.dumps(compact)
     if len(line) > 1500:  # hard cap: never outgrow the driver tail again
-        for drop in ("stages", "errors", "regressions_gt_1.5x"):
+        for drop in ("stages", "errors", "noise_above_band", "regressions_gt_1.5x"):
             compact.pop(drop, None)
             line = json.dumps(compact)
             if len(line) <= 1500:

@@ -1572,6 +1572,7 @@ def knn_ivfpq_refined(
     kcodes: int = PQ_K,
     iters: int = PQ_ITERS,
     pq: tuple[DataFrame, DataFrame] | None = None,
+    ivf: DataFrame | None = None,
 ) -> DataFrame:
     """The full FAISS production serving stack as one dataflow —
     ``IndexRefineFlat(IndexIVFPQ)``: the coarse quantizer bounds WHICH
@@ -1589,7 +1590,7 @@ def knn_ivfpq_refined(
     ncand = refine_factor * k
     cands = knn_ivfpq(
         df, id_col, vec_col, cell_col, query_mod, ncand, nprobe,
-        m, kcodes, iters, pq=pq,
+        m, kcodes, iters, pq=pq, ivf=ivf,
     ).select("query_id", "neighbor_id")
     base = normed(df, id_col, vec_col)
     return _refine_exact(base, cands, query_mod, k)
@@ -1607,6 +1608,7 @@ def knn_ivfpq(
     kcodes: int = PQ_K,
     iters: int = PQ_ITERS,
     pq: tuple[DataFrame, DataFrame] | None = None,
+    ivf: DataFrame | None = None,
 ) -> DataFrame:
     """IVF + PQ — the FAISS ``IVFPQ`` layout, the standard billion-scale
     serving stack: a learned coarse quantizer bounds WHICH vectors are
@@ -1630,13 +1632,17 @@ def knn_ivfpq(
     through analysis/codegen, which is driver-heap-hostile even though
     execution hits the persisted blocks (measured: 41s/OOM-at-1g
     composed vs seconds with checkpointed training artifacts).
+    ``ivf`` optionally supplies pre-trained coarse centroids
+    ``(cell, cv, cnrm)`` the same way (the persisted-index serve path,
+    plans/similarity_queries.py::knn_ivfpq_stored); by default they are
+    re-derived from the full-precision corpus per call.
     """
     subdim = DIM // m
     base = normed(df, id_col, vec_col).join(
         df.select(F.col(id_col).alias("vec_id"), F.col(cell_col).alias("cell")),
         "vec_id",
     )
-    cents = ivf_centroids(base, "cell")
+    cents = ivf if ivf is not None else ivf_centroids(base, "cell")
     codes, pqcents = (
         pq if pq is not None else pq_train(df, id_col, vec_col, m, kcodes, iters)
     )

@@ -1230,6 +1230,150 @@ FROM ranked WHERE rank <= {K}
 """
 
 
+def ann_index_train(
+    spark: SparkSession, sf_dir: str, table_dir: str
+) -> int:
+    """TRAIN step of the IVFPQ train/serve split (r10 verdict task 1):
+    run the coarse k-means, the IVF centroid derivation, and the PQ
+    codebook training ONCE and persist the complete index — cell
+    membership, float coarse centroids, code table, sub-codebooks — as
+    ONE versioned artifact (sinks/versioned.py: snapshot + atomic
+    pointer flip), so a crash mid-train can never publish half an index
+    and yesterday's index stays time-travelable.  This is the durable
+    form of the ``localCheckpoint`` lineage cuts the in-plan
+    ``knn_ivfpq`` query applies: production trains once, then any
+    number of :func:`ann_index_load` serves amortize it.
+
+    Artifact layout: one table, four row kinds under a unified schema
+    (kind, vec_id, cell, m, code, cv, w) —
+    ``cell`` (vec_id → coarse cell), ``icent`` (cell, centroid, norm),
+    ``code`` (vec_id, m, code), ``pcent`` (m, code, codeword, ‖c‖²).
+    The per-vector parts are O(corpus) — exactly like FAISS inverted
+    lists + code storage, ~2 bytes/vector of codes at PQ_M=4/PQ_K=16 —
+    and partition-friendly: at 100 TB the artifact parquet is written
+    by the cluster, never collected.  Doubles round-trip parquet
+    bit-exactly, so a stored-index serve is hash-identical to the
+    in-plan one (proven by ``knn_ivfpq_stored`` sharing the in-plan
+    oracle verbatim).  Returns the artifact version."""
+    from data_pipelines_using_llm_spark.sinks.versioned import (
+        versioned_write,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = (
+        SIM.kmeans_assign(e, "vec_id", "embedding", k=10, iters=2)
+        .select("vec_id", F.col("cluster_id").alias("cell"))
+        .localCheckpoint(eager=True)
+    )
+    icents = SIM.ivf_centroids(
+        SIM.normed(e, "vec_id", "embedding").join(cells, "vec_id"), "cell"
+    )
+    codes, pqcents = SIM.pq_train(e, "vec_id", "embedding")
+    nul = {
+        "vec_id": F.lit(None).cast("long").alias("vec_id"),
+        "cell": F.lit(None).cast("long").alias("cell"),
+        "m": F.lit(None).cast("int").alias("m"),
+        "code": F.lit(None).cast("long").alias("code"),
+        "cv": F.lit(None).cast("array<double>").alias("cv"),
+        "w": F.lit(None).cast("double").alias("w"),
+    }
+    parts = [
+        cells.select(
+            F.lit("cell").alias("kind"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("cell").cast("long").alias("cell"),
+            nul["m"], nul["code"], nul["cv"], nul["w"],
+        ),
+        icents.select(
+            F.lit("icent").alias("kind"),
+            nul["vec_id"],
+            F.col("cell").cast("long").alias("cell"),
+            nul["m"], nul["code"],
+            F.col("cv"),
+            F.col("cnrm").alias("w"),
+        ),
+        codes.select(
+            F.lit("code").alias("kind"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            nul["cell"],
+            F.col("m").cast("int").alias("m"),
+            F.col("code").cast("long").alias("code"),
+            nul["cv"], nul["w"],
+        ),
+        pqcents.select(
+            F.lit("pcent").alias("kind"),
+            nul["vec_id"], nul["cell"],
+            F.col("m").cast("int").alias("m"),
+            F.col("code").cast("long").alias("code"),
+            F.col("cv"),
+            F.col("cn2").alias("w"),
+        ),
+    ]
+    index = parts[0]
+    for p in parts[1:]:
+        index = index.unionByName(p)
+    return versioned_write(index, table_dir)
+
+
+def ann_index_load(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """SERVE-side load of a trained IVFPQ index: resolve the version
+    pointer and split the unified artifact back into its four tables —
+    ``(cells, icents, codes, pqcents)`` with the exact schemas
+    :func:`SIM.knn_ivfpq` consumes.  Each split is a kind-pushdown
+    parquet scan (the O(corpus) parts stay distributed; only the
+    centroid/codebook parts are small enough to broadcast), and the
+    float corpus is never read — serving needs it only for the query
+    vectors themselves."""
+    from data_pipelines_using_llm_spark.sinks.versioned import read_version
+
+    idx = read_version(spark, table_dir, version)
+    cells = idx.filter(F.col("kind") == "cell").select("vec_id", "cell")
+    icents = idx.filter(F.col("kind") == "icent").select(
+        "cell", "cv", F.col("w").alias("cnrm")
+    )
+    codes = idx.filter(F.col("kind") == "code").select("vec_id", "m", "code")
+    pqcents = idx.filter(F.col("kind") == "pcent").select(
+        "m", "code", "cv", F.col("w").alias("cn2")
+    )
+    return cells, icents, codes, pqcents
+
+
+def knn_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-index serve path under the hash gate: train → persist
+    (ONE versioned artifact) → load → serve, asserted hash-identical to
+    the in-plan :func:`knn_ivfpq` by sharing its ORACLE verbatim — if
+    the persist/load round trip perturbed one bit of a centroid,
+    codeword, or code, the gate would catch it (the
+    ``embedding_pca_projection_stored`` discipline applied to the full
+    IVFPQ serving stack).  The artifact directory is ephemeral here
+    (the gate needs no durable state between runs; loaded parts are cut
+    from the files with eager ``localCheckpoint`` before cleanup); the
+    durable production shape is ``ann_index_train(..., permanent_dir)``
+    once, then any number of ``ann_index_load`` + ``SIM.knn_ivfpq``
+    serves that never retrain — the serve cost alone is benched as
+    ``knn_ivfpq_stored_serve``."""
+    import shutil
+    import tempfile
+
+    tdir = tempfile.mkdtemp(prefix="ann_index_")
+    try:
+        ann_index_train(spark, sf_dir, tdir)
+        cells, icents, codes, pqcents = (
+            part.localCheckpoint(eager=True)
+            for part in ann_index_load(spark, tdir)
+        )
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_ivfpq(
+        e.join(cells.withColumnRenamed("cell", "kcell"), "vec_id"),
+        "vec_id", "embedding", "kcell", QUERY_MOD, K, IVF_KMEANS_NPROBE,
+        pq=(codes, pqcents), ivf=icents,
+    )
+
+
 COV_SCALE = 1 << 26  # quantization step for order-free exact sums
 
 
@@ -2035,6 +2179,14 @@ QUERIES = {
         _knn_ivfpq_refined_oracle(),
         "the full serving stack: IVF cells bound the scan, PQ codes the "
         "bytes, exact re-rank the ordering (IndexRefineFlat(IndexIVFPQ))",
+    ),
+    "knn_ivfpq_stored": QuerySpec(
+        knn_ivfpq_stored,
+        _knn_ivfpq_oracle(),
+        "train -> persist (one versioned index artifact: cells + coarse "
+        "centroids + codes + codebooks) -> load -> serve; shares "
+        "knn_ivfpq's oracle verbatim, so the stored-index serve path is "
+        "proven hash-identical",
     ),
     "embedding_cosine_pairs": QuerySpec(
         embedding_cosine_pairs, _pairs_oracle(), "cosine near-dup pairs"

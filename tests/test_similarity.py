@@ -143,6 +143,50 @@ def test_pca_stored_basis_projection_is_bit_identical(spark, tmp_path):
     assert stored == inplane
 
 
+def test_ann_stored_index_serve_is_row_identical(spark, tmp_path):
+    """Train → persist (ONE versioned IVFPQ index artifact) → load →
+    serve must equal the in-plan ``knn_ivfpq`` ROW FOR ROW (parquet
+    round-trips doubles and ints bit-exactly), the artifact must carry
+    all four index parts, and retraining must bump the version while
+    the previous index stays loadable — no production user retrains the
+    index per query."""
+    from data_pipelines_using_llm_spark.operators import similarity as SIM
+    from data_pipelines_using_llm_spark.sinks.versioned import (
+        current_version,
+    )
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    tdir = str(tmp_path / "ann_index")
+    ver = SQ.ann_index_train(spark, sf, tdir)
+    assert current_version(tdir) == ver
+    cells, icents, codes, pqcents = SQ.ann_index_load(spark, tdir)
+    n_corpus = load_table(spark, sf, "embeddings").count()
+    assert cells.count() == n_corpus
+    assert codes.count() == n_corpus * SIM.PQ_M
+    assert icents.count() <= 10 and icents.count() > 0
+    assert pqcents.count() <= SIM.PQ_M * SIM.PQ_K
+    e = load_table(spark, sf, "embeddings")
+    stored = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+        for r in SIM.knn_ivfpq(
+            e.join(cells.withColumnRenamed("cell", "kcell"), "vec_id"),
+            "vec_id", "embedding", "kcell", SQ.QUERY_MOD, SQ.K,
+            SQ.IVF_KMEANS_NPROBE, pq=(codes, pqcents), ivf=icents,
+        ).collect()
+    }
+    inplane = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+        for r in SQ.knn_ivfpq(spark, sf).collect()
+    }
+    assert stored == inplane
+    # retrain: version bumps, old version stays readable (time travel)
+    ver2 = SQ.ann_index_train(spark, sf, tdir)
+    assert ver2 == ver + 1 and current_version(tdir) == ver2
+    old_cells, *_rest = SQ.ann_index_load(spark, tdir, version=ver)
+    assert old_cells.count() == n_corpus
+
+
 def test_pca_fold_enforces_fixed_width_non_null_contract(spark):
     """The PCA projection fold must raise loudly on ragged or
     null-element embeddings (r9 ADVICE): a null element would fold the
