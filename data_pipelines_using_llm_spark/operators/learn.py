@@ -60,6 +60,7 @@ def linear_classifier_train(
     label_col: str,
     steps: int = 6,
     lr: float = 4.0,
+    checkpoint_input: bool = True,
 ) -> list[float]:
     """Fit ``[bias, w1..wd]`` by ``steps`` batch-GD passes.
 
@@ -67,7 +68,20 @@ def linear_classifier_train(
     d+1 quantized gradient sums in one aggregation; the update runs on
     the driver.  Squared-loss gradient under the hard-sigmoid link
     (err·x), clamp regions included — simple, monotone, and exactly
-    mirrorable in SQL."""
+    mirrorable in SQL.
+
+    Input contract (r10 verdict task 6): training runs ``steps + 1``
+    actions over ``df`` (one count + K gradient aggregations), so an
+    unmaterialized upstream would silently be recomputed K+1 times —
+    the 11.5 s → 2.9 s featurize-once trap.  The trainer therefore cuts
+    its input with an eager ``localCheckpoint`` by default.  Pass
+    ``checkpoint_input=False`` ONLY when the caller already holds a
+    barrier over the exact frame (e.g. to reuse the materialized
+    features for scoring afterwards, as doc_lang_classifier_distilled
+    does) — and then the K+1-scan cost of getting that wrong is on the
+    caller."""
+    if checkpoint_input:
+        df = df.localCheckpoint(eager=True)
     n = df.count()
     if n == 0:
         raise ValueError("linear_classifier_train: empty training set")
@@ -92,66 +106,173 @@ def linear_classifier_train(
     return w
 
 
+_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def det_expr(names: list[list[str]]) -> str:
+    """Determinant of a matrix of SCALAR NAMES as one expression string
+    with a FIXED shape — cofactor expansion along the first row, 2x2
+    base ``(a*d-b*c)``, alternating ``-``/``+`` left-to-right.  The
+    string is the cross-engine contract: Python ``eval`` (the driver
+    solve) and DuckDB (the oracle SQL) parse standard ``* + -``
+    precedence into the IDENTICAL operation tree, and every operation
+    is an IEEE-754 double op in both — so the determinant is
+    bit-identical wherever the string is evaluated.  This is the
+    d-feature generalization of the hand-written det3 the d=2 oracle
+    states (same tree at n=3)."""
+    n = len(names)
+    if n == 1:
+        return names[0][0]
+    if n == 2:
+        (a, b), (c, d) = names
+        return f"({a}*{d}-{b}*{c})"
+    terms = []
+    for j in range(n):
+        minor = [
+            [row[k] for k in range(n) if k != j] for row in names[1:]
+        ]
+        sign = "-" if j % 2 else "+"
+        terms.append(f"{sign}{names[0][j]}*{det_expr(minor)}")
+    return "(" + "".join(terms).lstrip("+") + ")"
+
+
+def cramer_exprs(d: int) -> tuple[str, list[str]]:
+    """``(denominator, [numerator_0..numerator_d])`` expression strings
+    for the (d+1)x(d+1) normal-equation solve over the canonical moment
+    names — ``n``, ``s{j}`` (Σxj), ``s{j}{k}`` (Σxj·xk, j<=k), ``sy``
+    (Σy), ``sy{j}`` (Σxj·y).  Numerator i is the Gram matrix with
+    column i replaced by the y-moment vector (Cramer's rule).  Shared
+    by the driver solve and the SQL-oracle generator so both engines
+    state the same arithmetic (see :func:`det_expr`)."""
+
+    def gram(j: int, k: int) -> str:
+        if j == 0 and k == 0:
+            return "n"
+        if j == 0 or k == 0:
+            return f"s{max(j, k)}"
+        lo, hi = sorted((j, k))
+        return f"s{lo}{hi}"
+
+    def ymom(j: int) -> str:
+        return "sy" if j == 0 else f"sy{j}"
+
+    base = [[gram(j, k) for k in range(d + 1)] for j in range(d + 1)]
+    nums = []
+    for i in range(d + 1):
+        m = [
+            [ymom(j) if k == i else base[j][k] for k in range(d + 1)]
+            for j in range(d + 1)
+        ]
+        nums.append(det_expr(m))
+    return det_expr(base), nums
+
+
 def ols_fit_one_pass(
     df: DataFrame, feature_cols: list[str], label_col: str
 ) -> list[float]:
-    """Closed-form least squares ``y ~ b0 + Σ bj·xj`` for exactly TWO
-    INTEGER-valued features, fit in ONE corpus scan — the classic
+    """Closed-form least squares ``y ~ b0 + Σ bj·xj`` for d (1..4)
+    INTEGER-typed features, fit in ONE corpus scan — the classic
     distributed-ML primitive: accumulate the normal-equation moments
-    (X^T X and X^T y) as map-side-combinable sums, solve the 3x3 system
-    on the driver, and never touch the rows again.  At 100 TB the cost
-    is one scan producing nine scalars.
+    (X^T X and X^T y) as map-side-combinable sums, solve the
+    (d+1)x(d+1) system on the driver, and never touch the rows again.
+    At 100 TB the cost is one scan producing O(d²) scalars.
 
     Determinism, the hash-gate discipline: the X^T X entries are sums
     of products of integers — EXACT int64, no quantization needed; the
     X^T y moments quantize the double label (``Σ floor(xj·y·2^24)`` —
     exact, order-free); the Cramer solve casts the integer moments to
-    double and uses the fixed term order the SQL oracle states, so both
-    engines produce bit-identical coefficients.  (Integer determinants
-    would overflow int64 at scale — products of three ~1e9 moments —
-    which is why the solve is double-space on BOTH sides.)
+    double and evaluates the :func:`cramer_exprs` expression strings —
+    the SAME strings the SQL oracle embeds — so both engines produce
+    bit-identical coefficients.  (Integer determinants would overflow
+    int64 at scale, which is why the solve is double-space on BOTH
+    sides; d is capped at 4 because cofactor expansion grows
+    factorially — for wider models use gradient descent,
+    :func:`linear_classifier_train`.)
 
-    Returns ``[b0, b1, b2]``.  Raises on a singular system (collinear
-    features), d != 2, or an empty input.
+    Input contracts, ENFORCED (r10 ADVICE — silent moment skew is the
+    failure mode):
+    - features must be INTEGER-typed columns (no silent ``cast('long')``
+      truncation of fractional features);
+    - NULL feature/label rows raise (``count(*)`` counts them while
+      ``sum()`` skips their contributions, making the moments mutually
+      inconsistent — the coefficients would skew with no error);
+    - the exact-int64 headroom is checked from the same pass's
+      ``max(|xj|)``: ``n·max|xj|·max|xk|`` must stay ≲ 2^62.
+
+    Returns ``[b0, b1..bd]``.  Raises on a singular system (collinear
+    features), d outside 1..4, or an empty input.
     """
-    if len(feature_cols) != 2:
+    d = len(feature_cols)
+    if not 1 <= d <= 4:
         raise ValueError(
-            "ols_fit_one_pass solves the 3x3 normal equations: pass "
-            f"exactly two integer feature columns, got {feature_cols}"
+            "ols_fit_one_pass solves the (d+1)x(d+1) normal equations "
+            f"for 1 <= d <= 4 integer feature columns, got {feature_cols}"
         )
-    x1, x2 = (F.col(c).cast("long") for c in feature_cols)
+    dtypes = dict(df.dtypes)
+    bad = [
+        c for c in feature_cols if dtypes.get(c) not in _INT_TYPES
+    ]
+    if bad:
+        raise ValueError(
+            f"ols_fit_one_pass: feature columns must be integer-typed "
+            f"({'/'.join(_INT_TYPES)}) — casting would silently truncate "
+            f"fractional values; offending: "
+            f"{[(c, dtypes.get(c)) for c in bad]}"
+        )
+    xs = [F.col(c).cast("long") for c in feature_cols]
     y = F.col(label_col).cast("double")
-    m = df.agg(
+    null_pred = F.col(label_col).isNull()
+    for c in feature_cols:
+        null_pred = null_pred | F.col(c).isNull()
+    aggs = [
         F.count(F.lit(1)).alias("n"),
-        F.sum(x1).alias("s1"),
-        F.sum(x2).alias("s2"),
-        F.sum(x1 * x1).alias("s11"),
-        F.sum(x1 * x2).alias("s12"),
-        F.sum(x2 * x2).alias("s22"),
+        F.sum(F.when(null_pred, 1).otherwise(0)).alias("nulls"),
         F.sum(F.floor(y * F.lit(OLS_Q))).alias("sy"),
-        F.sum(F.floor(x1.cast("double") * y * F.lit(OLS_Q))).alias("sy1"),
-        F.sum(F.floor(x2.cast("double") * y * F.lit(OLS_Q))).alias("sy2"),
-    ).first()
+    ]
+    for j in range(1, d + 1):
+        aggs.append(F.sum(xs[j - 1]).alias(f"s{j}"))
+        aggs.append(F.max(F.abs(xs[j - 1])).alias(f"mx{j}"))
+        aggs.append(
+            F.sum(F.floor(xs[j - 1].cast("double") * y * F.lit(OLS_Q))).alias(
+                f"sy{j}"
+            )
+        )
+        for k in range(j, d + 1):
+            aggs.append(F.sum(xs[j - 1] * xs[k - 1]).alias(f"s{j}{k}"))
+    m = df.agg(*aggs).first()
     if not m["n"]:
         raise ValueError("ols_fit_one_pass: empty input")
-    n = float(m["n"])
-    s1, s2 = float(m["s1"]), float(m["s2"])
-    s11, s12, s22 = float(m["s11"]), float(m["s12"]), float(m["s22"])
-    sy = float(m["sy"]) / OLS_Q
-    sy1 = float(m["sy1"]) / OLS_Q
-    sy2 = float(m["sy2"]) / OLS_Q
-
-    def det3(a, b, c, d, e, f, g, h, i):
-        # fixed association, mirrored verbatim in the SQL oracle
-        return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
-
-    det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
-    if det == 0.0:
+    if m["nulls"]:
+        raise ValueError(
+            f"ols_fit_one_pass: {m['nulls']} row(s) have NULL features "
+            "or label — count(*) would disagree with the sum() moments "
+            "and silently skew the fit; filter them out explicitly first"
+        )
+    mxs = [int(m[f"mx{j}"]) for j in range(1, d + 1)]
+    worst = max(mxs) if mxs else 0
+    if int(m["n"]) * worst * worst >= 1 << 62:
+        raise ValueError(
+            f"ols_fit_one_pass: n·max|x|² = {int(m['n']) * worst * worst} "
+            "exceeds the exact-int64 moment headroom (2^62); rescale or "
+            "bucket the features"
+        )
+    scope: dict[str, float] = {"n": float(m["n"])}
+    scope["sy"] = float(m["sy"]) / OLS_Q
+    for j in range(1, d + 1):
+        scope[f"s{j}"] = float(m[f"s{j}"])
+        scope[f"sy{j}"] = float(m[f"sy{j}"]) / OLS_Q
+        for k in range(j, d + 1):
+            scope[f"s{j}{k}"] = float(m[f"s{j}{k}"])
+    den_expr, num_exprs = cramer_exprs(d)
+    # eval of the shared expression strings IS the determinism contract:
+    # Python and DuckDB parse them into the identical IEEE double tree
+    den = eval(den_expr, {"__builtins__": {}}, scope)  # noqa: S307
+    if den == 0.0:
         raise ValueError(
             "ols_fit_one_pass: singular normal equations (collinear or "
             "constant features)"
         )
-    b0 = det3(sy, s1, s2, sy1, s11, s12, sy2, s12, s22) / det
-    b1 = det3(n, sy, s2, s1, sy1, s12, s2, sy2, s22) / det
-    b2 = det3(n, s1, sy, s1, s11, sy1, s2, s12, sy2) / det
-    return [b0, b1, b2]
+    return [
+        eval(ne, {"__builtins__": {}}, scope) / den  # noqa: S307
+        for ne in num_exprs
+    ]

@@ -1493,11 +1493,12 @@ def knn_pq_refined(
     candidates (C = refine_factor·k), re-scores them EXACTLY against
     the float vectors fetched by id, and emits the exact-cosine top-k.
 
-    Scale shape: the candidate set is |queries|·C rows — broadcast into
-    a full-precision fetch that is a broadcast inner join over one
-    additional corpus pass on top of ``knn_pq``'s code-table scan (one
-    corpus row duplicated per referencing query; no corpus shuffle, no
-    all-pairs).  Refine cost is O(|queries|·C·d) exact dot products
+    Scale shape: the candidate set is |queries|·C rows — fetched
+    full-precision via a size-gated join over one additional corpus
+    pass on top of ``knn_pq``'s code-table scan (broadcast below
+    :data:`REFINE_BROADCAST_ROW_LIMIT`, shuffle equi-join above — see
+    :func:`_refine_exact`; one corpus row duplicated per referencing
+    query; no all-pairs).  Refine cost is O(|queries|·C·d) exact dot products
     regardless of corpus size; C is a serving constant, so at 100 TB
     the stage costs one extra scan + a driver-negligible re-score.
 
@@ -1517,25 +1518,47 @@ def knn_pq_refined(
         df, id_col, vec_col, query_mod, ncand, m, kcodes, iters, pq=pq,
         base=base,
     ).select("query_id", "neighbor_id")
-    return _refine_exact(base, cands, query_mod, k)
+    return _refine_exact(base, cands, query_mod, k, ncand)
+
+
+REFINE_BROADCAST_ROW_LIMIT = 10_000_000  # ~160 MB of (query_id, neighbor_id)
 
 
 def _refine_exact(
-    base: DataFrame, cands: DataFrame, query_mod: int, k: int
+    base: DataFrame,
+    cands: DataFrame,
+    query_mod: int,
+    k: int,
+    cand_per_query: int,
+    broadcast_row_limit: int = REFINE_BROADCAST_ROW_LIMIT,
 ) -> DataFrame:
     """The exact re-rank stage shared by every ``*_refined`` variant:
-    fetch the candidates' full-precision vectors via a broadcast inner
-    join over one corpus pass of ``base`` (the |queries|·C candidate
-    set is always broadcastable; the corpus never shuffles), score with
-    the same sequenced-fold cosine :func:`knn_brute_force` hash-gates,
-    and emit the exact top-k per query."""
+    fetch the candidates' full-precision vectors via an inner join over
+    one corpus pass of ``base``, score with the same sequenced-fold
+    cosine :func:`knn_brute_force` hash-gates, and emit the exact top-k
+    per query.
+
+    Broadcast gate (r10 ADVICE — the candidate set is |queries|·C rows,
+    which grows LINEARLY with the corpus at fixed query_mod, so it is
+    NOT unconditionally broadcastable): the bound |queries|·
+    ``cand_per_query`` is computed from one cheap filter-count of the
+    query block; at or under ``broadcast_row_limit`` (10M rows ≈
+    160 MB of id pairs) the fetch join broadcasts the candidates and
+    the corpus never shuffles, above it the hint is dropped and the
+    fetch becomes a shuffle equi-join on vec_id (AQE still upgrades it
+    back to broadcast if runtime stats allow).  Same rows either way —
+    the gate changes strategy, never results."""
     queries = base.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"),
     )
+    cand_bound = queries.count() * cand_per_query
+    cands_hinted = (
+        F.broadcast(cands) if cand_bound <= broadcast_row_limit else cands
+    )
     fetched = base.join(
-        F.broadcast(cands), base["vec_id"] == cands["neighbor_id"]
+        cands_hinted, base["vec_id"] == cands["neighbor_id"]
     ).select("query_id", "neighbor_id", "v", "nrm")
     exact = fetched.join(F.broadcast(queries), "query_id").select(
         "query_id",
@@ -1579,7 +1602,7 @@ def knn_ivfpq_refined(
     vectors are ADC-scored (:func:`knn_ivfpq`, nprobe cells), the PQ
     codes bound the BYTES the candidate scan reads, and this refine
     stage re-scores each query's top-C survivors exactly
-    (:func:`_refine_exact` — broadcast inner join, one extra
+    (:func:`_refine_exact` — size-gated candidate join, one extra
     full-precision pass restricted by the fetch join, O(|q|·C·d)
     re-score).  Recall@k = the IVFPQ candidate recall@C, so the refine
     converts the compressed index's weak ORDERING into exact ordering
@@ -1593,7 +1616,7 @@ def knn_ivfpq_refined(
         m, kcodes, iters, pq=pq, ivf=ivf,
     ).select("query_id", "neighbor_id")
     base = normed(df, id_col, vec_col)
-    return _refine_exact(base, cands, query_mod, k)
+    return _refine_exact(base, cands, query_mod, k, ncand)
 
 
 def knn_ivfpq(
@@ -1717,6 +1740,83 @@ def knn_ivfpq(
             F.round("cos", 6).alias("cosine_sim"),
             "rank",
         )
+    )
+
+
+def ivf_assign(
+    df: DataFrame, id_col: str, vec_col: str, icents: DataFrame
+) -> DataFrame:
+    """Assign vectors to EXISTING coarse cells — the FAISS ``add()``
+    path's coarse step: argmin exact squared distance to the stored
+    centroids ``(cell, cv, ...)``, ties to the lowest cell id (the same
+    ``min(struct(d2, id))`` map-side-combinable argmin
+    :func:`kmeans_assign` uses, so assignments are deterministic and
+    oracle-checkable).  No retraining, no shuffle of the corpus — one
+    broadcast of the centroid table.  Returns ``(vec_id, cell)``."""
+    base = df.select(
+        F.col(id_col).alias("vec_id"), to_double(vec_col).alias("v")
+    )
+    return (
+        base.crossJoin(F.broadcast(icents.select("cell", "cv")))
+        .select(
+            "vec_id",
+            F.struct(
+                dist2(F.col("v"), F.col("cv")).alias("d2"),
+                F.col("cell").alias("cell"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("dc"))
+        .select("vec_id", F.col("dc.cell").alias("cell"))
+    )
+
+
+def pq_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    pqcents: DataFrame,
+    m: int = PQ_M,
+) -> DataFrame:
+    """Encode vectors against EXISTING sub-codebooks — the FAISS
+    ``add()`` path's PQ step: per subspace, argmin exact squared
+    distance to the stored codewords ``(m, code, cv, ...)``, ties to
+    the lowest code.  One broadcast of the m·k codeword table over one
+    exploded pass of the new vectors; the codebooks are NOT updated
+    (exactly FAISS semantics — re-centering on add would invalidate
+    every previously stored code).  Returns ``(vec_id, m, code)``."""
+    subdim = DIM // m
+    subs = df.select(
+        F.col(id_col).alias("vec_id"), to_double(vec_col).alias("v")
+    ).select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(mi).alias("m"),
+                        F.slice("v", mi * subdim + 1, subdim).alias("sv"),
+                    )
+                    for mi in range(m)
+                ]
+            )
+        ).alias("ms"),
+    ).select("vec_id", "ms.m", "ms.sv")
+    return (
+        subs.join(
+            F.broadcast(pqcents.select("m", "code", "cv")), "m"
+        )
+        .select(
+            "vec_id",
+            "m",
+            F.struct(
+                dist2(F.col("sv"), F.col("cv")).alias("d2"),
+                F.col("code").alias("code"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min("dc").alias("dc"))
+        .select("vec_id", "m", F.col("dc.code").alias("code"))
     )
 
 

@@ -1828,12 +1828,98 @@ UNION ALL SELECT 'dow', round(b2, 6) FROM solved
 """
 
 
+def event_value_ols_3feat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``value ~ hour + dow + day-of-month`` — the d=3 instance of the
+    generalized one-pass OLS (operators/learn.py::ols_fit_one_pass,
+    r10 verdict task 5): 14 map-side-combinable moments in one scan
+    (X^T X exact int64 — the features are small calendar integers with
+    ~1e16-row headroom under the enforced n·max|x|² < 2^62 guard;
+    X^T y quantized order-free), then a 4x4 Cramer solve on the driver
+    whose numerator/denominator expression STRINGS are generated once
+    (learn.cramer_exprs) and embedded verbatim in the oracle — Python
+    and DuckDB evaluate the identical IEEE tree, so the whole fit,
+    solve included, sits under the hash gate."""
+    from data_pipelines_using_llm_spark.operators import learn as LN
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    feats = ev.select(
+        F.hour("ts").alias("h"),
+        F.dayofweek("ts").alias("dw"),
+        F.dayofmonth("ts").alias("dom"),
+        "value",
+    )
+    b0, b1, b2, b3 = LN.ols_fit_one_pass(feats, ["h", "dw", "dom"], "value")
+    return spark.createDataFrame(
+        [("intercept", b0), ("hour", b1), ("dow", b2), ("dom", b3)],
+        "term string, coef double",
+    ).select("term", F.round("coef", 6).alias("coef"))
+
+
+def _event_value_ols_3feat_oracle() -> str:
+    """The d=3 normal-equation oracle: the moment CTE mirrors the Spark
+    aggregation (exact int64 X^T X, quantized X^T y), and the solve
+    embeds the SAME cramer_exprs strings the driver evaluates."""
+    from data_pipelines_using_llm_spark.operators.learn import cramer_exprs
+
+    den, nums = cramer_exprs(3)
+    q = _OLS_Q_SQL
+    xs = {"1": "h", "2": "dw", "3": "dom"}
+    mom = [
+        "CAST(count(*) AS DOUBLE) AS n",
+        f"CAST(sum(CAST(floor(value * {q}) AS BIGINT)) AS DOUBLE)"
+        f" / {q} AS sy",
+    ]
+    for j in ("1", "2", "3"):
+        mom.append(f"CAST(sum({xs[j]}) AS DOUBLE) AS s{j}")
+        mom.append(
+            f"CAST(sum(CAST(floor(CAST({xs[j]} AS DOUBLE) * value * {q}) "
+            f"AS BIGINT)) AS DOUBLE) / {q} AS sy{j}"
+        )
+        for k in ("1", "2", "3"):
+            if k >= j:
+                mom.append(
+                    f"CAST(sum({xs[j]} * {xs[k]}) AS DOUBLE) AS s{j}{k}"
+                )
+    bcols = ",\n        ".join(
+        f"{num} / {den} AS b{i}" for i, num in enumerate(nums)
+    )
+    moms = ",\n           ".join(mom)
+    return f"""
+WITH feats AS (
+    SELECT hour(ts) AS h, dayofweek(ts) + 1 AS dw, day(ts) AS dom, value
+    FROM events
+    WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+mom AS (
+    SELECT {moms}
+    FROM feats
+),
+solved AS (
+    SELECT {bcols}
+    FROM mom
+)
+SELECT 'intercept' AS term, round(b0, 6) AS coef FROM solved
+UNION ALL SELECT 'hour', round(b1, 6) FROM solved
+UNION ALL SELECT 'dow', round(b2, 6) FROM solved
+UNION ALL SELECT 'dom', round(b3, 6) FROM solved
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "event_value_ols_trend": QuerySpec(
         event_value_ols_trend,
         EVENT_VALUE_OLS_ORACLE,
         "multiple regression value ~ hour + dow: one-pass normal-equation "
         "moments + Cramer solve, fit hash-gated end to end",
+    ),
+    "event_value_ols_3feat": QuerySpec(
+        event_value_ols_3feat,
+        _event_value_ols_3feat_oracle(),
+        "multiple regression value ~ hour + dow + day-of-month: the d=3 "
+        "generalized one-pass OLS, generated 4x4 Cramer solve shared "
+        "verbatim between driver and oracle",
     ),
     "value_hour_correlation": QuerySpec(
         value_hour_correlation,

@@ -188,15 +188,16 @@ def doc_lang_classifier_distilled(
 ) -> DataFrame:
     """DISTILL the rule-based language-ID gate into a linear scorer —
     in-dataflow supervised training (operators/learn.py): a
-    hard-sigmoid linear classifier fit by 6 batch-GD passes, each pass
-    ONE map-side-combinable aggregation producing 4 quantized gradient
-    sums; the model is 4 driver scalars at any corpus size.  The
-    teacher is :func:`TX.language_id` (the production pattern of
-    distilling an expensive filter into a cheap model — here the
-    teacher is cheap too, which is exactly what makes the trainer
-    hash-gateable: the whole weight TRAJECTORY is deterministic, so
-    the oracle walks the identical 6-step CTE chain).  Output:
-    per-document student score, student verdict, teacher verdict."""
+    hard-sigmoid linear classifier fit by CLF_STEPS (12) batch-GD
+    passes, each pass ONE map-side-combinable aggregation producing
+    len(CLF_FEATURES)+1 (5) quantized gradient sums; the model is 5
+    driver scalars (bias + 4 weights) at any corpus size.  The teacher
+    is :func:`TX.language_id` (the production pattern of distilling an
+    expensive filter into a cheap model — here the teacher is cheap
+    too, which is exactly what makes the trainer hash-gateable: the
+    whole weight TRAJECTORY is deterministic, so the oracle walks the
+    identical CLF_STEPS-step CTE chain).  Output: per-document student
+    score, student verdict, teacher verdict."""
     from data_pipelines_using_llm_spark.operators import learn as LN
 
     # materialize features ONCE (eager checkpoint): the regex-heavy
@@ -205,7 +206,8 @@ def doc_lang_classifier_distilled(
     # standard featurize-then-iterate split (measured 11.5 s → ~2 s)
     feats = _clf_features(spark, sf_dir).localCheckpoint(eager=True)
     w = LN.linear_classifier_train(
-        feats, CLF_FEATURES, "y", steps=CLF_STEPS, lr=CLF_LR
+        feats, CLF_FEATURES, "y", steps=CLF_STEPS, lr=CLF_LR,
+        checkpoint_input=False,  # feats IS the barrier — reused for scoring
     )
     score = LN.hard_sigmoid(LN.linear_score(CLF_FEATURES, w))
     return feats.select(
@@ -2220,8 +2222,8 @@ QUERIES = {
         doc_lang_classifier_distilled,
         _clf_oracle(),
         "in-dataflow batch-GD linear classifier distilling the "
-        "language-ID gate (6 one-pass gradient steps, hash-gated "
-        "weight trajectory)",
+        f"language-ID gate ({CLF_STEPS} one-pass gradient steps, "
+        "hash-gated weight trajectory)",
     ),
     "doc_language_id": QuerySpec(doc_language_id, DOC_LANGUAGE_ID_ORACLE, "language ID"),
     "lang_confusion": QuerySpec(lang_confusion, LANG_CONFUSION_ORACLE, "lang ID aggregate"),

@@ -640,6 +640,17 @@ def write_audit_publish_split(
     use the same crash-recoverable rename-aside swap as
     :func:`write_audit_publish`.
 
+    Atomicity across the PAIR of tables is a directory-rename boundary
+    this sink cannot cross (no multi-table transaction on a plain
+    filesystem), so the partial-publish window is made conservative
+    (r10 ADVICE): the PRIMARY (pass) table swaps FIRST, quarantine
+    second — a crash between the two swaps leaves the published table
+    current with a stale quarantine (missing the newest dead letters,
+    re-derivable by rerunning), never quarantine rows that reference a
+    stale published generation.  All three stage directories are
+    removed in a ``finally`` — a failed run leaves the live tables
+    untouched and no stray ``__stage`` dirs.
+
     Returns the routing report: one row per rule
     ``(rule, n_quarantined)`` (rows violating that rule; a row
     violating k rules appears in k counts) plus the ``__total__`` row
@@ -656,45 +667,47 @@ def write_audit_publish_split(
 
     spark = df.sparkSession
     stage = path.rstrip("/") + "__stage"
-    if os.path.exists(stage):
-        shutil.rmtree(stage)
-    df.write.mode("overwrite").parquet(stage)
-    flagged = flag_violations(
-        spark.read.parquet(stage), rules, unique_order
-    ).persist()
+    q_stage = quarantine_path.rstrip("/") + "__stage"
+    pass_stage = path.rstrip("/") + "__stage_pass"
     try:
-        qrows = flagged.filter(F.col("violated_rules") != "")
-        q_stage = quarantine_path.rstrip("/") + "__stage"
-        if os.path.exists(q_stage):
-            shutil.rmtree(q_stage)
-        qrows.write.mode("overwrite").parquet(q_stage)
-        pass_stage = path.rstrip("/") + "__stage_pass"
-        if os.path.exists(pass_stage):
-            shutil.rmtree(pass_stage)
-        flagged.filter(F.col("violated_rules") == "").drop(
-            "violated_rules"
-        ).write.mode("overwrite").parquet(pass_stage)
-        per_rule = (
-            qrows.select(
-                F.explode(F.split("violated_rules", ",")).alias("rule")
+        for d in (stage, q_stage, pass_stage):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        df.write.mode("overwrite").parquet(stage)
+        flagged = flag_violations(
+            spark.read.parquet(stage), rules, unique_order
+        ).persist()
+        try:
+            qrows = flagged.filter(F.col("violated_rules") != "")
+            qrows.write.mode("overwrite").parquet(q_stage)
+            flagged.filter(F.col("violated_rules") == "").drop(
+                "violated_rules"
+            ).write.mode("overwrite").parquet(pass_stage)
+            per_rule = (
+                qrows.select(
+                    F.explode(F.split("violated_rules", ",")).alias("rule")
+                )
+                .groupBy("rule")
+                .agg(F.count(F.lit(1)).alias("n_quarantined"))
             )
-            .groupBy("rule")
-            .agg(F.count(F.lit(1)).alias("n_quarantined"))
-        )
-        total = qrows.agg(
-            F.lit("__total__").alias("rule"),
-            F.count(F.lit(1)).alias("n_quarantined"),
-        )
-        report_rows = per_rule.unionByName(total).collect()
+            total = qrows.agg(
+                F.lit("__total__").alias("rule"),
+                F.count(F.lit(1)).alias("n_quarantined"),
+            )
+            report_rows = per_rule.unionByName(total).collect()
+        finally:
+            flagged.unpersist(blocking=False)
+        # primary first (see docstring: conservative partial-publish
+        # window), quarantine second
+        for live, staged_dir in ((path, pass_stage), (quarantine_path, q_stage)):
+            if _has_data_files(live):
+                _swap_in(live, staged_dir)
+            else:
+                os.makedirs(
+                    os.path.dirname(live.rstrip("/")) or ".", exist_ok=True
+                )
+                os.rename(staged_dir, live)
     finally:
-        flagged.unpersist(blocking=False)
-    for live, staged_dir in ((quarantine_path, q_stage), (path, pass_stage)):
-        if _has_data_files(live):
-            _swap_in(live, staged_dir)
-        else:
-            os.makedirs(
-                os.path.dirname(live.rstrip("/")) or ".", exist_ok=True
-            )
-            os.rename(staged_dir, live)
-    shutil.rmtree(stage)
+        for d in (stage, q_stage, pass_stage):
+            shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(report_rows)

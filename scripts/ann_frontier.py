@@ -169,6 +169,31 @@ def main() -> None:
             )
         )
 
+    # Refined variants (r10): PQ/IVFPQ candidates at C = factor*k, exact
+    # re-rank on top — recall@k becomes the candidate recall@C, so the
+    # refine factor is the recall dial raw PQ lacks on this corpus.
+    for factor in (2, 8, 32):
+        mk = lambda: SIM.knn_pq_refined(  # noqa: E731
+            e, "vec_id", "embedding", SQ.QUERY_MOD, SQ.K,
+            refine_factor=factor, pq=pq,
+        )
+        rows.append(
+            (f"pq_refined m=4 C={factor}k", timed(mk), recall(mk()), 1.0)
+        )
+    for factor in (2, 8, 32):
+        mk = lambda: SIM.knn_ivfpq_refined(  # noqa: E731
+            labeled, "vec_id", "embedding", "kcell", SQ.QUERY_MOD, SQ.K,
+            8, refine_factor=factor, pq=pq,
+        )
+        rows.append(
+            (
+                f"ivfpq_refined m=4 nprobe=8 C={factor}k",
+                timed(mk),
+                recall(mk()),
+                scan_frac(8),
+            )
+        )
+
     print()
     print("| config | serve sec (median of 3) | recall@10 | scan frac |")
     print("|---|---|---|---|")

@@ -72,19 +72,37 @@ def main(names: list[str]) -> None:
     except Exception:
         merged = {}
     for name in names:
-        curve: dict[str, dict[str, float]] = {}
+        curve: dict[str, dict] = {}
         for sf, sf_dir in SF_DIRS.items():
-            proc = subprocess.run(
-                [sys.executable, "-c", _CHILD, name, sf_dir],
-                capture_output=True,
-                text=True,
-                cwd=REPO,
-                timeout=900,
-            )
+            # Per-point failure isolation (r10 ADVICE): a crashing child
+            # must leave a NAMED error in the curve, not a silent gap,
+            # and a hung point must not abort the sweep and discard the
+            # queries already measured before the merge/write.
+            try:
+                proc = subprocess.run(
+                    [sys.executable, "-c", _CHILD, name, sf_dir],
+                    capture_output=True,
+                    text=True,
+                    cwd=REPO,
+                    timeout=900,
+                )
+            except subprocess.TimeoutExpired:
+                curve[sf] = {"error": "timeout after 900s"}
+                continue
+            got = None
             for line in proc.stdout.splitlines():
                 if line.startswith("POINT "):
-                    curve[sf] = json.loads(line[len("POINT "):])
-        if {"0.001", "0.01", "0.1"} <= set(curve):
+                    got = json.loads(line[len("POINT "):])
+            if got is None:
+                tail = (proc.stderr.strip().splitlines() or ["no output"])[-1]
+                curve[sf] = {
+                    "error": f"rc={proc.returncode}: {tail[:300]}"
+                }
+            else:
+                curve[sf] = got
+        if {"0.001", "0.01", "0.1"} <= set(curve) and all(
+            "warm" in curve[sf] for sf in ("0.001", "0.01", "0.1")
+        ):
             curve["ratio_001_to_01"] = round(
                 curve["0.01"]["warm"] / curve["0.001"]["warm"], 2
             )

@@ -187,6 +187,48 @@ def test_ann_stored_index_serve_is_row_identical(spark, tmp_path):
     assert old_cells.count() == n_corpus
 
 
+def test_ann_index_extend_appends_without_retraining(spark, tmp_path):
+    """The FAISS add() path over the versioned artifact: extension must
+    leave centroids/codebooks BIT-identical (no re-centering), append
+    exactly the new vectors' cells/codes, bump the version, and reject
+    duplicate ids loudly."""
+    import pytest
+
+    from data_pipelines_using_llm_spark.operators import similarity as SIM
+    from data_pipelines_using_llm_spark.sinks.versioned import (
+        current_version,
+    )
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "embeddings")
+    train = e.filter(F.col("vec_id") % 2 == 0)
+    extra = e.filter(F.col("vec_id") % 2 == 1)
+    tdir = str(tmp_path / "ann_index")
+    v1 = SQ.ann_index_train(spark, sf, tdir, source=train)
+    _, icents1, _, pqcents1 = SQ.ann_index_load(spark, tdir)
+    ic_before = {r["cell"]: (tuple(r["cv"]), r["cnrm"]) for r in icents1.collect()}
+    pc_before = {
+        (r["m"], r["code"]): (tuple(r["cv"]), r["cn2"])
+        for r in pqcents1.collect()
+    }
+    v2 = SQ.ann_index_extend(spark, tdir, extra)
+    assert v2 == v1 + 1 and current_version(tdir) == v2
+    cells, icents2, codes, pqcents2 = SQ.ann_index_load(spark, tdir)
+    n_all = e.count()
+    assert cells.count() == n_all
+    assert codes.count() == n_all * SIM.PQ_M
+    ic_after = {r["cell"]: (tuple(r["cv"]), r["cnrm"]) for r in icents2.collect()}
+    pc_after = {
+        (r["m"], r["code"]): (tuple(r["cv"]), r["cn2"])
+        for r in pqcents2.collect()
+    }
+    assert ic_after == ic_before  # no re-centering on add
+    assert pc_after == pc_before
+    with pytest.raises(ValueError, match="already present"):
+        SQ.ann_index_extend(spark, tdir, extra)
+
+
 def test_pca_fold_enforces_fixed_width_non_null_contract(spark):
     """The PCA projection fold must raise loudly on ragged or
     null-element embeddings (r9 ADVICE): a null element would fold the
