@@ -1452,6 +1452,105 @@ def knn_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_ivfpq_refined_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL production serving stack from the persisted artifact:
+    IndexRefineFlat(IndexIVFPQ) — IVF cells bound the scan, PQ codes
+    the bytes, exact re-rank the ordering — with every trained part
+    LOADED from the versioned index instead of retrained in-plan.
+    Shares ``knn_ivfpq_refined``'s oracle verbatim (the
+    ``knn_ivfpq_stored`` discipline applied one stage higher), so the
+    round trip under the refine stage is proven hash-identical too.
+    This is the query a production deployment actually runs per batch:
+    load once, refine-serve many."""
+    import shutil
+    import tempfile
+
+    tdir = tempfile.mkdtemp(prefix="ann_index_r_")
+    try:
+        ann_index_train(spark, sf_dir, tdir)
+        cells, icents, codes, pqcents = (
+            part.localCheckpoint(eager=True)
+            for part in ann_index_load(spark, tdir)
+        )
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_ivfpq_refined(
+        e.join(cells.withColumnRenamed("cell", "kcell"), "vec_id"),
+        "vec_id", "embedding", "kcell", QUERY_MOD, K, IVF_KMEANS_NPROBE,
+        pq=(codes, pqcents), ivf=icents,
+    )
+
+
+def ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index HEALTH report over the trained IVFPQ state — the
+    monitoring query a production index needs between retrains: per
+    coarse cell, its population, share of the corpus, and the largest
+    single PQ-code concentration among its members (a cell whose
+    vectors all collapse onto one codeword has lost its discriminative
+    power — the add-path drift signal that says 'retrain me').  One
+    groupBy over the cell table plus one over codes ⋈ cells; at 100 TB
+    both are map-side-combinable aggregations over the index parts, the
+    float corpus is never read.  Trains in-plan for self-contained
+    gating (production points it at ``ann_index_load`` parts)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = (
+        SIM.kmeans_assign(e, "vec_id", "embedding", k=10, iters=2)
+        .select("vec_id", F.col("cluster_id").alias("cell"))
+        .localCheckpoint(eager=True)
+    )
+    codes, _pqcents = SIM.pq_train(e, "vec_id", "embedding")
+    n_df = cells.agg(F.count(F.lit(1)).alias("n_total"))
+    pop = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    code_conc = (
+        codes.join(cells, "vec_id")
+        .groupBy("cell", "m", "code")
+        .agg(F.count(F.lit(1)).alias("nc"))
+        .groupBy("cell")
+        .agg(F.max("nc").alias("max_code_count"))
+    )
+    return (
+        pop.join(code_conc, "cell")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_vectors",
+            F.round(
+                F.col("n_vectors") / F.col("n_total"), 6
+            ).alias("corpus_share"),
+            "max_code_count",
+        )
+        .orderBy("cell")
+    )
+
+
+def _ann_index_stats_oracle(k: int = 10, iters: int = 2) -> str:
+    """The k-means assignment + PQ code CTE families feeding two plain
+    aggregates — population per cell and the max single-code
+    concentration among its members."""
+    return f"""
+WITH {_SQL_BASE},
+{_kmeans_lbl_body(k, iters)},
+{_pq_prefix(SIM.PQ_M, SIM.PQ_K, SIM.PQ_ITERS)},
+nn AS (SELECT count(*) AS n_total FROM lbl),
+pop AS (
+    SELECT cell, count(*) AS n_vectors FROM lbl GROUP BY cell
+),
+conc AS (
+    SELECT cell, max(nc) AS max_code_count FROM (
+        SELECT l.cell, c.m, c.code, count(*) AS nc
+        FROM codes c JOIN lbl l ON l.vec_id = c.vec_id
+        GROUP BY l.cell, c.m, c.code
+    ) GROUP BY cell
+)
+SELECT CAST(p.cell AS BIGINT) AS cell, p.n_vectors,
+       round(CAST(p.n_vectors AS DOUBLE) / nn.n_total, 6) AS corpus_share,
+       c.max_code_count
+FROM pop p JOIN conc c ON c.cell = p.cell CROSS JOIN nn
+ORDER BY cell
+"""
+
+
 def knn_ivfpq_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance under the hash gate: train the
     IVFPQ index on HALF the corpus (even vec_ids), :func:`ann_index_extend`
@@ -2582,6 +2681,19 @@ QUERIES = {
         "corpus, extend the versioned artifact with the other half "
         "(stored-centroid/codebook assignment, no retraining), serve the "
         "full corpus; the oracle replays both assignment regimes",
+    ),
+    "knn_ivfpq_refined_stored": QuerySpec(
+        knn_ivfpq_refined_stored,
+        _knn_ivfpq_refined_oracle(),
+        "the full production serving stack (IndexRefineFlat(IndexIVFPQ)) "
+        "from the LOADED versioned artifact; shares knn_ivfpq_refined's "
+        "oracle verbatim",
+    ),
+    "ann_index_stats": QuerySpec(
+        ann_index_stats,
+        _ann_index_stats_oracle(),
+        "index health report: per-cell population, corpus share, and max "
+        "single-PQ-code concentration (the retrain-me drift signal)",
     ),
     "embedding_cosine_pairs": QuerySpec(
         embedding_cosine_pairs, _pairs_oracle(), "cosine near-dup pairs"
