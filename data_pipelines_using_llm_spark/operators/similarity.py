@@ -1660,7 +1660,6 @@ def knn_ivfpq(
     plans/similarity_queries.py::knn_ivfpq_stored); by default they are
     re-derived from the full-precision corpus per call.
     """
-    subdim = DIM // m
     base = normed(df, id_col, vec_col).join(
         df.select(F.col(id_col).alias("vec_id"), F.col(cell_col).alias("cell")),
         "vec_id",
@@ -1674,6 +1673,36 @@ def knn_ivfpq(
         F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"),
     )
+    return ivfpq_serve(
+        queries, base.select("vec_id", "cell"), cents, codes, pqcents,
+        k, nprobe, m,
+    )
+
+
+def ivfpq_serve(
+    queries: DataFrame,
+    membership: DataFrame,
+    cents: DataFrame,
+    codes: DataFrame,
+    pqcents: DataFrame,
+    k: int = DEFAULT_K,
+    nprobe: int = 2,
+    m: int = PQ_M,
+) -> DataFrame:
+    """The PURE IVFPQ serving dataflow — queries in, top-k out, every
+    trained artifact passed in: ``queries`` (query_id, qv, qnrm),
+    ``membership`` (vec_id, cell), ``cents`` (cell, cv, cnrm),
+    ``codes``/``pqcents`` from :func:`pq_train` or
+    plans/similarity_queries.py::ann_index_load.  This is the function
+    a production deployment calls per query batch (the ``knn_ivfpq*``
+    registry rows wrap it with their self-contained training for the
+    hash gates; the streaming row serves each micro-batch through it) —
+    and because the scoring is sequenced folds + exact arithmetic, the
+    result for a given query is independent of WHICH batch it arrives
+    in.  The float corpus is never touched: candidates come from the
+    membership table, scores from the code table, queries carry their
+    own vectors."""
+    subdim = DIM // m
     wprobe = Window.partitionBy("query_id").orderBy(
         F.col("ccos").desc(), F.col("cell")
     )
@@ -1693,7 +1722,7 @@ def knn_ivfpq(
     )
     cand = (
         F.broadcast(probes)
-        .join(base.select("vec_id", "cell"), "cell")
+        .join(membership, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
     )

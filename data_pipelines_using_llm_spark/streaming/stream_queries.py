@@ -632,7 +632,128 @@ FROM flagged WHERE violated_rules <> ''
 """
 
 
+def stream_knn_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE vector serving — query vectors arrive as a STREAM and
+    every micro-batch is scored against the LOADED persisted IVFPQ
+    index through the pure serving dataflow
+    (operators/similarity.py::ivfpq_serve): train → persist (versioned
+    artifact) → load once on the driver side, then ``foreachBatch``
+    normalizes each arriving batch of vectors and serves it — the float
+    corpus is never read at serve time, candidates come from the stored
+    membership table and scores from the stored codes.  Because the
+    scoring is sequenced folds + exact arithmetic and each query's
+    top-k depends only on its own vector and the index, the result is
+    BATCHING-INVARIANT — the union over micro-batches equals the batch
+    serve, which is why this row shares ``knn_ivfpq``'s oracle verbatim
+    (the gate proves stream == batch == DuckDB in one shot).  At 100 TB
+    this is the online-retrieval shape: a Kafka stream of query
+    embeddings against a daily-trained index, nothing stateful, no
+    watermark, index artifacts broadcast per batch."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import ArrayType, FloatType, IntegerType
+
+    from data_pipelines_using_llm_spark.operators import similarity as SIM
+    from data_pipelines_using_llm_spark.plans.similarity_queries import (
+        IVF_KMEANS_NPROBE,
+        K,
+        QUERY_MOD,
+        ann_index_load,
+        ann_index_train,
+    )
+
+    tdir = tempfile.mkdtemp(prefix="stream_ann_index_")
+    try:
+        ann_index_train(spark, sf_dir, tdir)
+        cells, icents, codes, pqcents = (
+            part.localCheckpoint(eager=True)
+            for part in ann_index_load(spark, tdir)
+        )
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    # the sf dir holds every table and a file source wants a directory:
+    # stage a symlink-only dir holding just the embeddings file(s)
+    import os
+
+    src_dir = tempfile.mkdtemp(prefix="stream_knn_src_")
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(emb_path):  # multi-file table: one link per part
+        leaves = [
+            os.path.join(emb_path, f)
+            for f in sorted(os.listdir(emb_path))
+            if f.endswith(".parquet")
+        ]
+    else:
+        leaves = [emb_path]
+    for i, leaf in enumerate(leaves):
+        os.symlink(leaf, os.path.join(src_dir, f"part-{i:05d}.parquet"))
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream_knn_out_")
+    chk = tempfile.mkdtemp(prefix="stream_knn_chk_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        queries = SIM.normed(
+            batch_df.filter(F.col("vec_id") % QUERY_MOD == 0),
+            "vec_id",
+            "embedding",
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+        SIM.ivfpq_serve(
+            queries, cells, icents, codes, pqcents, K, IVF_KMEANS_NPROBE
+        ).write.mode("append").parquet(out_dir)
+
+    query = (
+        sdf.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        finished = query.awaitTermination(300)
+        if not finished:
+            raise TimeoutError("stream_knn_serve exceeded 300s")
+    finally:
+        query.stop()
+    try:
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def _stream_knn_oracle() -> str:
+    from data_pipelines_using_llm_spark.plans.similarity_queries import (
+        _knn_ivfpq_oracle,
+    )
+
+    return _knn_ivfpq_oracle()
+
+
 QUERIES = {
+    "stream_knn_serve": QuerySpec(
+        stream_knn_serve,
+        _stream_knn_oracle(),
+        "online vector serving: micro-batches of query vectors scored "
+        "against the loaded persisted IVFPQ index (batching-invariant, "
+        "shares knn_ivfpq's oracle verbatim)",
+    ),
     "stream_quarantine_events": QuerySpec(
         stream_quarantine_events,
         STREAM_QUARANTINE_ORACLE,

@@ -322,3 +322,46 @@ def test_stream_quarantine_route_exactly_once_and_conserving(spark, tmp_path):
         .collect()
     }
     assert quar2 == want
+
+
+def test_stream_knn_serve_is_batching_invariant(spark, tmp_path):
+    """Online ANN serving must be BATCHING-INVARIANT: split the corpus
+    into 4 files so the file source delivers 4 micro-batches
+    (maxFilesPerTrigger=1), and the union of per-batch serves must
+    equal the one-shot batch knn_ivfpq on the same data — per-query
+    top-k depends only on the query vector and the index, never on
+    arrival batching.  (The registry gate proves stream == DuckDB on
+    the single-file layout; this proves the multi-batch path.)"""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_using_llm_spark.plans.similarity_queries import (
+        knn_ivfpq,
+    )
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+    from data_pipelines_using_llm_spark.streaming.stream_queries import (
+        stream_knn_serve,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tmp_sf = str(tmp_path / "sf")
+    os.makedirs(tmp_sf)
+    load_table(spark, sf, "embeddings").repartition(4).write.parquet(
+        f"{tmp_sf}/embeddings.parquet"
+    )
+    n_parts = len(
+        [
+            f
+            for f in os.listdir(f"{tmp_sf}/embeddings.parquet")
+            if f.endswith(".parquet")
+        ]
+    )
+    assert n_parts == 4  # the stream really gets 4 micro-batches
+    streamed = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+        for r in stream_knn_serve(spark, tmp_sf).collect()
+    }
+    batch = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+        for r in knn_ivfpq(spark, tmp_sf).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
