@@ -165,6 +165,26 @@ HEADLINE = [
 ]
 
 
+def classify_flag(now, floor, cold) -> str:
+    """The mechanical noise-adjudication rule (BENCH_NOTES r11): a
+    >1.5x flag whose warm time sits at or below its fresh-JVM isolated
+    warm floor (x1.1 measurement slack) is session noise
+    (``below_floor``); between floor and the isolated COLD time is
+    codegen/contention (``in_band``); above the cold time is a genuine
+    regression candidate (``above_band``) — the only class that
+    warrants prose and a plan diff.  ``no_floor`` means no committed
+    isolated band exists for the query (auto-isolation then pins one)."""
+    if not isinstance(now, (int, float)) or not isinstance(
+        floor, (int, float)
+    ):
+        return "no_floor"
+    if now <= 1.1 * floor:
+        return "below_floor"
+    if isinstance(cold, (int, float)) and now <= cold:
+        return "in_band"
+    return "above_band"
+
+
 def _round_of(name: str) -> int:
     """Round number parsed from a BENCH artifact filename.  Integer parse,
     not lexicographic: ``BENCH_r100.json`` must sort after ``r99`` and an
@@ -824,16 +844,7 @@ def main() -> int:
             now = {**timings, **tier2}.get(name)
             rec = floors.get(name, {})
             floor, cold = rec.get("warm"), rec.get("cold")
-            if not isinstance(now, (int, float)) or not isinstance(
-                floor, (int, float)
-            ):
-                verdict = "no_floor"
-            elif now <= 1.1 * floor:
-                verdict = "below_floor"
-            elif isinstance(cold, (int, float)) and now <= cold:
-                verdict = "in_band"
-            else:
-                verdict = "above_band"
+            verdict = classify_flag(now, floor, cold)
             flags.append(
                 {
                     "query": name,

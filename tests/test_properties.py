@@ -385,3 +385,22 @@ def test_containment_dominates_jaccard(spark, texts, threshold):
         expected = len(sa & sb) / min(len(sa), len(sb))
         assert c == expected
         assert c >= threshold
+
+
+def test_bench_flag_classifier_bands():
+    """The mechanical noise-adjudication rule (bench.py::classify_flag)
+    must map each band exactly — a real regression (above the isolated
+    COLD time) can never be classified as noise."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import classify_flag
+
+    assert classify_flag(1.0, None, None) == "no_floor"
+    assert classify_flag(None, 1.0, 2.0) == "no_floor"
+    assert classify_flag(1.05, 1.0, 3.0) == "below_floor"  # within slack
+    assert classify_flag(1.10, 1.0, 3.0) == "below_floor"  # boundary
+    assert classify_flag(1.2, 1.0, 3.0) == "in_band"
+    assert classify_flag(3.0, 1.0, 3.0) == "in_band"  # boundary = cold
+    assert classify_flag(3.01, 1.0, 3.0) == "above_band"
+    assert classify_flag(1.2, 1.0, None) == "above_band"  # no cold bound
