@@ -676,6 +676,37 @@ def main() -> int:
                 ).write.format("noop").mode("overwrite").save()
 
             _time_stage("knn_ivfpq_stored_serve", _ivfpq_stored_serve)
+
+            # append cost (the production daily-add number): extend the
+            # stored index with a small batch of re-id'd vectors —
+            # stored-centroid/codebook assignment over the NEW rows only.
+            # Fresh ids per run keep the stage idempotent (extension is
+            # append-only by contract).
+            from pyspark.sql import functions as F
+
+            from data_pipelines_using_llm_spark.plans.similarity_queries import (
+                ann_index_extend,
+            )
+
+            emb3 = load_table(spark, sf_dir, "embeddings")
+            max_id = emb3.agg({"vec_id": "max"}).first()[0]
+            batch = emb3.limit(200).select(
+                (F.col("vec_id") + max_id + 1).alias("vec_id"), "embedding"
+            ).localCheckpoint(eager=True)
+
+            run_no = {"i": 0}
+
+            def _extend_once() -> None:
+                run_no["i"] += 1
+                fresh = batch.select(
+                    (F.col("vec_id") + 1_000_000 * run_no["i"]).alias(
+                        "vec_id"
+                    ),
+                    "embedding",
+                )
+                ann_index_extend(spark, tdir, fresh)
+
+            _time_stage("ann_index_extend", _extend_once)
         finally:
             shutil.rmtree(tdir, ignore_errors=True)
         _safe_release()
