@@ -2589,12 +2589,13 @@ GROUP BY x.vec_id
 """
 
 
-def _pca_whitened_oracle(iters: int = PI_ITERS) -> str:
+def _whitened_select(iters: int = PI_ITERS) -> tuple[str, str]:
+    """(joined CTE chain, whitened SELECT text) — the whitened
+    projection shared verbatim by the plain whitened oracle and the
+    outlier ranking built on top of it."""
     ctes, v_name, n_name, z_name, p_name = _top2_stack_ctes(iters)
     joined = ",\n".join(ctes)
-    return f"""
-WITH {joined}
-SELECT x.vec_id,
+    select = f"""SELECT x.vec_id,
        round((CAST(sum(CAST(floor((x.xi - mn.mean_d)
                                   * round(v.x, 6) * {PCA_PROJ_Q!r})
                             AS BIGINT)) AS DOUBLE) / {PCA_PROJ_Q!r})
@@ -2609,7 +2610,67 @@ JOIN {v_name} v ON v.d = x.i
 JOIN {z_name} z ON z.d = x.i
 CROSS JOIN {n_name} l1
 CROSS JOIN {p_name} l2
-GROUP BY x.vec_id, l1.nn, l2.nn
+GROUP BY x.vec_id, l1.nn, l2.nn"""
+    return joined, select
+
+
+def _pca_whitened_oracle(iters: int = PI_ITERS) -> str:
+    joined, select = _whitened_select(iters)
+    return f"""
+WITH {joined}
+{select}
+"""
+
+
+EMB_OUTLIER_K = 50
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space OUTLIER detection — the training-data curation
+    filter that drops (or audits) the vectors farthest from the corpus
+    distribution: Mahalanobis distance restricted to the top-2
+    principal subspace is just the squared norm of the PCA-WHITENED
+    coordinates (each component already scaled by 1/sqrt(eigenvalue)),
+    so the score is ``w1² + w2²`` over :func:`embedding_pca_whitened`'s
+    surfaced 6dp outputs — both engines square IDENTICAL doubles, and
+    the top-k is the ``TakeOrderedAndProject`` discipline (orderBy +
+    limit, never a global sort of the corpus).  At 100 TB: the same two
+    corpus passes as the whitening (covariance accumulators +
+    projection map), then a top-50 that reduces map-side — the standard
+    quality gate before embeddings feed dedup/ANN/training."""
+    w = embedding_pca_whitened(spark, sf_dir)
+    scored = w.select(
+        "vec_id",
+        F.round(
+            F.col("w1") * F.col("w1") + F.col("w2") * F.col("w2"), 6
+        ).alias("mahalanobis2"),
+    )
+    top = scored.orderBy(
+        F.col("mahalanobis2").desc(), F.col("vec_id")
+    ).limit(EMB_OUTLIER_K)
+    win = Window.orderBy(F.col("mahalanobis2").desc(), F.col("vec_id"))
+    return top.withColumn(
+        "rank", F.row_number().over(win).cast("int")
+    )
+
+
+def _embedding_outliers_oracle(iters: int = PI_ITERS) -> str:
+    joined, select = _whitened_select(iters)
+    return f"""
+WITH {joined},
+w AS (
+{select}
+),
+scored AS (
+    SELECT vec_id, round(w1 * w1 + w2 * w2, 6) AS mahalanobis2 FROM w
+),
+ranked AS (
+    SELECT vec_id, mahalanobis2,
+           row_number() OVER (ORDER BY mahalanobis2 DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT vec_id, mahalanobis2, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {EMB_OUTLIER_K}
 """
 
 
@@ -2741,6 +2802,13 @@ QUERIES = {
         _pca_whitened_oracle(),
         "PCA-whitened top-2 coordinates (unit-variance components; "
         "same zero-shuffle projection map)",
+    ),
+    "embedding_outliers": QuerySpec(
+        embedding_outliers,
+        _embedding_outliers_oracle(),
+        "embedding-space outlier top-k: Mahalanobis^2 in the top-2 "
+        "principal subspace = squared whitened norm (curation gate "
+        "before dedup/ANN/training)",
     ),
     "embedding_top2_eigvecs": QuerySpec(
         embedding_top2_eigvecs,
