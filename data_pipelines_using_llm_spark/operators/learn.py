@@ -29,8 +29,19 @@ Determinism (the hash-gate discipline used module-wide):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# The only tokens a generated Cramer expression may contain: the moment
+# names (n, s12, sy3, ...), products, sums, differences, parentheses.
+# Anything else (attribute access, calls, subscripts, names with
+# capitals/underscores) is rejected BEFORE eval — the strings are built
+# purely from d and fixed moment names today, and this guard keeps the
+# eval from silently becoming code execution if anyone later
+# interpolates column names or user input into them (r11 ADVICE).
+_CRAMER_TOKEN_RE = re.compile(r"^[a-z0-9*+()\-]+$")
 
 GRAD_Q = float(2**30)  # gradient quantization step (order-free int sums)
 OLS_Q = float(2**24)  # label-moment quantization for the one-pass OLS
@@ -73,37 +84,45 @@ def linear_classifier_train(
     Input contract (r10 verdict task 6): training runs ``steps + 1``
     actions over ``df`` (one count + K gradient aggregations), so an
     unmaterialized upstream would silently be recomputed K+1 times —
-    the 11.5 s → 2.9 s featurize-once trap.  The trainer therefore cuts
-    its input with an eager ``localCheckpoint`` by default.  Pass
-    ``checkpoint_input=False`` ONLY when the caller already holds a
-    barrier over the exact frame (e.g. to reuse the materialized
+    the 11.5 s → 2.9 s featurize-once trap.  The trainer therefore
+    ``persist()``s its input by default and UNPERSISTS it after the
+    final gradient step (r11 ADVICE — the model is d+1 driver scalars,
+    so nothing about the input needs to outlive the call; repeated
+    trainings in one session no longer accumulate storage blocks).
+    Pass ``checkpoint_input=False`` ONLY when the caller already holds
+    a barrier over the exact frame (e.g. to reuse the materialized
     features for scoring afterwards, as doc_lang_classifier_distilled
     does) — and then the K+1-scan cost of getting that wrong is on the
     caller."""
+    held = None
     if checkpoint_input:
-        df = df.localCheckpoint(eager=True)
-    n = df.count()
-    if n == 0:
-        raise ValueError("linear_classifier_train: empty training set")
-    w = [0.0] * (len(feature_cols) + 1)
-    for _ in range(steps):
-        err = hard_sigmoid(linear_score(feature_cols, w)) - F.col(
-            label_col
-        ).cast("double")
-        aggs = [
-            F.sum(F.floor(err * F.lit(GRAD_Q))).cast("long").alias("g0")
-        ] + [
-            F.sum(F.floor(err * F.col(c) * F.lit(GRAD_Q)))
-            .cast("long")
-            .alias(f"g{j + 1}")
-            for j, c in enumerate(feature_cols)
-        ]
-        g = df.agg(*aggs).first()
-        w = [
-            w[j] - lr * (float(g[f"g{j}"]) / GRAD_Q / n)
-            for j in range(len(w))
-        ]
-    return w
+        df = held = df.persist()
+    try:
+        n = df.count()
+        if n == 0:
+            raise ValueError("linear_classifier_train: empty training set")
+        w = [0.0] * (len(feature_cols) + 1)
+        for _ in range(steps):
+            err = hard_sigmoid(linear_score(feature_cols, w)) - F.col(
+                label_col
+            ).cast("double")
+            aggs = [
+                F.sum(F.floor(err * F.lit(GRAD_Q))).cast("long").alias("g0")
+            ] + [
+                F.sum(F.floor(err * F.col(c) * F.lit(GRAD_Q)))
+                .cast("long")
+                .alias(f"g{j + 1}")
+                for j, c in enumerate(feature_cols)
+            ]
+            g = df.agg(*aggs).first()
+            w = [
+                w[j] - lr * (float(g[f"g{j}"]) / GRAD_Q / n)
+                for j in range(len(w))
+            ]
+        return w
+    finally:
+        if held is not None:
+            held.unpersist(blocking=False)
 
 
 _INT_TYPES = ("tinyint", "smallint", "int", "bigint")
@@ -264,6 +283,12 @@ def ols_fit_one_pass(
         for k in range(j, d + 1):
             scope[f"s{j}{k}"] = float(m[f"s{j}{k}"])
     den_expr, num_exprs = cramer_exprs(d)
+    for e in (den_expr, *num_exprs):
+        if not _CRAMER_TOKEN_RE.fullmatch(e):
+            raise ValueError(
+                "ols_fit_one_pass: generated Cramer expression contains "
+                f"tokens outside the [a-z0-9*+()-] whitelist: {e!r}"
+            )
     # eval of the shared expression strings IS the determinism contract:
     # Python and DuckDB parse them into the identical IEEE double tree
     den = eval(den_expr, {"__builtins__": {}}, scope)  # noqa: S307

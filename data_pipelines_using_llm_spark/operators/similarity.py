@@ -1485,6 +1485,7 @@ def knn_pq_refined(
     kcodes: int = PQ_K,
     iters: int = PQ_ITERS,
     pq: tuple[DataFrame, DataFrame] | None = None,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """PQ ADC candidate generation + exact re-rank — FAISS's
     ``IndexRefineFlat`` over ``IndexPQ`` as a dataflow.  The ADC scan
@@ -1518,7 +1519,7 @@ def knn_pq_refined(
         df, id_col, vec_col, query_mod, ncand, m, kcodes, iters, pq=pq,
         base=base,
     ).select("query_id", "neighbor_id")
-    return _refine_exact(base, cands, query_mod, k, ncand)
+    return _refine_exact(base, cands, query_mod, k, ncand, n_queries=n_queries)
 
 
 REFINE_BROADCAST_ROW_LIMIT = 10_000_000  # ~160 MB of (query_id, neighbor_id)
@@ -1531,6 +1532,7 @@ def _refine_exact(
     k: int,
     cand_per_query: int,
     broadcast_row_limit: int = REFINE_BROADCAST_ROW_LIMIT,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """The exact re-rank stage shared by every ``*_refined`` variant:
     fetch the candidates' full-precision vectors via an inner join over
@@ -1540,22 +1542,28 @@ def _refine_exact(
 
     Broadcast gate (r10 ADVICE — the candidate set is |queries|·C rows,
     which grows LINEARLY with the corpus at fixed query_mod, so it is
-    NOT unconditionally broadcastable): the bound |queries|·
-    ``cand_per_query`` is computed from one cheap filter-count of the
-    query block; at or under ``broadcast_row_limit`` (10M rows ≈
-    160 MB of id pairs) the fetch join broadcasts the candidates and
-    the corpus never shuffles, above it the hint is dropped and the
-    fetch becomes a shuffle equi-join on vec_id (AQE still upgrades it
-    back to broadcast if runtime stats allow).  Same rows either way —
-    the gate changes strategy, never results."""
+    NOT unconditionally broadcastable): the bound ``n_queries``·
+    ``cand_per_query`` decides the strategy; at or under
+    ``broadcast_row_limit`` (10M rows ≈ 160 MB of id pairs) the fetch
+    join broadcasts the candidates and the corpus never shuffles, above
+    it the hint is dropped and the fetch becomes a shuffle equi-join on
+    vec_id.  ``n_queries`` is CALLER-SUPPLIED (r11 ADVICE — builders
+    stay lazy: no eager count at plan-construction time; the registry
+    rows pass a per-session cached query-block count,
+    plans/similarity_queries.py::_n_queries_cached).  When None, no
+    hint is attached and AQE picks the strategy from runtime stats at
+    the shuffle boundary.  Same rows every way — the gate changes
+    strategy, never results."""
     queries = base.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"),
     )
-    cand_bound = queries.count() * cand_per_query
     cands_hinted = (
-        F.broadcast(cands) if cand_bound <= broadcast_row_limit else cands
+        F.broadcast(cands)
+        if n_queries is not None
+        and n_queries * cand_per_query <= broadcast_row_limit
+        else cands
     )
     fetched = base.join(
         cands_hinted, base["vec_id"] == cands["neighbor_id"]
@@ -1596,6 +1604,7 @@ def knn_ivfpq_refined(
     iters: int = PQ_ITERS,
     pq: tuple[DataFrame, DataFrame] | None = None,
     ivf: DataFrame | None = None,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """The full FAISS production serving stack as one dataflow —
     ``IndexRefineFlat(IndexIVFPQ)``: the coarse quantizer bounds WHICH
@@ -1616,7 +1625,7 @@ def knn_ivfpq_refined(
         m, kcodes, iters, pq=pq, ivf=ivf,
     ).select("query_id", "neighbor_id")
     base = normed(df, id_col, vec_col)
-    return _refine_exact(base, cands, query_mod, k, ncand)
+    return _refine_exact(base, cands, query_mod, k, ncand, n_queries=n_queries)
 
 
 def knn_ivfpq(
@@ -1846,6 +1855,191 @@ def pq_assign(
         .groupBy("vec_id", "m")
         .agg(F.min("dc").alias("dc"))
         .select("vec_id", "m", F.col("dc.code").alias("code"))
+    )
+
+
+def pq_residuals(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cells: DataFrame,
+    icents: DataFrame,
+) -> DataFrame:
+    """Residual vectors for RESIDUAL-ENCODED IVFPQ — the standard FAISS
+    ``IndexIVFPQ`` semantics (Jégou et al. 2011 §IV: encode
+    ``r = x − q1(x)``, the offset from the coarse centroid, not the raw
+    vector): per vector, subtract its assigned cell's float centroid
+    element-wise.  Residuals concentrate the product quantizer's budget
+    on the within-cell variation — the main published recall lever at
+    equal code budget — which is why FAISS encodes residuals by default.
+
+    Determinism: ``zip_with(v, cv, (a, b) -> a − b)`` is one exact IEEE
+    subtraction per element over engine-identical inputs (raw corpus
+    doubles, decimal-exact centroid means), textually mirrored in the
+    oracle's ``v[i] - cv[i]``.  Scale: one broadcast of the centroid
+    table over one corpus pass — no shuffle.  Returns
+    ``(vec_id, v, cell)`` where ``v`` IS the residual (named ``v`` so
+    :func:`pq_train` and the oracle's subspace CTEs consume it
+    unchanged)."""
+    base = df.select(
+        F.col(id_col).alias("vec_id"), to_double(vec_col).alias("v")
+    )
+    return (
+        base.join(cells.select("vec_id", "cell"), "vec_id")
+        .join(
+            F.broadcast(icents.select("cell", F.col("cv").alias("ccv"))),
+            "cell",
+        )
+        .select(
+            "vec_id",
+            F.zip_with("v", "ccv", lambda a, b: a - b).alias("v"),
+            "cell",
+        )
+    )
+
+
+def ivfpq_residual_serve(
+    queries: DataFrame,
+    membership: DataFrame,
+    icents: DataFrame,
+    codes: DataFrame,
+    pqcents: DataFrame,
+    k: int = DEFAULT_K,
+    nprobe: int = 2,
+    m: int = PQ_M,
+) -> DataFrame:
+    """The RESIDUAL-IVFPQ serving dataflow — :func:`ivfpq_serve` with
+    the reconstruction ``x̂ = c_cell + r̂`` instead of ``x̂ = r̂``:
+
+    - numerator  ``q·x̂ = q·c_cell + Σ_m q_m·r̂_m`` — the coarse term is
+      ONE dot product per (query, cell) (a broadcast-size table:
+      |queries| × n_cells), the residual term is the same per-(query,
+      m, code) ADC lookup as flat PQ;
+    - ‖x̂‖² ``= ‖c‖² + 2·Σ_m c_m·r̂_m + Σ_m ‖r̂_m‖²`` — the cross term is
+      a (cell, m, code) table (n_cells × m × k codewords, broadcast;
+      subspaces are disjoint blocks so cross-subspace terms vanish).
+
+    Serve-time reads are unchanged from :func:`ivfpq_serve` — cell
+    membership and the code table, never the float corpus; the three
+    new lookup tables are all centroid/codebook-sized (broadcast at any
+    corpus scale).  Every float reduction is a sequenced fold and the
+    final score is one fixed-shape expression
+    ``(qc + adc) / (qnrm · sqrt(cn2c + 2·crs + rn2))`` mirrored
+    textually in the oracle, so the stack hash-gates like the raw-PQ
+    family."""
+    subdim = DIM // m
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("cell")
+    )
+    probes = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(icents))
+        .select(
+            "query_id",
+            "cell",
+            (
+                dot(F.col("qv"), F.col("cv"))
+                / (F.col("qnrm") * F.col("cnrm"))
+            ).alias("ccos"),
+        )
+        .withColumn("crank", F.row_number().over(wprobe))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "cell")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(membership, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "cell")
+    )
+    partial = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(subdim)),
+            lambda i: F.element_at(
+                F.col("qv"), (F.col("m") * subdim + i).cast("int")
+            )
+            * F.element_at(F.col("cv"), i.cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(pqcents))
+        .select(
+            "query_id", "qnrm", "m", "code", partial.alias("partial"), "cn2"
+        )
+    )
+    # coarse term per (query, cell) and ‖c‖² per cell — broadcast-size
+    qc = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(icents))
+        .select(
+            "query_id", "cell", dot(F.col("qv"), F.col("cv")).alias("qc")
+        )
+    )
+    cinfo = icents.select(
+        "cell", dot(F.col("cv"), F.col("cv")).alias("cn2c")
+    )
+    # centroid×codeword cross term per (cell, m, code)
+    cross = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(subdim)),
+            lambda i: F.element_at(
+                F.col("ccv"), (F.col("m") * subdim + i).cast("int")
+            )
+            * F.element_at(F.col("cv"), i.cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ccross = (
+        F.broadcast(icents.select("cell", F.col("cv").alias("ccv")))
+        .crossJoin(F.broadcast(pqcents))
+        .select("cell", "m", "code", cross.alias("crs"))
+    )
+    sp = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .join(F.broadcast(ccross), ["cell", "m", "code"])
+    )
+    agg = sp.groupBy("query_id", "vec_id", "cell").agg(
+        _sorted_fold_sum("m", "partial").alias("adc"),
+        _sorted_fold_sum("m", "cn2").alias("rn2"),
+        _sorted_fold_sum("m", "crs").alias("crs"),
+        F.min("qnrm").alias("qnrm"),
+    )
+    final = (
+        agg.join(F.broadcast(qc), ["query_id", "cell"])
+        .join(F.broadcast(cinfo), "cell")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                (F.col("qc") + F.col("adc"))
+                / (
+                    F.col("qnrm")
+                    * F.sqrt(
+                        F.col("cn2c")
+                        + F.lit(2.0) * F.col("crs")
+                        + F.col("rn2")
+                    )
+                )
+            ).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        final.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine_sim"),
+            "rank",
+        )
     )
 
 

@@ -21,6 +21,25 @@ K = SIM.DEFAULT_K
 NPROBE = 2
 PAIR_THRESHOLD = 0.4  # driver embeddings are near-orthogonal (max cos ~0.46)
 
+# Query-block rowcount per (session, sf_dir) — counted ONCE and reused by
+# every *_refined row's broadcast-bound arithmetic (r11 ADVICE: the
+# operators-layer builders stay lazy; the one cheap count this bound
+# needs is paid once per session, not once per plan construction).
+_QUERY_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _n_queries_cached(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    n = _QUERY_COUNT_CACHE.get(key)
+    if n is None:
+        n = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") % QUERY_MOD == 0)
+            .count()
+        )
+        _QUERY_COUNT_CACHE[key] = n
+    return n
+
 # ---- DuckDB snippet builders mirroring operators/similarity.py ----
 
 _TO_D = "list_transform({col}, x -> CAST(x AS DOUBLE))"
@@ -972,7 +991,10 @@ def knn_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     codes, cents = SIM.pq_train(e, "vec_id", "embedding")
     pq = (codes.localCheckpoint(eager=True), cents.localCheckpoint(eager=True))
-    return SIM.knn_pq_refined(e, "vec_id", "embedding", QUERY_MOD, K, pq=pq)
+    return SIM.knn_pq_refined(
+        e, "vec_id", "embedding", QUERY_MOD, K, pq=pq,
+        n_queries=_n_queries_cached(spark, sf_dir),
+    )
 
 
 def _knn_pq_refined_oracle(
@@ -1075,10 +1097,14 @@ def _knn_ivfpq_oracle(
     m: int = SIM.PQ_M,
     kcodes: int = SIM.PQ_K,
     pq_iters: int = SIM.PQ_ITERS,
+    extra_cand_pred: str = "",
 ) -> str:
     """IVFPQ oracle: the k-means cell/probe CTE family and the PQ
     codebook CTE family composed under one WITH — candidates come from
-    the probed cells, scores from the ADC lookup table."""
+    the probed cells, scores from the ADC lookup table.
+    ``extra_cand_pred`` appends a predicate to the candidate CTE (the
+    removed-ids exclusion of ``knn_ivfpq_removed``); the default empty
+    string leaves every existing oracle byte-identical."""
     sd = SIM.DIM // m
     return f"""
 WITH {_SQL_BASE},
@@ -1088,7 +1114,7 @@ WITH {_SQL_BASE},
 cand AS (
     SELECT p.query_id, c.vec_id
     FROM probes p JOIN lbl c ON c.cell = p.cell
-    WHERE p.crank <= {IVF_KMEANS_NPROBE} AND c.vec_id != p.query_id
+    WHERE p.crank <= {IVF_KMEANS_NPROBE} AND c.vec_id != p.query_id{extra_cand_pred}
 ),
 lut AS (
     SELECT q.query_id, q.qnrm, c.m, c.code,
@@ -1150,6 +1176,7 @@ def knn_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.knn_ivfpq_refined(
         e.join(cells, "vec_id"), "vec_id", "embedding", "kcell", QUERY_MOD,
         K, IVF_KMEANS_NPROBE, pq=pq,
+        n_queries=_n_queries_cached(spark, sf_dir),
     )
 
 
@@ -1360,9 +1387,12 @@ def ann_index_extend(
     :func:`ann_index_train`, which this snapshot layout makes a
     version bump, not a migration).
 
-    Duplicate ids are rejected loudly (one cheap semi-join count): a
-    re-added vector would otherwise serve twice.  Returns the new
-    artifact version."""
+    Duplicate ids are rejected loudly — BOTH against the stored index
+    (one cheap semi-join count) and WITHIN the batch itself (one
+    count/countDistinct aggregation; r11 ADVICE — a batch carrying the
+    same id twice would be assigned and appended twice, serving twice,
+    exactly the failure the stored-side gate exists to prevent).
+    Returns the new artifact version."""
     from data_pipelines_using_llm_spark.sinks.versioned import (
         versioned_write,
     )
@@ -1372,6 +1402,16 @@ def ann_index_extend(
         for part in ann_index_load(spark, table_dir)
     )
     new_ids = new_df.select(F.col(id_col).cast("long").alias("vec_id"))
+    batch = new_ids.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("vec_id").alias("nd"),
+    ).first()
+    if batch["n"] != batch["nd"]:
+        raise ValueError(
+            f"ann_index_extend: batch contains {batch['n'] - batch['nd']} "
+            f"duplicate vector id(s) within itself — each id may appear "
+            "once; dedup the batch before extending"
+        )
     dup = new_ids.join(cells, "vec_id", "left_semi").count()
     if dup:
         raise ValueError(
@@ -1390,6 +1430,117 @@ def ann_index_extend(
         ),
         table_dir,
         keep=keep,
+    )
+
+
+def ann_index_remove(
+    spark: SparkSession,
+    table_dir: str,
+    ids_df: DataFrame,
+    id_col: str = "vec_id",
+    keep: int = 3,
+) -> int:
+    """DELETION path over the versioned artifact — the FAISS
+    ``remove_ids`` analogue (r11 verdict task 2): anti-join the
+    per-vector ``cell``/``code`` rows against the removal set and
+    commit the survivors as the next snapshot (atomic pointer flip;
+    readers see the pre- or post-removal index, never half).  Coarse
+    centroids and sub-codebooks are untouched — removal never retrains,
+    exactly as FAISS ``remove_ids`` leaves the quantizers alone — so a
+    removed id can be re-added later via :func:`ann_index_extend` (its
+    vector is simply re-assigned/re-encoded against the stored
+    artifacts).  This is the operation a production corpus pipeline
+    runs constantly (takedowns, dedup survivors, GDPR erasure); without
+    it the only answer was a full retrain.
+
+    Unknown ids are rejected loudly (one semi-join count — a takedown
+    that silently no-ops is worse than one that fails), and so are
+    duplicate ids within the batch (the same strictness
+    :func:`ann_index_extend` applies: the caller's bookkeeping is
+    wrong, say so).  Cost: one pass over the per-vector parts plus the
+    snapshot rewrite; at 100 TB both are cluster-side — nothing is
+    collected.  Returns the new artifact version."""
+    from data_pipelines_using_llm_spark.sinks.versioned import (
+        versioned_write,
+    )
+
+    cells, icents, codes, pqcents = (
+        part.localCheckpoint(eager=True)
+        for part in ann_index_load(spark, table_dir)
+    )
+    rm_ids = ids_df.select(F.col(id_col).cast("long").alias("vec_id"))
+    batch = rm_ids.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("vec_id").alias("nd"),
+    ).first()
+    if batch["n"] != batch["nd"]:
+        raise ValueError(
+            f"ann_index_remove: batch contains {batch['n'] - batch['nd']} "
+            "duplicate vector id(s) within itself — each id may appear "
+            "once; dedup the batch before removing"
+        )
+    known = rm_ids.join(cells, "vec_id", "left_semi").count()
+    if known != batch["n"]:
+        raise ValueError(
+            f"ann_index_remove: {batch['n'] - known} id(s) not present in "
+            f"the index at {table_dir} — a removal that silently no-ops "
+            "hides a bookkeeping error; check the ids (or the version)"
+        )
+    return versioned_write(
+        _ann_index_pack(
+            cells.join(rm_ids, "vec_id", "left_anti"),
+            icents,
+            codes.join(rm_ids, "vec_id", "left_anti"),
+            pqcents,
+        ),
+        table_dir,
+        keep=keep,
+    )
+
+
+# the removal gate's slice: vec_id % 10 == 3 (never a query id — query
+# ids are ≡ 0 mod 100, hence ≡ 0 mod 10)
+REMOVE_MOD = 10
+REMOVE_RES = 3
+
+
+def knn_ivfpq_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index deletion under the hash gate: train the IVFPQ index on the
+    FULL corpus, :func:`ann_index_remove` a 10% slice
+    (vec_id % 10 == 3), then serve the full query set from the shrunken
+    artifact.  The oracle is the standard full-corpus IVFPQ oracle with
+    the removed ids excluded from the CANDIDATE set only — centroids,
+    codebooks, and cell assignments are all still derived from the full
+    corpus (removal never retrains), so a removal path that touched any
+    trained artifact, dropped the wrong rows, or left a ghost row
+    serving would fail the gate.  Together with ``knn_ivfpq_extended``
+    this proves the artifact's full CRUD surface exact: add is exact,
+    remove is exact, and remove-then-re-add restores serving under the
+    add-path assignment regime (tests/test_similarity.py)."""
+    import shutil
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings")
+    tdir = tempfile.mkdtemp(prefix="ann_index_rm_")
+    try:
+        ann_index_train(spark, sf_dir, tdir)
+        ann_index_remove(
+            spark,
+            tdir,
+            e.filter(F.col("vec_id") % REMOVE_MOD == REMOVE_RES).select(
+                "vec_id"
+            ),
+        )
+        cells, icents, codes, pqcents = (
+            part.localCheckpoint(eager=True)
+            for part in ann_index_load(spark, tdir)
+        )
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    return SIM.knn_ivfpq(
+        e.join(cells.withColumnRenamed("cell", "kcell"), "vec_id"),
+        "vec_id", "embedding", "kcell", QUERY_MOD, K, IVF_KMEANS_NPROBE,
+        pq=(codes, pqcents), ivf=icents,
     )
 
 
@@ -1479,6 +1630,7 @@ def knn_ivfpq_refined_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(cells.withColumnRenamed("cell", "kcell"), "vec_id"),
         "vec_id", "embedding", "kcell", QUERY_MOD, K, IVF_KMEANS_NPROBE,
         pq=(codes, pqcents), ivf=icents,
+        n_queries=_n_queries_cached(spark, sf_dir),
     )
 
 
@@ -2742,6 +2894,18 @@ QUERIES = {
         "corpus, extend the versioned artifact with the other half "
         "(stored-centroid/codebook assignment, no retraining), serve the "
         "full corpus; the oracle replays both assignment regimes",
+    ),
+    "knn_ivfpq_removed": QuerySpec(
+        knn_ivfpq_removed,
+        _knn_ivfpq_oracle(
+            extra_cand_pred=(
+                f" AND NOT (c.vec_id % {REMOVE_MOD} = {REMOVE_RES})"
+            )
+        ),
+        "index deletion (FAISS remove_ids): train on the full corpus, "
+        "remove a 10% slice from the versioned artifact (anti-join, no "
+        "retraining), serve; oracle = full-corpus IVFPQ with the removed "
+        "ids excluded from candidates only",
     ),
     "knn_ivfpq_refined_stored": QuerySpec(
         knn_ivfpq_refined_stored,

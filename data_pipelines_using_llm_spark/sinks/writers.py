@@ -645,11 +645,14 @@ def write_audit_publish_split(
     filesystem), so the partial-publish window is made conservative
     (r10 ADVICE): the PRIMARY (pass) table swaps FIRST, quarantine
     second — a crash between the two swaps leaves the published table
-    current with a stale quarantine (missing the newest dead letters,
-    re-derivable by rerunning), never quarantine rows that reference a
-    stale published generation.  All three stage directories are
-    removed in a ``finally`` — a failed run leaves the live tables
-    untouched and no stray ``__stage`` dirs.
+    current with a stale quarantine (missing the newest dead letters),
+    never quarantine rows that reference a stale published generation.
+    Stage cleanup is publish-aware (r11 ADVICE): a failure BEFORE any
+    swap removes all three stage dirs (live tables untouched, stages
+    re-derivable from the caller's input), but a failure BETWEEN the
+    two swaps leaves ``q_stage`` on disk — the freshly computed dead
+    letters survive for recovery instead of being discarded the moment
+    the primary went live.
 
     Returns the routing report: one row per rule
     ``(rule, n_quarantined)`` (rows violating that rule; a row
@@ -669,6 +672,7 @@ def write_audit_publish_split(
     stage = path.rstrip("/") + "__stage"
     q_stage = quarantine_path.rstrip("/") + "__stage"
     pass_stage = path.rstrip("/") + "__stage_pass"
+    published = 0
     try:
         for d in (stage, q_stage, pass_stage):
             if os.path.exists(d):
@@ -707,7 +711,18 @@ def write_audit_publish_split(
                     os.path.dirname(live.rstrip("/")) or ".", exist_ok=True
                 )
                 os.rename(staged_dir, live)
+            published += 1
     finally:
-        for d in (stage, q_stage, pass_stage):
-            shutil.rmtree(d, ignore_errors=True)
+        # raw input stage is always removable (its rows live on in the
+        # pass/quarantine stages or the published tables)
+        shutil.rmtree(stage, ignore_errors=True)
+        if published != 1:
+            # 0: pre-publish failure — live tables untouched, stages
+            #    re-derivable; clean exit.  2: both swaps consumed their
+            #    stage dirs — remove any leftovers.
+            shutil.rmtree(q_stage, ignore_errors=True)
+            shutil.rmtree(pass_stage, ignore_errors=True)
+        # published == 1: primary is live, quarantine swap failed —
+        # q_stage is intentionally RETAINED so the computed dead
+        # letters survive for recovery (r11 ADVICE)
     return spark.createDataFrame(report_rows)

@@ -238,3 +238,50 @@ def test_write_audit_publish_split_routes_and_conserves(spark, tmp_path):
     } == {(2, "in_range_v"), (3, "in_set_t")}
     assert pub.count() + quar.count() == df.count()
     assert "violated_rules" not in pub.columns
+
+
+def test_write_audit_publish_split_retains_q_stage_on_partial_publish(
+    spark, tmp_path, monkeypatch
+):
+    """A crash BETWEEN the two swaps (primary published, quarantine not)
+    must leave the quarantine stage dir on disk so the freshly computed
+    dead letters survive for recovery (r11 ADVICE) — while a pre-publish
+    failure still cleans up every stage dir."""
+    import os
+
+    import pytest as _pt
+
+    from data_pipelines_using_llm_spark.sinks import writers
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "click"), (2, 500.0, "view"), (3, 30.0, "view")],
+        "id long, v double, t string",
+    )
+    live = str(tmp_path / "live")
+    dead = str(tmp_path / "dead")
+    rules = [EX.in_range("v", 0, 100)]
+    # first publish succeeds and creates both live tables
+    writers.write_audit_publish_split(df, live, dead, rules)
+    orig_swap = writers._swap_in
+
+    def failing_swap(path, tmp):
+        if path == dead:
+            raise RuntimeError("simulated crash before quarantine swap")
+        orig_swap(path, tmp)
+
+    monkeypatch.setattr(writers, "_swap_in", failing_swap)
+    df2 = spark.createDataFrame(
+        [(4, 40.0, "click"), (5, -1.0, "view")], "id long, v double, t string"
+    )
+    with _pt.raises(RuntimeError, match="simulated crash"):
+        writers.write_audit_publish_split(df2, live, dead, rules)
+    # primary went live with the new generation
+    assert sorted(
+        r["id"] for r in spark.read.parquet(live).collect()
+    ) == [4]
+    # quarantine stage survives with the computed dead letters ...
+    q_stage = dead + "__stage"
+    assert {r["id"] for r in spark.read.parquet(q_stage).collect()} == {5}
+    # ... while the other stage dirs are gone
+    assert not os.path.exists(live + "__stage")
+    assert not os.path.exists(live + "__stage_pass")

@@ -322,10 +322,11 @@ def test_linear_classifier_distills_language_gate(spark):
 
 def test_linear_classifier_checkpoints_uncached_input(spark):
     """r10 verdict task 6: the trainer runs steps+1 actions over its
-    input, so by default it must cut an UNCACHED input with an eager
-    localCheckpoint — featurization runs ONCE regardless of step count.
-    Proven with an Arrow-batch counter upstream: the number of upstream
-    batch materializations is identical for a 1-step and a 6-step run."""
+    input, so by default it must materialize an UNCACHED input (persist,
+    released after the last step — r11 ADVICE) — featurization runs ONCE
+    regardless of step count.  Proven with an Arrow-batch counter
+    upstream: the number of upstream batch materializations is identical
+    for a 1-step and a 6-step run."""
     from pyspark.sql import functions as F
 
     from data_pipelines_using_llm_spark.operators import learn as LN
@@ -515,3 +516,44 @@ def test_ols_one_pass_d3_matches_numpy_lstsq(spark):
     y = np.array([r["value"] for r in rows])
     ref, *_ = np.linalg.lstsq(X, y, rcond=None)
     assert np.allclose(b, ref, atol=1e-5), (b, ref)
+
+
+def test_linear_classifier_releases_its_input_persist(spark):
+    """r11 ADVICE: the trainer's default input materialization must be
+    RELEASED after the final gradient step — repeated trainings in one
+    session may not accumulate storage blocks for the session lifetime."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_using_llm_spark.operators import learn as LN
+
+    df = spark.range(0, 100, 1, 4).select(
+        ((F.col("id") % 5).cast("double") / 5.0).alias("x1"),
+        (F.col("id") % 2).cast("double").alias("y"),
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    for _ in range(3):
+        LN.linear_classifier_train(df, ["x1"], "y", steps=2)
+    after = jsc.getPersistentRDDs().size()
+    assert after == before, (before, after)
+
+
+def test_cramer_exprs_stay_inside_the_eval_whitelist():
+    """r11 ADVICE: every generated Cramer expression must match the
+    [a-z0-9*+()-] token whitelist the solver enforces before eval — and
+    the whitelist must actually reject code-shaped strings."""
+    from data_pipelines_using_llm_spark.operators import learn as LN
+
+    for d in range(1, 5):
+        den, nums = LN.cramer_exprs(d)
+        for e in (den, *nums):
+            assert LN._CRAMER_TOKEN_RE.fullmatch(e), e
+    for bad in (
+        "__import__('os').system('rm -rf /')",
+        "n.s1",
+        "s1[0]",
+        "n ",
+        "lambda: 1",
+        "A*b",
+    ):
+        assert not LN._CRAMER_TOKEN_RE.fullmatch(bad), bad

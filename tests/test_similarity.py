@@ -212,6 +212,10 @@ def test_ann_index_extend_appends_without_retraining(spark, tmp_path):
         (r["m"], r["code"]): (tuple(r["cv"]), r["cn2"])
         for r in pqcents1.collect()
     }
+    dup_batch = extra.unionByName(extra.limit(1))
+    with pytest.raises(ValueError, match="within itself"):
+        SQ.ann_index_extend(spark, tdir, dup_batch)  # r11 ADVICE gate
+    assert current_version(tdir) == v1  # rejected batch committed nothing
     v2 = SQ.ann_index_extend(spark, tdir, extra)
     assert v2 == v1 + 1 and current_version(tdir) == v2
     cells, icents2, codes, pqcents2 = SQ.ann_index_load(spark, tdir)
@@ -227,6 +231,90 @@ def test_ann_index_extend_appends_without_retraining(spark, tmp_path):
     assert pc_after == pc_before
     with pytest.raises(ValueError, match="already present"):
         SQ.ann_index_extend(spark, tdir, extra)
+
+
+def test_ann_index_remove_then_readd_round_trips(spark, tmp_path):
+    """The FAISS remove_ids analogue (r11 verdict task 2): removal drops
+    exactly the requested per-vector rows, leaves centroids/codebooks
+    bit-identical, rejects unknown ids and in-batch duplicates loudly —
+    and a removed id can be RE-ADDED via ann_index_extend.  Re-added
+    vectors land in the ADD-PATH assignment regime (argmin against the
+    STORED re-derived centroids/codebooks — exactly ivf_assign/
+    pq_assign), which for boundary vectors can differ from their
+    train-time final-Lloyd cell; rows never removed are untouched."""
+    import pytest
+
+    from data_pipelines_using_llm_spark.sinks.versioned import (
+        current_version,
+    )
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "embeddings")
+    tdir = str(tmp_path / "ann_index")
+    v1 = SQ.ann_index_train(spark, sf, tdir)
+    cells0, icents0, codes0, pqcents0 = SQ.ann_index_load(spark, tdir)
+    cell_map0 = {r["vec_id"]: r["cell"] for r in cells0.collect()}
+    code_map0 = {(r["vec_id"], r["m"]): r["code"] for r in codes0.collect()}
+    ic0 = {r["cell"]: tuple(r["cv"]) for r in icents0.collect()}
+    pc0 = {(r["m"], r["code"]): tuple(r["cv"]) for r in pqcents0.collect()}
+    rm = e.filter(
+        F.col("vec_id") % SQ.REMOVE_MOD == SQ.REMOVE_RES
+    ).select("vec_id")
+    rm_ids = {r["vec_id"] for r in rm.collect()}
+    assert rm_ids, "fixture must remove something"
+    # unknown ids rejected loudly, nothing committed
+    ghost = spark.range(10**9, 10**9 + 3).select(
+        F.col("id").alias("vec_id")
+    )
+    with pytest.raises(ValueError, match="not present"):
+        SQ.ann_index_remove(spark, tdir, ghost)
+    # in-batch duplicates rejected loudly
+    with pytest.raises(ValueError, match="within itself"):
+        SQ.ann_index_remove(spark, tdir, rm.unionByName(rm.limit(1)))
+    assert current_version(tdir) == v1
+    v2 = SQ.ann_index_remove(spark, tdir, rm)
+    assert v2 == v1 + 1 and current_version(tdir) == v2
+    cells1, icents1, codes1, pqcents1 = SQ.ann_index_load(spark, tdir)
+    assert {r["vec_id"] for r in cells1.collect()} == (
+        set(cell_map0) - rm_ids
+    )
+    assert {r["cell"]: tuple(r["cv"]) for r in icents1.collect()} == ic0
+    assert {
+        (r["m"], r["code"]): tuple(r["cv"]) for r in pqcents1.collect()
+    } == pc0
+    # double-remove now fails: the ids are gone
+    with pytest.raises(ValueError, match="not present"):
+        SQ.ann_index_remove(spark, tdir, rm)
+    # re-add the removed vectors: extend accepts them again and the
+    # quantizers never moved, so per-vector state round-trips exactly
+    e_rm = e.filter(F.col("vec_id").isin(list(rm_ids)))
+    v3 = SQ.ann_index_extend(spark, tdir, e_rm)
+    assert v3 == v2 + 1
+    cells2, _, codes2, _ = SQ.ann_index_load(spark, tdir)
+    cell_map2 = {r["vec_id"]: r["cell"] for r in cells2.collect()}
+    code_map2 = {(r["vec_id"], r["m"]): r["code"] for r in codes2.collect()}
+    assert set(cell_map2) == set(cell_map0)
+    # never-removed rows are untouched
+    for vid, cell in cell_map0.items():
+        if vid not in rm_ids:
+            assert cell_map2[vid] == cell
+    for key, code in code_map0.items():
+        if key[0] not in rm_ids:
+            assert code_map2[key] == code
+    # re-added rows follow the add-path regime exactly
+    from data_pipelines_using_llm_spark.operators import similarity as S
+
+    expect_cells = {
+        r["vec_id"]: r["cell"]
+        for r in S.ivf_assign(e_rm, "vec_id", "embedding", icents1).collect()
+    }
+    expect_codes = {
+        (r["vec_id"], r["m"]): r["code"]
+        for r in S.pq_assign(e_rm, "vec_id", "embedding", pqcents1).collect()
+    }
+    assert {v: cell_map2[v] for v in rm_ids} == expect_cells
+    assert {k: code_map2[k] for k in expect_codes} == expect_codes
 
 
 def test_pca_fold_enforces_fixed_width_non_null_contract(spark):
