@@ -845,10 +845,13 @@ def _sql_d2_n(a: str, b: str, dim: int) -> str:
     )
 
 
-def _pq_prefix(m: int, k: int, iters: int) -> str:
+def _pq_prefix(m: int, k: int, iters: int, src: str = "base") -> str:
     """Per-subspace k-means unrolled (same CTE pattern as
     :func:`_kmeans_lbl_prefix`, parameterized by subspace), then the
-    code table, final-assignment sub-codebooks, and codeword norms."""
+    code table, final-assignment sub-codebooks, and codeword norms.
+    ``src`` names the (vec_id, v) CTE the subspaces slice — ``base``
+    (raw vectors; every pre-existing oracle, byte-identical) or
+    ``resid`` (cell-centered residuals; the residual-IVFPQ family)."""
     sd = SIM.DIM // m
     ctes = []
     for mi in range(m):
@@ -856,7 +859,7 @@ def _pq_prefix(m: int, k: int, iters: int) -> str:
         ctes.append(
             f"sub{mi} AS (SELECT vec_id, "
             f"list_transform(range({lo}, {lo + sd}), i -> v[i]) AS sv "
-            f"FROM base)"
+            f"FROM {src})"
         )
         ctes.append(
             f"p{mi}c0 AS (SELECT vec_id AS cid, sv AS cv FROM sub{mi} "
@@ -1257,6 +1260,252 @@ FROM ranked WHERE rank <= {K}
 """
 
 
+_RESIDUAL_PARTS_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _residual_pq_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared TRAIN stage of the residual-IVFPQ family: coarse k-means
+    cells, float cell centroids, then PQ codebooks trained on the
+    RESIDUALS ``x − c_cell`` (operators/similarity.py::pq_residuals) —
+    the standard FAISS ``IndexIVFPQ`` training semantics.  Returns
+    ``(e, cells, icents, codes, pqcents)`` with every trained artifact
+    behind an eager ``localCheckpoint`` lineage cut; cached per
+    (session, sf_dir) so the plain and refined residual gate rows share
+    one training (the r11-task-5 de-duplication discipline)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _RESIDUAL_PARTS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = (
+        SIM.kmeans_assign(e, "vec_id", "embedding", k=10, iters=2)
+        .select("vec_id", F.col("cluster_id").alias("cell"))
+        .localCheckpoint(eager=True)
+    )
+    icents = SIM.ivf_centroids(
+        SIM.normed(e, "vec_id", "embedding").join(cells, "vec_id"), "cell"
+    ).localCheckpoint(eager=True)
+    resid = SIM.pq_residuals(e, "vec_id", "embedding", cells, icents)
+    codes, pqcents = SIM.pq_train(resid, "vec_id", "v")
+    parts = (
+        e,
+        cells,
+        icents,
+        codes.localCheckpoint(eager=True),
+        pqcents.localCheckpoint(eager=True),
+    )
+    _RESIDUAL_PARTS_CACHE[key] = parts
+    return parts
+
+
+def _residual_queries(e: DataFrame) -> DataFrame:
+    queries = SIM.normed(e, "vec_id", "embedding").filter(
+        F.col("vec_id") % QUERY_MOD == 0
+    )
+    return queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+
+
+def knn_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL-encoded IVFPQ (r11 verdict task 1) — the standard FAISS
+    ``IndexIVFPQ`` semantics: the product quantizer encodes the residual
+    ``x − c_cell`` instead of the raw vector, concentrating the code
+    budget on within-cell variation (Jégou et al. 2011 §IV — the main
+    published recall lever at equal code budget; measured here:
+    recall@10 0.12 → 0.22 at sf0.001, candidate-recall frontier in
+    SCALE.md).  Serving reconstructs ``x̂ = c_cell + r̂`` from three
+    broadcast-size lookup tables (coarse term, ADC partials, centroid×
+    codeword cross terms) — the float corpus is still never read at
+    serve time (operators/similarity.py::ivfpq_residual_serve)."""
+    e, cells, icents, codes, pqcents = _residual_pq_parts(spark, sf_dir)
+    return SIM.ivfpq_residual_serve(
+        _residual_queries(e), cells, icents, codes, pqcents,
+        K, IVF_KMEANS_NPROBE,
+    )
+
+
+def knn_ivfpq_residual_refined(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IndexRefineFlat(residual-IVFPQ): residual-ADC candidates to
+    C = refine_factor·k, exact cosine re-rank — the full FAISS-default
+    production stack.  Recall@k equals the residual candidate
+    recall@C, which dominates the raw-PQ frontier at every measured C
+    (SCALE.md); the refine stage is the same size-gated
+    :func:`operators.similarity._refine_exact` every refined row
+    shares."""
+    ncand = SIM.PQ_REFINE_FACTOR * K
+    e, cells, icents, codes, pqcents = _residual_pq_parts(spark, sf_dir)
+    cands = SIM.ivfpq_residual_serve(
+        _residual_queries(e), cells, icents, codes, pqcents,
+        ncand, IVF_KMEANS_NPROBE,
+    ).select("query_id", "neighbor_id")
+    return SIM._refine_exact(
+        SIM.normed(e, "vec_id", "embedding"), cands, QUERY_MOD, K, ncand,
+        n_queries=_n_queries_cached(spark, sf_dir),
+    )
+
+
+def _residual_ivfpq_prefix(
+    k: int = 10,
+    iters: int = 2,
+    m: int = SIM.PQ_M,
+    kcodes: int = SIM.PQ_K,
+    pq_iters: int = SIM.PQ_ITERS,
+) -> str:
+    """Shared oracle prefix of the residual-IVFPQ family: coarse
+    k-means + cell centroids + probes, the residual CTE
+    (``v[i] - cv[i]``, mirroring pq_residuals' zip_with), PQ training
+    CTEs over the residual source, the three serve-side lookup tables
+    (coarse term ``qc``, cell norm ``cinfo``, centroid×codeword cross
+    term ``ccross``), and the per-(query, vector) fold ``pagg`` —
+    everything up to the scoring expression both residual oracles
+    state."""
+    sd = SIM.DIM // m
+    return f"""{_kmeans_lbl_body(k, iters)},
+{_ivf_probe_body()},
+resid AS (
+    SELECT l.vec_id,
+           list_transform(range(1, {SIM.DIM + 1}), i -> l.v[i] - c.cv[i]) AS v
+    FROM lbl l JOIN cents_n c ON c.cell = l.cell
+),
+{_pq_prefix(m, kcodes, pq_iters, src="resid")},
+qc AS (
+    SELECT q.query_id, c.cell, {_sql_dot('q.qv', 'c.cv')} AS qc
+    FROM q CROSS JOIN cents_n c
+),
+cinfo AS (SELECT cell, {_sql_dot('cv', 'cv')} AS cn2c FROM cents_n),
+ccross AS (
+    SELECT cn.cell, p.m, p.code,
+           list_reduce(list_prepend(0.0,
+               list_transform(range(1, {sd + 1}),
+                   i -> cn.cv[p.m * {sd} + i] * p.cv[i])),
+               (acc, x) -> acc + x) AS crs
+    FROM cents_n cn CROSS JOIN pcentn p
+),
+cand AS (
+    SELECT p.query_id, c.vec_id, c.cell
+    FROM probes p JOIN lbl c ON c.cell = p.cell
+    WHERE p.crank <= {IVF_KMEANS_NPROBE} AND c.vec_id != p.query_id
+),
+lut AS (
+    SELECT q.query_id, q.qnrm, c.m, c.code,
+           list_reduce(list_prepend(0.0,
+               list_transform(range(1, {sd + 1}),
+                   i -> q.qv[c.m * {sd} + i] * c.cv[i])),
+               (acc, x) -> acc + x) AS partial,
+           c.cn2
+    FROM q CROSS JOIN pcentn c
+),
+sp AS (
+    SELECT cd.query_id, cd.vec_id, cd.cell, l.qnrm,
+           co.m, l.partial, l.cn2, cx.crs
+    FROM cand cd
+    JOIN codes co ON co.vec_id = cd.vec_id
+    JOIN lut l ON l.query_id = cd.query_id
+             AND l.m = co.m AND l.code = co.code
+    JOIN ccross cx ON cx.cell = cd.cell
+                  AND cx.m = co.m AND cx.code = co.code
+),
+pagg AS (
+    SELECT query_id, vec_id, cell,
+           list_reduce(list_prepend(0.0, array_agg(partial ORDER BY m)),
+                       (acc, x) -> acc + x) AS adc,
+           list_reduce(list_prepend(0.0, array_agg(cn2 ORDER BY m)),
+                       (acc, x) -> acc + x) AS rn2,
+           list_reduce(list_prepend(0.0, array_agg(crs ORDER BY m)),
+                       (acc, x) -> acc + x) AS crs,
+           min(qnrm) AS qnrm
+    FROM sp GROUP BY query_id, vec_id, cell
+)"""
+
+
+_RESIDUAL_SCORE = (
+    "(qq.qc + g.adc) / (g.qnrm * sqrt(ci.cn2c + 2.0 * g.crs + g.rn2))"
+)
+
+
+def _knn_ivfpq_residual_oracle(
+    k: int = 10,
+    iters: int = 2,
+    m: int = SIM.PQ_M,
+    kcodes: int = SIM.PQ_K,
+    pq_iters: int = SIM.PQ_ITERS,
+) -> str:
+    """Residual-IVFPQ oracle: the shared residual prefix, then the
+    reconstruction-cosine ranking ``(q·c + q·r̂) /
+    (‖q‖·sqrt(‖c‖² + 2·c·r̂ + ‖r̂‖²))``."""
+    return f"""
+WITH {_SQL_BASE},
+{_residual_ivfpq_prefix(k, iters, m, kcodes, pq_iters)},
+ranked AS (
+    SELECT g.query_id, g.vec_id AS neighbor_id,
+           {_RESIDUAL_SCORE} AS cos,
+           row_number() OVER (
+               PARTITION BY g.query_id
+               ORDER BY {_RESIDUAL_SCORE} DESC, g.vec_id
+           ) AS rank
+    FROM pagg g
+    JOIN qc qq ON qq.query_id = g.query_id AND qq.cell = g.cell
+    JOIN cinfo ci ON ci.cell = g.cell
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine_sim,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {K}
+"""
+
+
+def _knn_ivfpq_residual_refined_oracle(
+    k: int = 10,
+    iters: int = 2,
+    m: int = SIM.PQ_M,
+    kcodes: int = SIM.PQ_K,
+    pq_iters: int = SIM.PQ_ITERS,
+    refine_factor: int = SIM.PQ_REFINE_FACTOR,
+) -> str:
+    """The residual candidate family ranked to C = refine_factor·k,
+    composed with the exact-cosine re-rank — IndexRefineFlat over the
+    residual IVFPQ."""
+    ncand = refine_factor * K
+    return f"""
+WITH {_SQL_BASE},
+{_residual_ivfpq_prefix(k, iters, m, kcodes, pq_iters)},
+candr AS (
+    SELECT query_id, vec_id AS neighbor_id FROM (
+        SELECT g.query_id, g.vec_id,
+               row_number() OVER (
+                   PARTITION BY g.query_id
+                   ORDER BY {_RESIDUAL_SCORE} DESC, g.vec_id
+               ) AS crank
+        FROM pagg g
+        JOIN qc qq ON qq.query_id = g.query_id AND qq.cell = g.cell
+        JOIN cinfo ci ON ci.cell = g.cell
+    ) WHERE crank <= {ncand}
+),
+exact AS (
+    SELECT cd.query_id, cd.neighbor_id,
+           {_sql_dot('q.qv', 'c.v')} / (q.qnrm * c.nrm) AS cos
+    FROM candr cd
+    JOIN n c ON c.vec_id = cd.neighbor_id
+    JOIN q ON q.query_id = cd.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM exact
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine_sim,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {K}
+"""
+
+
 def ann_index_train(
     spark: SparkSession,
     sf_dir: str,
@@ -1523,7 +1772,7 @@ def knn_ivfpq_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     tdir = tempfile.mkdtemp(prefix="ann_index_rm_")
     try:
-        ann_index_train(spark, sf_dir, tdir)
+        seed_index_dir(spark, sf_dir, tdir)
         ann_index_remove(
             spark,
             tdir,
@@ -1569,6 +1818,64 @@ def ann_index_load(
     return cells, icents, codes, pqcents
 
 
+# Session-scoped trained-artifact cache (r11 verdict task 5): the
+# serve-only gate rows (knn_ivfpq_stored / knn_ivfpq_refined_stored /
+# ann_index_stats / knn_ivfpq_removed / stream_knn_serve) all consume
+# the SAME full-corpus training the in-plan anchor row ``knn_ivfpq``
+# proves, so re-running the k-means + PQ training inside each of them
+# measured ~40 s of pure duplication per bench run.  The first caller
+# per (session, sf_dir) performs the full train → persist → load round
+# trip (so the persist/load bit-exactness is still exercised — the
+# cached parts ARE parquet-loaded artifacts, and any round-trip drift
+# still fails every consuming gate); later callers reuse the
+# localCheckpointed parts.  ``knn_ivfpq`` itself stays fully
+# self-contained as the anchor.  Parts are centroid/codebook tables
+# plus per-vector cells/codes — at bench SFs a few thousand rows;
+# production keeps the artifact on disk instead (ann_index_load).
+_SHARED_INDEX_CACHE: dict[
+    tuple[str, str], tuple[DataFrame, DataFrame, DataFrame, DataFrame]
+] = {}
+
+
+def shared_index_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    parts = _SHARED_INDEX_CACHE.get(key)
+    if parts is None:
+        import shutil
+        import tempfile
+
+        tdir = tempfile.mkdtemp(prefix="ann_shared_idx_")
+        try:
+            ann_index_train(spark, sf_dir, tdir)
+            parts = tuple(
+                part.localCheckpoint(eager=True)
+                for part in ann_index_load(spark, tdir)
+            )
+        finally:
+            shutil.rmtree(tdir, ignore_errors=True)
+        _SHARED_INDEX_CACHE[key] = parts
+    return parts
+
+
+def seed_index_dir(spark: SparkSession, sf_dir: str, table_dir: str) -> int:
+    """Commit the session-shared trained parts as a fresh versioned
+    artifact at ``table_dir`` — byte-compatible with what
+    :func:`ann_index_train` would write (same parts, same pack), minus
+    the retraining.  The seam the dir-consuming gate rows
+    (``knn_ivfpq_removed``, ``stream_knn_serve``) use to share the
+    session's one training."""
+    from data_pipelines_using_llm_spark.sinks.versioned import (
+        versioned_write,
+    )
+
+    cells, icents, codes, pqcents = shared_index_parts(spark, sf_dir)
+    return versioned_write(
+        _ann_index_pack(cells, icents, codes, pqcents), table_dir
+    )
+
+
 def knn_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stored-index serve path under the hash gate: train → persist
     (ONE versioned artifact) → load → serve, asserted hash-identical to
@@ -1576,25 +1883,16 @@ def knn_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     the persist/load round trip perturbed one bit of a centroid,
     codeword, or code, the gate would catch it (the
     ``embedding_pca_projection_stored`` discipline applied to the full
-    IVFPQ serving stack).  The artifact directory is ephemeral here
-    (the gate needs no durable state between runs; loaded parts are cut
-    from the files with eager ``localCheckpoint`` before cleanup); the
-    durable production shape is ``ann_index_train(..., permanent_dir)``
-    once, then any number of ``ann_index_load`` + ``SIM.knn_ivfpq``
-    serves that never retrain — the serve cost alone is benched as
-    ``knn_ivfpq_stored_serve``."""
-    import shutil
-    import tempfile
-
-    tdir = tempfile.mkdtemp(prefix="ann_index_")
-    try:
-        ann_index_train(spark, sf_dir, tdir)
-        cells, icents, codes, pqcents = (
-            part.localCheckpoint(eager=True)
-            for part in ann_index_load(spark, tdir)
-        )
-    finally:
-        shutil.rmtree(tdir, ignore_errors=True)
+    IVFPQ serving stack).  The trained artifacts come from the
+    session-shared train→persist→load round trip
+    (:func:`shared_index_parts`, r11 verdict task 5 — the round trip
+    happens once per session instead of once per gate row; the parts
+    are still parquet-loaded, so round-trip drift still fails this
+    gate); the durable production shape is
+    ``ann_index_train(..., permanent_dir)`` once, then any number of
+    ``ann_index_load`` + ``SIM.knn_ivfpq`` serves that never retrain —
+    the serve cost alone is benched as ``knn_ivfpq_stored_serve``."""
+    cells, icents, codes, pqcents = shared_index_parts(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
     return SIM.knn_ivfpq(
         e.join(cells.withColumnRenamed("cell", "kcell"), "vec_id"),
@@ -1612,19 +1910,9 @@ def knn_ivfpq_refined_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``knn_ivfpq_stored`` discipline applied one stage higher), so the
     round trip under the refine stage is proven hash-identical too.
     This is the query a production deployment actually runs per batch:
-    load once, refine-serve many."""
-    import shutil
-    import tempfile
-
-    tdir = tempfile.mkdtemp(prefix="ann_index_r_")
-    try:
-        ann_index_train(spark, sf_dir, tdir)
-        cells, icents, codes, pqcents = (
-            part.localCheckpoint(eager=True)
-            for part in ann_index_load(spark, tdir)
-        )
-    finally:
-        shutil.rmtree(tdir, ignore_errors=True)
+    load once, refine-serve many.  Artifacts from the session-shared
+    round trip (:func:`shared_index_parts`)."""
+    cells, icents, codes, pqcents = shared_index_parts(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
     return SIM.knn_ivfpq_refined(
         e.join(cells.withColumnRenamed("cell", "kcell"), "vec_id"),
@@ -1643,15 +1931,21 @@ def ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     power — the add-path drift signal that says 'retrain me').  One
     groupBy over the cell table plus one over codes ⋈ cells; at 100 TB
     both are map-side-combinable aggregations over the index parts, the
-    float corpus is never read.  Trains in-plan for self-contained
-    gating (production points it at ``ann_index_load`` parts)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    cells = (
-        SIM.kmeans_assign(e, "vec_id", "embedding", k=10, iters=2)
-        .select("vec_id", F.col("cluster_id").alias("cell"))
-        .localCheckpoint(eager=True)
-    )
-    codes, _pqcents = SIM.pq_train(e, "vec_id", "embedding")
+    float corpus is never read.  Consumes the session-shared loaded
+    parts (:func:`shared_index_parts` — the same full-corpus training
+    the oracle's CTEs replay), exactly as production points it at
+    ``ann_index_load`` output."""
+    cells, _icents, codes, _pqcents = shared_index_parts(spark, sf_dir)
+    return ann_index_stats_from_parts(cells, codes)
+
+
+def ann_index_stats_from_parts(
+    cells: DataFrame, codes: DataFrame
+) -> DataFrame:
+    """The stats computation over index PARTS — what production points
+    at :func:`ann_index_load` output (and what the retrain-decision
+    policy, operators/similarity.py::ann_retrain_decision, consumes).
+    Two map-side-combinable aggregations; float corpus never read."""
     n_df = cells.agg(F.count(F.lit(1)).alias("n_total"))
     pop = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
     code_conc = (
@@ -2894,6 +3188,20 @@ QUERIES = {
         "corpus, extend the versioned artifact with the other half "
         "(stored-centroid/codebook assignment, no retraining), serve the "
         "full corpus; the oracle replays both assignment regimes",
+    ),
+    "knn_ivfpq_residual": QuerySpec(
+        knn_ivfpq_residual,
+        _knn_ivfpq_residual_oracle(),
+        "residual-encoded IVFPQ (standard FAISS semantics: PQ over "
+        "x - c_cell) — recall nearly doubles at equal code budget; "
+        "serve reconstructs x = c + r from broadcast-size lookup tables",
+    ),
+    "knn_ivfpq_residual_refined": QuerySpec(
+        knn_ivfpq_residual_refined,
+        _knn_ivfpq_residual_refined_oracle(),
+        "IndexRefineFlat(residual IVFPQ): residual-ADC candidates to "
+        "C = 8k, exact cosine re-rank — the FAISS-default production "
+        "serving stack",
     ),
     "knn_ivfpq_removed": QuerySpec(
         knn_ivfpq_removed,

@@ -632,46 +632,38 @@ FROM flagged WHERE violated_rules <> ''
 """
 
 
-def stream_knn_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ONLINE vector serving — query vectors arrive as a STREAM and
-    every micro-batch is scored against the LOADED persisted IVFPQ
-    index through the pure serving dataflow
-    (operators/similarity.py::ivfpq_serve): train → persist (versioned
-    artifact) → load once on the driver side, then ``foreachBatch``
-    normalizes each arriving batch of vectors and serves it — the float
-    corpus is never read at serve time, candidates come from the stored
-    membership table and scores from the stored codes.  Because the
-    scoring is sequenced folds + exact arithmetic and each query's
-    top-k depends only on its own vector and the index, the result is
-    BATCHING-INVARIANT — the union over micro-batches equals the batch
-    serve, which is why this row shares ``knn_ivfpq``'s oracle verbatim
-    (the gate proves stream == batch == DuckDB in one shot).  At 100 TB
-    this is the online-retrieval shape: a Kafka stream of query
-    embeddings against a daily-trained index, nothing stateful, no
-    watermark, index artifacts broadcast per batch."""
-    import shutil
-    import tempfile
-
+def run_stream_knn(
+    spark: SparkSession,
+    src_dir: str,
+    table_dir: str,
+    out_dir: str,
+    chk: str,
+    query_mod: int | None = None,
+    on_batch_start=None,
+    timeout_s: int = 300,
+) -> None:
+    """The online-serving stream over a LIVE versioned index: query
+    vectors arrive as parquet files (one micro-batch per file), and
+    each micro-batch RE-RESOLVES the index version pointer — one
+    ``ann_index_load`` inside ``foreachBatch`` — before serving through
+    the pure IVFPQ dataflow (operators/similarity.py::ivfpq_serve).
+    This is the production daily-swap shape (r11 verdict task 4): an
+    ``ann_index_train`` or ``ann_index_extend`` committed mid-stream is
+    picked up by every LATER micro-batch, while earlier batches'
+    results are untouched — the snapshot-plus-atomic-pointer-flip
+    artifact (sinks/versioned.py) makes the re-resolution safe: a batch
+    reads the version that was live when it started, never a half
+    index.  ``on_batch_start(batch_id)`` is a test seam for committing
+    an index change at a chosen batch boundary.  ``query_mod`` filters
+    arriving vec_ids to the query block (None serves every arrival)."""
     from pyspark.sql.types import ArrayType, FloatType, IntegerType
 
     from data_pipelines_using_llm_spark.operators import similarity as SIM
     from data_pipelines_using_llm_spark.plans.similarity_queries import (
         IVF_KMEANS_NPROBE,
         K,
-        QUERY_MOD,
         ann_index_load,
-        ann_index_train,
     )
-
-    tdir = tempfile.mkdtemp(prefix="stream_ann_index_")
-    try:
-        ann_index_train(spark, sf_dir, tdir)
-        cells, icents, codes, pqcents = (
-            part.localCheckpoint(eager=True)
-            for part in ann_index_load(spark, tdir)
-        )
-    finally:
-        shutil.rmtree(tdir, ignore_errors=True)
 
     schema = StructType(
         [
@@ -680,36 +672,24 @@ def stream_knn_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("label", IntegerType()),
         ]
     )
-    # the sf dir holds every table and a file source wants a directory:
-    # stage a symlink-only dir holding just the embeddings file(s)
-    import os
-
-    src_dir = tempfile.mkdtemp(prefix="stream_knn_src_")
-    emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    if os.path.isdir(emb_path):  # multi-file table: one link per part
-        leaves = [
-            os.path.join(emb_path, f)
-            for f in sorted(os.listdir(emb_path))
-            if f.endswith(".parquet")
-        ]
-    else:
-        leaves = [emb_path]
-    for i, leaf in enumerate(leaves):
-        os.symlink(leaf, os.path.join(src_dir, f"part-{i:05d}.parquet"))
     sdf = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src_dir)
     )
-    out_dir = tempfile.mkdtemp(prefix="stream_knn_out_")
-    chk = tempfile.mkdtemp(prefix="stream_knn_chk_")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        queries = SIM.normed(
-            batch_df.filter(F.col("vec_id") % QUERY_MOD == 0),
-            "vec_id",
-            "embedding",
-        ).select(
+        if on_batch_start is not None:
+            on_batch_start(batch_id)
+        # per-batch pointer resolution — the whole point: the serve
+        # plan below reads whatever snapshot is live RIGHT NOW
+        cells, icents, codes, pqcents = ann_index_load(spark, table_dir)
+        arrivals = (
+            batch_df.filter(F.col("vec_id") % query_mod == 0)
+            if query_mod is not None
+            else batch_df
+        )
+        queries = SIM.normed(arrivals, "vec_id", "embedding").select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
             F.col("nrm").alias("qnrm"),
@@ -725,14 +705,68 @@ def stream_knn_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        finished = query.awaitTermination(300)
+        finished = query.awaitTermination(timeout_s)
         if not finished:
-            raise TimeoutError("stream_knn_serve exceeded 300s")
+            raise TimeoutError(f"run_stream_knn exceeded {timeout_s}s")
     finally:
         query.stop()
+
+
+def stream_knn_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE vector serving — query vectors arrive as a STREAM and
+    every micro-batch is scored against the persisted IVFPQ index
+    through the pure serving dataflow (:func:`run_stream_knn`): train →
+    persist (versioned artifact), then each ``foreachBatch`` RE-RESOLVES
+    the version pointer and serves — the float corpus is never read at
+    serve time, candidates come from the stored membership table and
+    scores from the stored codes.  Because the scoring is sequenced
+    folds + exact arithmetic and each query's top-k depends only on its
+    own vector and the index, the result is BATCHING-INVARIANT — the
+    union over micro-batches equals the batch serve, which is why this
+    row shares ``knn_ivfpq``'s oracle verbatim (the gate proves
+    stream == batch == DuckDB in one shot; the index is not modified
+    mid-stream here, so every batch resolves the same version — the
+    mid-stream-swap pickup is proven in
+    tests/test_streaming.py::test_stream_knn_picks_up_midstream_extend).
+    At 100 TB this is the online-retrieval shape: a Kafka stream of
+    query embeddings against a daily-trained index, nothing stateful,
+    no watermark, index artifacts broadcast per batch."""
+    import os
+    import shutil
+    import tempfile
+
+    from data_pipelines_using_llm_spark.plans.similarity_queries import (
+        QUERY_MOD,
+        seed_index_dir,
+    )
+
+    tdir = tempfile.mkdtemp(prefix="stream_ann_index_")
+    # the sf dir holds every table and a file source wants a directory:
+    # stage a symlink-only dir holding just the embeddings file(s)
+    src_dir = tempfile.mkdtemp(prefix="stream_knn_src_")
+    out_dir = tempfile.mkdtemp(prefix="stream_knn_out_")
+    chk = tempfile.mkdtemp(prefix="stream_knn_chk_")
     try:
+        # session-shared training committed as this stream's artifact
+        # (byte-compatible with ann_index_train's snapshot)
+        seed_index_dir(spark, sf_dir, tdir)
+        emb_path = os.path.join(sf_dir, "embeddings.parquet")
+        if os.path.isdir(emb_path):  # multi-file table: one link per part
+            leaves = [
+                os.path.join(emb_path, f)
+                for f in sorted(os.listdir(emb_path))
+                if f.endswith(".parquet")
+            ]
+        else:
+            leaves = [emb_path]
+        for i, leaf in enumerate(leaves):
+            os.symlink(leaf, os.path.join(src_dir, f"part-{i:05d}.parquet"))
+        run_stream_knn(
+            spark, src_dir, tdir, out_dir, chk, query_mod=QUERY_MOD
+        )
         return spark.read.parquet(out_dir).localCheckpoint(eager=True)
     finally:
+        shutil.rmtree(tdir, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(chk, ignore_errors=True)
         shutil.rmtree(src_dir, ignore_errors=True)

@@ -194,6 +194,61 @@ def main() -> None:
             )
         )
 
+    # Residual-encoded IVFPQ (r11 verdict task 1): PQ over x - c_cell —
+    # the standard FAISS IndexIVFPQ semantics.  Same trained coarse
+    # quantizer; codebooks retrained on residuals (train cost excluded
+    # from serve timings like the rest of the PQ family).
+    cells_r = cells.select("vec_id", F.col("kcell").alias("cell"))
+    icents_r = SIM.ivf_centroids(
+        SIM.normed(e, "vec_id", "embedding").join(cells_r, "vec_id"), "cell"
+    ).localCheckpoint(eager=True)
+    resid = SIM.pq_residuals(e, "vec_id", "embedding", cells_r, icents_r)
+    codes_r, pqcents_r = SIM.pq_train(resid, "vec_id", "v")
+    codes_r = codes_r.localCheckpoint(eager=True)
+    pqcents_r = pqcents_r.localCheckpoint(eager=True)
+    queries = (
+        SIM.normed(e, "vec_id", "embedding")
+        .filter(F.col("vec_id") % SQ.QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    for nprobe in (4, 8):
+        mk = lambda: SIM.ivfpq_residual_serve(  # noqa: E731
+            queries, cells_r, icents_r, codes_r, pqcents_r, SQ.K, nprobe
+        )
+        rows.append(
+            (
+                f"ivfpq_residual m=4 nprobe={nprobe}",
+                timed(mk),
+                recall(mk()),
+                scan_frac(nprobe),
+            )
+        )
+    base_n = SIM.normed(e, "vec_id", "embedding")
+    for factor in (2, 8, 32):
+        ncand = factor * SQ.K
+        mk = lambda: SIM._refine_exact(  # noqa: E731
+            base_n,
+            SIM.ivfpq_residual_serve(
+                queries, cells_r, icents_r, codes_r, pqcents_r, ncand, 8
+            ).select("query_id", "neighbor_id"),
+            SQ.QUERY_MOD,
+            SQ.K,
+            ncand,
+            n_queries=len(truth),
+        )
+        rows.append(
+            (
+                f"ivfpq_residual_refined m=4 nprobe=8 C={factor}k",
+                timed(mk),
+                recall(mk()),
+                scan_frac(8),
+            )
+        )
+
     print()
     print("| config | serve sec (median of 3) | recall@10 | scan frac |")
     print("|---|---|---|---|")

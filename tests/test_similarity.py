@@ -754,3 +754,51 @@ def test_pca_whitened_consistent_with_projection(spark):
                 abs(w[vid][comp - 1] - pc[vid][comp - 1] / math.sqrt(lam[comp]))
                 < tol
             ), (vid, comp)
+
+
+def test_ann_retrain_decision_crosses_on_drifted_appends(spark, tmp_path):
+    """r11 verdict task 3: the retrain policy must say 'append' on a
+    healthy index (worst per-cell code concentration near 1/PQ_K) and
+    'retrain' after the add-path ingests a SHIFTED distribution (new
+    vectors collapse onto few codewords, concentration crosses the
+    threshold) — turning ann_index_stats' documented drift signal into
+    a decision, with the measured append/retrain cost split attached."""
+    import pytest
+
+    from data_pipelines_using_llm_spark.operators import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+
+    e = load_table(spark, sf, "embeddings")
+    tdir = str(tmp_path / "ann_index")
+    SQ.ann_index_train(spark, sf, tdir)
+    cells, _, codes, _ = SQ.ann_index_load(spark, tdir)
+    healthy = S.ann_retrain_decision(
+        SQ.ann_index_stats_from_parts(cells, codes)
+    )
+    assert healthy["decision"] == "append"
+    # sf0.001's 500 vectors over 10 cells leave small cells, so the max
+    # ratio is noisy upward (measured 0.34; 0.32 at sf0.01) — the gap
+    # to the 0.5 threshold still holds
+    assert healthy["worst_code_concentration"] < 0.5, healthy
+    # drift fixture: the same corpus shifted by +8 per dimension under
+    # fresh ids — the add path assigns every one against the stored
+    # artifacts, where they collapse onto the extreme codewords
+    shifted = e.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") + F.lit(8.0)
+        ).alias("embedding"),
+    )
+    SQ.ann_index_extend(spark, tdir, shifted)
+    cells2, _, codes2, _ = SQ.ann_index_load(spark, tdir)
+    drifted = S.ann_retrain_decision(
+        SQ.ann_index_stats_from_parts(cells2, codes2),
+        append_cost_s=1.28,
+        retrain_cost_s=2.73,
+    )
+    assert drifted["decision"] == "retrain", drifted
+    assert drifted["worst_code_concentration"] > 0.5
+    assert drifted["retrain_costs_n_appends"] == pytest.approx(2.73 / 1.28)
+    assert drifted["n_vectors"] == 2 * e.count()
