@@ -1351,6 +1351,39 @@ def knn_ivfpq_residual_refined(
     )
 
 
+def knn_ivfpq_residual_stored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The residual index THROUGH the artifact: train(residual=True) →
+    persist (one versioned snapshot whose meta row records the
+    encoding) → load → residual-serve, sharing
+    ``knn_ivfpq_residual``'s oracle VERBATIM — the ``knn_ivfpq_stored``
+    round-trip discipline applied to the residual family, so one bit of
+    drift in persisting residual codebooks (or a loader that forgot
+    which ADC math applies) fails the gate.  Completes the claim that
+    residual encoding composes with everything already built: stored
+    here, extend/remove via the meta-aware maintenance paths
+    (tests/test_similarity.py::test_residual_index_artifact_round_trips)."""
+    import shutil
+    import tempfile
+
+    tdir = tempfile.mkdtemp(prefix="ann_index_res_")
+    try:
+        ann_index_train(spark, sf_dir, tdir, residual=True)
+        assert ann_index_meta(spark, tdir)["residual"]
+        cells, icents, codes, pqcents = (
+            part.localCheckpoint(eager=True)
+            for part in ann_index_load(spark, tdir)
+        )
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivfpq_residual_serve(
+        _residual_queries(e), cells, icents, codes, pqcents,
+        K, IVF_KMEANS_NPROBE,
+    )
+
+
 def _residual_ivfpq_prefix(
     k: int = 10,
     iters: int = 2,
@@ -1511,6 +1544,7 @@ def ann_index_train(
     sf_dir: str,
     table_dir: str,
     source: DataFrame | None = None,
+    residual: bool = False,
 ) -> int:
     """TRAIN step of the IVFPQ train/serve split (r10 verdict task 1):
     run the coarse k-means, the IVF centroid derivation, and the PQ
@@ -1535,7 +1569,15 @@ def ann_index_train(
     in-plan one (proven by ``knn_ivfpq_stored`` sharing the in-plan
     oracle verbatim).  ``source`` overrides the corpus frame (e.g. a
     training SLICE for the incremental-extension path,
-    :func:`ann_index_extend`).  Returns the artifact version."""
+    :func:`ann_index_extend`).  ``residual=True`` trains the PQ
+    codebooks on the cell-centered residuals ``x − c_cell`` (the FAISS
+    ``IndexIVFPQ`` default, :func:`SIM.pq_residuals`) and RECORDS the
+    encoding in the artifact's meta row, so downstream maintenance
+    (:func:`ann_index_extend`) and serving know which ADC math applies
+    — a residual index served with raw-PQ arithmetic (or extended with
+    raw-encoded vectors) would be silently wrong, which is why the flag
+    lives IN the artifact rather than in the caller's head.  Returns
+    the artifact version."""
     from data_pipelines_using_llm_spark.sinks.versioned import (
         versioned_write,
     )
@@ -1553,9 +1595,15 @@ def ann_index_train(
     icents = SIM.ivf_centroids(
         SIM.normed(e, "vec_id", "embedding").join(cells, "vec_id"), "cell"
     )
-    codes, pqcents = SIM.pq_train(e, "vec_id", "embedding")
+    if residual:
+        icents = icents.localCheckpoint(eager=True)  # consumed twice
+        pq_src = SIM.pq_residuals(e, "vec_id", "embedding", cells, icents)
+        codes, pqcents = SIM.pq_train(pq_src, "vec_id", "v")
+    else:
+        codes, pqcents = SIM.pq_train(e, "vec_id", "embedding")
     return versioned_write(
-        _ann_index_pack(cells, icents, codes, pqcents), table_dir
+        _ann_index_pack(cells, icents, codes, pqcents, residual=residual),
+        table_dir,
     )
 
 
@@ -1564,11 +1612,15 @@ def _ann_index_pack(
     icents: DataFrame,
     codes: DataFrame,
     pqcents: DataFrame,
+    residual: bool = False,
 ) -> DataFrame:
     """The four index parts under the unified artifact schema
     ``(kind, vec_id, cell, m, code, cv, w)`` — shared by
     :func:`ann_index_train` and :func:`ann_index_extend` so both commit
-    byte-compatible snapshots."""
+    byte-compatible snapshots — plus ONE ``kind='meta'`` row recording
+    the PQ encoding (``m`` = 1 residual / 0 raw; absent in pre-r12
+    artifacts ⇒ raw).  The reader side ignores it except
+    :func:`ann_index_meta`."""
     nul = {
         "vec_id": F.lit(None).cast("long").alias("vec_id"),
         "cell": F.lit(None).cast("long").alias("cell"),
@@ -1609,10 +1661,36 @@ def _ann_index_pack(
             F.col("cn2").alias("w"),
         ),
     ]
+    spark = cells.sparkSession
+    parts.append(
+        spark.range(1).select(
+            F.lit("meta").alias("kind"),
+            nul["vec_id"], nul["cell"],
+            F.lit(1 if residual else 0).cast("int").alias("m"),
+            nul["code"], nul["cv"], nul["w"],
+        )
+    )
     index = parts[0]
     for p in parts[1:]:
         index = index.unionByName(p)
     return index
+
+
+def ann_index_meta(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> dict:
+    """The artifact's self-describing metadata: currently the PQ
+    encoding regime — ``{"residual": bool}``.  Pre-r12 artifacts carry
+    no meta row and default to raw (exactly what they were)."""
+    from data_pipelines_using_llm_spark.sinks.versioned import read_version
+
+    row = (
+        read_version(spark, table_dir, version)
+        .filter(F.col("kind") == "meta")
+        .select("m")
+        .first()
+    )
+    return {"residual": bool(row["m"]) if row is not None else False}
 
 
 def ann_index_extend(
@@ -1668,14 +1746,26 @@ def ann_index_extend(
             f"index at {table_dir} — extension is append-only; drop or "
             "re-id the duplicates (or retrain via ann_index_train)"
         )
+    meta = ann_index_meta(spark, table_dir)
     new_cells = SIM.ivf_assign(new_df, id_col, vec_col, icents)
-    new_codes = SIM.pq_assign(new_df, id_col, vec_col, pqcents)
+    if meta["residual"]:
+        # residual artifact: encode x − c_cell (w.r.t. the NEW vectors'
+        # stored-centroid assignment) against the stored codebooks —
+        # raw-encoding them would silently corrupt every later serve,
+        # which is why the regime travels in the artifact's meta row
+        resid_new = SIM.pq_residuals(
+            new_df, id_col, vec_col, new_cells, icents
+        )
+        new_codes = SIM.pq_assign(resid_new, "vec_id", "v", pqcents)
+    else:
+        new_codes = SIM.pq_assign(new_df, id_col, vec_col, pqcents)
     return versioned_write(
         _ann_index_pack(
             cells.unionByName(new_cells.select("vec_id", "cell")),
             icents,
             codes.unionByName(new_codes),
             pqcents,
+            residual=meta["residual"],
         ),
         table_dir,
         keep=keep,
@@ -1741,6 +1831,7 @@ def ann_index_remove(
             icents,
             codes.join(rm_ids, "vec_id", "left_anti"),
             pqcents,
+            residual=ann_index_meta(spark, table_dir)["residual"],
         ),
         table_dir,
         keep=keep,
@@ -3202,6 +3293,14 @@ QUERIES = {
         "IndexRefineFlat(residual IVFPQ): residual-ADC candidates to "
         "C = 8k, exact cosine re-rank — the FAISS-default production "
         "serving stack",
+    ),
+    "knn_ivfpq_residual_stored": QuerySpec(
+        knn_ivfpq_residual_stored,
+        _knn_ivfpq_residual_oracle(),
+        "residual index through the versioned artifact: "
+        "train(residual=True) -> persist (meta row records the "
+        "encoding) -> load -> residual-serve; shares "
+        "knn_ivfpq_residual's oracle verbatim",
     ),
     "knn_ivfpq_removed": QuerySpec(
         knn_ivfpq_removed,

@@ -802,3 +802,70 @@ def test_ann_retrain_decision_crosses_on_drifted_appends(spark, tmp_path):
     assert drifted["worst_code_concentration"] > 0.5
     assert drifted["retrain_costs_n_appends"] == pytest.approx(2.73 / 1.28)
     assert drifted["n_vectors"] == 2 * e.count()
+
+
+def test_residual_index_artifact_round_trips(spark, tmp_path):
+    """The residual encoding must travel IN the artifact (meta row) and
+    the maintenance paths must honor it: extend on a residual index
+    encodes x - c_cell (not the raw vector) against the stored
+    codebooks, remove preserves the flag, and a pre-r12-style raw
+    artifact defaults to raw encoding."""
+    from data_pipelines_using_llm_spark.operators import similarity as S
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "embeddings")
+    train = e.filter(F.col("vec_id") % 2 == 0)
+    extra = e.filter(F.col("vec_id") % 2 == 1)
+    tdir = str(tmp_path / "res_index")
+    SQ.ann_index_train(spark, sf, tdir, source=train, residual=True)
+    assert SQ.ann_index_meta(spark, tdir) == {"residual": True}
+    _, icents, _, pqcents = SQ.ann_index_load(spark, tdir)
+    SQ.ann_index_extend(spark, tdir, extra)
+    assert SQ.ann_index_meta(spark, tdir) == {"residual": True}
+    cells2, _, codes2, _ = SQ.ann_index_load(spark, tdir)
+    extra_ids = {r["vec_id"] for r in extra.select("vec_id").collect()}
+    # the appended codes must equal residual encoding, and must NOT
+    # equal raw encoding (the silent-corruption failure the meta row
+    # exists to prevent)
+    new_cells = S.ivf_assign(extra, "vec_id", "embedding", icents)
+    resid = S.pq_residuals(extra, "vec_id", "embedding", new_cells, icents)
+    want = {
+        (r["vec_id"], r["m"]): r["code"]
+        for r in S.pq_assign(resid, "vec_id", "v", pqcents).collect()
+    }
+    raw = {
+        (r["vec_id"], r["m"]): r["code"]
+        for r in S.pq_assign(extra, "vec_id", "embedding", pqcents).collect()
+    }
+    got = {
+        (r["vec_id"], r["m"]): r["code"]
+        for r in codes2.collect()
+        if r["vec_id"] in extra_ids
+    }
+    assert got == want
+    assert got != raw  # residual vs raw genuinely differ on this data
+    # remove preserves the flag
+    SQ.ann_index_remove(
+        spark, tdir, extra.limit(5).select("vec_id")
+    )
+    assert SQ.ann_index_meta(spark, tdir) == {"residual": True}
+    # a raw artifact stays raw through extend, and a metaless (pre-r12)
+    # snapshot reads as raw
+    tdir2 = str(tmp_path / "raw_index")
+    SQ.ann_index_train(spark, sf, tdir2, source=train)
+    assert SQ.ann_index_meta(spark, tdir2) == {"residual": False}
+    SQ.ann_index_extend(spark, tdir2, extra)
+    cells3, _, codes3, _ = SQ.ann_index_load(spark, tdir2)
+    got_raw = {
+        (r["vec_id"], r["m"]): r["code"]
+        for r in codes3.collect()
+        if r["vec_id"] in extra_ids
+    }
+    raw2 = {
+        (r["vec_id"], r["m"]): r["code"]
+        for r in S.pq_assign(
+            extra, "vec_id", "embedding", SQ.ann_index_load(spark, tdir2)[3]
+        ).collect()
+    }
+    assert got_raw == raw2
