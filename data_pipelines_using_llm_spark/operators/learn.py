@@ -186,54 +186,36 @@ def cramer_exprs(d: int) -> tuple[str, list[str]]:
     return det_expr(base), nums
 
 
-def ols_fit_one_pass(
+def _gram_name(j: int, k: int) -> str:
+    """Canonical moment name for Gram entry (j, k) — the same naming
+    :func:`cramer_exprs` states: ``n``, ``s{j}``, ``s{lo}{hi}``."""
+    if j == 0 and k == 0:
+        return "n"
+    if j == 0 or k == 0:
+        return f"s{max(j, k)}"
+    lo, hi = sorted((j, k))
+    return f"s{lo}{hi}"
+
+
+def _ymom_name(j: int) -> str:
+    return "sy" if j == 0 else f"sy{j}"
+
+
+def _ols_moments(
     df: DataFrame, feature_cols: list[str], label_col: str
-) -> list[float]:
-    """Closed-form least squares ``y ~ b0 + Σ bj·xj`` for d (1..4)
-    INTEGER-typed features, fit in ONE corpus scan — the classic
-    distributed-ML primitive: accumulate the normal-equation moments
-    (X^T X and X^T y) as map-side-combinable sums, solve the
-    (d+1)x(d+1) system on the driver, and never touch the rows again.
-    At 100 TB the cost is one scan producing O(d²) scalars.
-
-    Determinism, the hash-gate discipline: the X^T X entries are sums
-    of products of integers — EXACT int64, no quantization needed; the
-    X^T y moments quantize the double label (``Σ floor(xj·y·2^24)`` —
-    exact, order-free); the Cramer solve casts the integer moments to
-    double and evaluates the :func:`cramer_exprs` expression strings —
-    the SAME strings the SQL oracle embeds — so both engines produce
-    bit-identical coefficients.  (Integer determinants would overflow
-    int64 at scale, which is why the solve is double-space on BOTH
-    sides; d is capped at 4 because cofactor expansion grows
-    factorially — for wider models use gradient descent,
-    :func:`linear_classifier_train`.)
-
-    Input contracts, ENFORCED (r10 ADVICE — silent moment skew is the
-    failure mode):
-    - features must be INTEGER-typed columns (no silent ``cast('long')``
-      truncation of fractional features);
-    - NULL feature/label rows raise (``count(*)`` counts them while
-      ``sum()`` skips their contributions, making the moments mutually
-      inconsistent — the coefficients would skew with no error);
-    - the exact-int64 headroom is checked from the same pass's
-      ``max(|xj|)``: ``n·max|xj|·max|xk|`` must stay ≲ 2^62.
-
-    Returns ``[b0, b1..bd]``.  Raises on a singular system (collinear
-    features), d outside 1..4, or an empty input.
-    """
+) -> dict[str, float]:
+    """The shared ONE-PASS moment collection of both OLS solvers:
+    exact-int64 X^T X, quantized order-free X^T y, with the enforced
+    input contracts (integer dtypes, loud NULL rejection, n·max|x|² <
+    2^62 headroom — see :func:`ols_fit_one_pass`).  Returns the moment
+    scope keyed by the canonical names (:func:`_gram_name` /
+    :func:`_ymom_name`)."""
     d = len(feature_cols)
-    if not 1 <= d <= 4:
-        raise ValueError(
-            "ols_fit_one_pass solves the (d+1)x(d+1) normal equations "
-            f"for 1 <= d <= 4 integer feature columns, got {feature_cols}"
-        )
     dtypes = dict(df.dtypes)
-    bad = [
-        c for c in feature_cols if dtypes.get(c) not in _INT_TYPES
-    ]
+    bad = [c for c in feature_cols if dtypes.get(c) not in _INT_TYPES]
     if bad:
         raise ValueError(
-            f"ols_fit_one_pass: feature columns must be integer-typed "
+            f"one-pass OLS: feature columns must be integer-typed "
             f"({'/'.join(_INT_TYPES)}) — casting would silently truncate "
             f"fractional values; offending: "
             f"{[(c, dtypes.get(c)) for c in bad]}"
@@ -260,10 +242,10 @@ def ols_fit_one_pass(
             aggs.append(F.sum(xs[j - 1] * xs[k - 1]).alias(f"s{j}{k}"))
     m = df.agg(*aggs).first()
     if not m["n"]:
-        raise ValueError("ols_fit_one_pass: empty input")
+        raise ValueError("one-pass OLS: empty input")
     if m["nulls"]:
         raise ValueError(
-            f"ols_fit_one_pass: {m['nulls']} row(s) have NULL features "
+            f"one-pass OLS: {m['nulls']} row(s) have NULL features "
             "or label — count(*) would disagree with the sum() moments "
             "and silently skew the fit; filter them out explicitly first"
         )
@@ -271,7 +253,7 @@ def ols_fit_one_pass(
     worst = max(mxs) if mxs else 0
     if int(m["n"]) * worst * worst >= 1 << 62:
         raise ValueError(
-            f"ols_fit_one_pass: n·max|x|² = {int(m['n']) * worst * worst} "
+            f"one-pass OLS: n·max|x|² = {int(m['n']) * worst * worst} "
             "exceeds the exact-int64 moment headroom (2^62); rescale or "
             "bucket the features"
         )
@@ -282,6 +264,105 @@ def ols_fit_one_pass(
         scope[f"sy{j}"] = float(m[f"sy{j}"]) / OLS_Q
         for k in range(j, d + 1):
             scope[f"s{j}{k}"] = float(m[f"s{j}{k}"])
+    return scope
+
+
+def ols_fit_gauss(
+    df: DataFrame, feature_cols: list[str], label_col: str
+) -> list[float]:
+    """Closed-form least squares for WIDE designs (d up to
+    :data:`GAUSS_MAX_D`) — the path past :func:`ols_fit_one_pass`'s
+    d ≤ 4 boundary, whose cofactor expansion grows factorially: same
+    one-pass moments (:func:`_ols_moments`), then a FIXED-PIVOT
+    Gauss–Jordan elimination of the (d+1)×(d+1) normal equations on
+    the driver.
+
+    Determinism, the cross-engine contract (r11 verdict optional
+    task 8): the elimination applies its updates in a FIXED schedule —
+    pivots k = 0..d in order, every row i ≠ k updated as
+    ``a_ij − (a_ik / a_kk) · a_kj`` reading ONLY pre-step values, then
+    ``b_i = y_i / a_ii`` — and the SQL oracle
+    (plans/statistics.py::_gauss_solve_ctes) states the IDENTICAL
+    expression per entry per step as one CTE per pivot, so both
+    engines walk bit-identical IEEE trajectories.  NATURAL pivot order,
+    never magnitude pivoting: data-dependent row swaps would make the
+    operation ORDER a function of the data, unmirrorable in static
+    SQL.  That is safe here because the Gram matrix of a full-rank
+    design is positive definite (every leading principal minor > 0 ⇒
+    LU exists without pivoting); a collinear design surfaces as a
+    (near-)zero pivot and raises loudly."""
+    d = len(feature_cols)
+    if not 1 <= d <= GAUSS_MAX_D:
+        raise ValueError(
+            f"ols_fit_gauss supports 1 <= d <= {GAUSS_MAX_D} feature "
+            f"columns, got {len(feature_cols)}"
+        )
+    scope = _ols_moments(df, feature_cols, label_col)
+    n1 = d + 1
+    a = [[scope[_gram_name(j, k)] for k in range(n1)] for j in range(n1)]
+    yv = [scope[_ymom_name(j)] for j in range(n1)]
+    for k in range(n1):
+        if a[k][k] == 0.0:
+            raise ValueError(
+                f"ols_fit_gauss: zero pivot at step {k} — collinear or "
+                "constant features (the Gram matrix is not positive "
+                "definite)"
+            )
+        for i in range(n1):
+            if i == k:
+                continue
+            f = a[i][k] / a[k][k]
+            a[i] = [a[i][j] - f * a[k][j] for j in range(n1)]
+            yv[i] = yv[i] - f * yv[k]
+    return [yv[i] / a[i][i] for i in range(n1)]
+
+
+GAUSS_MAX_D = 8  # past this, moment count (d²/2) wants a vector fold
+
+
+def ols_fit_one_pass(
+    df: DataFrame, feature_cols: list[str], label_col: str
+) -> list[float]:
+    """Closed-form least squares ``y ~ b0 + Σ bj·xj`` for d (1..4)
+    INTEGER-typed features, fit in ONE corpus scan — the classic
+    distributed-ML primitive: accumulate the normal-equation moments
+    (X^T X and X^T y) as map-side-combinable sums, solve the
+    (d+1)x(d+1) system on the driver, and never touch the rows again.
+    At 100 TB the cost is one scan producing O(d²) scalars.
+
+    Determinism, the hash-gate discipline: the X^T X entries are sums
+    of products of integers — EXACT int64, no quantization needed; the
+    X^T y moments quantize the double label (``Σ floor(xj·y·2^24)`` —
+    exact, order-free); the Cramer solve casts the integer moments to
+    double and evaluates the :func:`cramer_exprs` expression strings —
+    the SAME strings the SQL oracle embeds — so both engines produce
+    bit-identical coefficients.  (Integer determinants would overflow
+    int64 at scale, which is why the solve is double-space on BOTH
+    sides; d is capped at 4 because cofactor expansion grows
+    factorially — for wider models use the fixed-pivot Gauss–Jordan
+    path, :func:`ols_fit_gauss` (closed-form through d=8), or gradient
+    descent, :func:`linear_classifier_train`.)
+
+    Input contracts, ENFORCED (r10 ADVICE — silent moment skew is the
+    failure mode):
+    - features must be INTEGER-typed columns (no silent ``cast('long')``
+      truncation of fractional features);
+    - NULL feature/label rows raise (``count(*)`` counts them while
+      ``sum()`` skips their contributions, making the moments mutually
+      inconsistent — the coefficients would skew with no error);
+    - the exact-int64 headroom is checked from the same pass's
+      ``max(|xj|)``: ``n·max|xj|·max|xk|`` must stay ≲ 2^62.
+
+    Returns ``[b0, b1..bd]``.  Raises on a singular system (collinear
+    features), d outside 1..4, or an empty input.
+    """
+    d = len(feature_cols)
+    if not 1 <= d <= 4:
+        raise ValueError(
+            "ols_fit_one_pass solves the (d+1)x(d+1) normal equations "
+            f"for 1 <= d <= 4 integer feature columns, got {feature_cols}"
+        )
+    scope = _ols_moments(df, feature_cols, label_col)
     den_expr, num_exprs = cramer_exprs(d)
     for e in (den_expr, *num_exprs):
         if not _CRAMER_TOKEN_RE.fullmatch(e):

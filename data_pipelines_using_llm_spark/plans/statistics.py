@@ -1907,6 +1907,127 @@ UNION ALL SELECT 'dom', round(b3, 6) FROM solved
 """
 
 
+def event_value_ols_5feat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``value ~ hour + dow + day-of-month + minute + second`` — the
+    d=5 instance that lifts the Cramer solver's d ≤ 4 boundary (r11
+    verdict optional task 8): 27 map-side-combinable moments in one
+    scan, then a FIXED-PIVOT Gauss–Jordan elimination of the 6×6
+    normal equations on the driver
+    (operators/learn.py::ols_fit_gauss), whose per-step update
+    expressions the oracle states verbatim as one CTE per pivot —
+    Python and DuckDB walk bit-identical IEEE trajectories, so the
+    whole wide fit, elimination included, sits under the hash gate."""
+    from data_pipelines_using_llm_spark.operators import learn as LN
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    feats = ev.select(
+        F.hour("ts").alias("h"),
+        F.dayofweek("ts").alias("dw"),
+        F.dayofmonth("ts").alias("dom"),
+        F.minute("ts").alias("mi"),
+        F.second("ts").alias("ss"),
+        "value",
+    )
+    b = LN.ols_fit_gauss(feats, ["h", "dw", "dom", "mi", "ss"], "value")
+    terms = ["intercept", "hour", "dow", "dom", "minute", "second"]
+    return spark.createDataFrame(
+        list(zip(terms, b)), "term string, coef double"
+    ).select("term", F.round("coef", 6).alias("coef"))
+
+
+def _gauss_solve_ctes(d: int) -> str:
+    """The fixed-pivot Gauss–Jordan schedule of
+    operators/learn.py::ols_fit_gauss as SQL: ``g0`` lays the (d+1)²
+    Gram entries + d+1 rhs out of the moment columns, then ONE CTE per
+    pivot k states every update ``a_ij − (a_ik / a_kk) · a_kj`` (and
+    the rhs analogue) reading only the previous CTE — exactly the
+    pre-step-values semantics the Python loops implement (f = a_ik/a_kk
+    is a division of identical doubles, so recomputing it per j yields
+    the same bits as Python's hoisted factor)."""
+    from data_pipelines_using_llm_spark.operators.learn import (
+        _gram_name,
+        _ymom_name,
+    )
+
+    n1 = d + 1
+    g0 = ",\n           ".join(
+        [
+            f"{_gram_name(i, j)} AS a{i}_{j}"
+            for i in range(n1)
+            for j in range(n1)
+        ]
+        + [f"{_ymom_name(i)} AS y{i}" for i in range(n1)]
+    )
+    ctes = [f"g0 AS (\n    SELECT {g0}\n    FROM mom\n)"]
+    prev = "g0"
+    for k in range(n1):
+        cols = []
+        for i in range(n1):
+            if i == k:
+                cols.extend(f"a{i}_{j}" for j in range(n1))
+                cols.append(f"y{i}")
+            else:
+                cols.extend(
+                    f"a{i}_{j} - (a{i}_{k} / a{k}_{k}) * a{k}_{j} AS a{i}_{j}"
+                    for j in range(n1)
+                )
+                cols.append(f"y{i} - (a{i}_{k} / a{k}_{k}) * y{k} AS y{i}")
+        body = ",\n           ".join(cols)
+        ctes.append(f"g{k + 1} AS (\n    SELECT {body}\n    FROM {prev}\n)")
+        prev = f"g{k + 1}"
+    solved = ",\n        ".join(
+        f"y{i} / a{i}_{i} AS b{i}" for i in range(n1)
+    )
+    ctes.append(f"solved AS (\n    SELECT {solved}\n    FROM {prev}\n)")
+    return ",\n".join(ctes)
+
+
+def _event_value_ols_5feat_oracle() -> str:
+    """The d=5 wide-OLS oracle: the moment CTE mirrors the Spark
+    aggregation (exact int64 X^T X, quantized X^T y), the elimination
+    CTEs state learn.ols_fit_gauss's fixed schedule verbatim."""
+    q = _OLS_Q_SQL
+    xs = {1: "h", 2: "dw", 3: "dom", 4: "mi", 5: "ss"}
+    mom = [
+        "CAST(count(*) AS DOUBLE) AS n",
+        f"CAST(sum(CAST(floor(value * {q}) AS BIGINT)) AS DOUBLE)"
+        f" / {q} AS sy",
+    ]
+    for j in range(1, 6):
+        mom.append(f"CAST(sum({xs[j]}) AS DOUBLE) AS s{j}")
+        mom.append(
+            f"CAST(sum(CAST(floor(CAST({xs[j]} AS DOUBLE) * value * {q}) "
+            f"AS BIGINT)) AS DOUBLE) / {q} AS sy{j}"
+        )
+        for k in range(j, 6):
+            mom.append(f"CAST(sum({xs[j]} * {xs[k]}) AS DOUBLE) AS s{j}{k}")
+    moms = ",\n           ".join(mom)
+    terms = ["intercept", "hour", "dow", "dom", "minute", "second"]
+    selects = "\nUNION ALL ".join(
+        f"SELECT '{t}' AS term, round(b{i}, 6) AS coef FROM solved"
+        if i == 0
+        else f"SELECT '{t}', round(b{i}, 6) FROM solved"
+        for i, t in enumerate(terms)
+    )
+    return f"""
+WITH feats AS (
+    SELECT hour(ts) AS h, dayofweek(ts) + 1 AS dw, day(ts) AS dom,
+           minute(ts) AS mi, CAST(date_part('second', ts) AS BIGINT) AS ss,
+           value
+    FROM events
+    WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+mom AS (
+    SELECT {moms}
+    FROM feats
+),
+{_gauss_solve_ctes(5)}
+{selects}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "event_value_ols_trend": QuerySpec(
         event_value_ols_trend,
@@ -1920,6 +2041,13 @@ QUERIES: dict[str, QuerySpec] = {
         "multiple regression value ~ hour + dow + day-of-month: the d=3 "
         "generalized one-pass OLS, generated 4x4 Cramer solve shared "
         "verbatim between driver and oracle",
+    ),
+    "event_value_ols_5feat": QuerySpec(
+        event_value_ols_5feat,
+        _event_value_ols_5feat_oracle(),
+        "wide regression value ~ hour + dow + dom + minute + second: "
+        "d=5 past the Cramer boundary via fixed-pivot Gauss-Jordan, "
+        "one oracle CTE per pivot stating the identical update tree",
     ),
     "value_hour_correlation": QuerySpec(
         value_hour_correlation,

@@ -557,3 +557,45 @@ def test_cramer_exprs_stay_inside_the_eval_whitelist():
         "A*b",
     ):
         assert not LN._CRAMER_TOKEN_RE.fullmatch(bad), bad
+
+
+def test_ols_gauss_agrees_with_numpy_and_caps(spark):
+    """The d=5 fixed-pivot Gauss-Jordan fit must agree with numpy lstsq
+    (the elimination is exact algebra over the same moments), reject
+    collinear designs via the zero-pivot guard, and enforce the shared
+    input contracts (integer dtypes) like the Cramer path."""
+    import numpy as np
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from data_pipelines_using_llm_spark.operators import learn as LN
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    feats = ev.select(
+        F.hour("ts").alias("h"),
+        F.dayofweek("ts").alias("dw"),
+        F.dayofmonth("ts").alias("dom"),
+        F.minute("ts").alias("mi"),
+        F.second("ts").alias("ss"),
+        "value",
+    )
+    cols = ["h", "dw", "dom", "mi", "ss"]
+    b = LN.ols_fit_gauss(feats, cols, "value")
+    rows = feats.collect()
+    X = np.array([[1.0] + [float(r[c]) for c in cols] for r in rows])
+    y = np.array([r["value"] for r in rows])
+    ref, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert np.allclose(b, ref, atol=1e-5), (b, ref)
+    df = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 4, 2.0), (3, 6, 3.0)], "a long, b long, y double"
+    )
+    with _pt.raises(ValueError, match="pivot|collinear"):
+        LN.ols_fit_gauss(df, ["a", "b"], "y")  # b = 2a
+    with _pt.raises(ValueError, match="1 <= d"):
+        LN.ols_fit_gauss(df, ["a"] * 9, "y")
+    fr = spark.createDataFrame([(1.5, 1.0)], "a double, y double")
+    with _pt.raises(ValueError, match="integer-typed"):
+        LN.ols_fit_gauss(fr, ["a"], "y")
