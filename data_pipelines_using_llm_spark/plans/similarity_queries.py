@@ -2397,6 +2397,353 @@ FROM ranked WHERE rank <= {K}
 """
 
 
+def knn_ivfpq_residual_extended(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The residual ADD PATH under the hash gate: train a RESIDUAL
+    index on half the corpus (even vec_ids), :func:`ann_index_extend`
+    it with the other half — the meta row tells extend to encode the
+    new vectors' residuals w.r.t. their stored-centroid assignment
+    against the stored residual codebooks — then residual-serve the
+    full corpus from the extended artifact.  The oracle replays BOTH
+    assignment regimes over RESIDUALS (train slice: last-Lloyd cells,
+    residuals vs the re-derived centroids, per-subspace residual
+    k-means; added slice: stored-centroid cells, residuals vs those,
+    stored-codebook encoding), so the unit-level claim that the
+    meta-aware add path is exact (tests/test_similarity.py) is now
+    proven end-to-end cross-engine — the residual family has the same
+    train/extend/serve CRUD guarantees as the raw family."""
+    import shutil
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings")
+    train = e.filter(F.col("vec_id") % 2 == 0)
+    extra = e.filter(F.col("vec_id") % 2 == 1)
+    tdir = tempfile.mkdtemp(prefix="ann_index_res_ext_")
+    try:
+        ann_index_train(spark, sf_dir, tdir, source=train, residual=True)
+        ann_index_extend(spark, tdir, extra)
+        cells, icents, codes, pqcents = (
+            part.localCheckpoint(eager=True)
+            for part in ann_index_load(spark, tdir)
+        )
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    return SIM.ivfpq_residual_serve(
+        _residual_queries(e), cells, icents, codes, pqcents,
+        K, IVF_KMEANS_NPROBE,
+    )
+
+
+def _knn_ivfpq_residual_extended_oracle(
+    k: int = 10,
+    iters: int = 2,
+    m: int = SIM.PQ_M,
+    kcodes: int = SIM.PQ_K,
+    pq_iters: int = SIM.PQ_ITERS,
+) -> str:
+    """The two-regime RESIDUAL oracle — the `_knn_ivfpq_extended_oracle`
+    structure with the PQ families moved onto residual vectors: coarse
+    k-means over the train slice, re-derived stored centroids, add-path
+    cell assignment of the held-out slice, then residuals PER REGIME
+    (train rows against their last-Lloyd cells, added rows against
+    their stored-centroid cells — both subtracting the re-derived
+    ``cents_n``, exactly what pq_residuals computes on each side),
+    per-subspace residual k-means over the train slice, stored-codebook
+    encoding of the added residuals, and the residual reconstruction
+    serve tail.  Self-contained like its raw sibling."""
+    sd = SIM.DIM // m
+    tw = "% 2 = 0"  # the train-slice predicate, applied to a vec_id
+    ctes = [
+        f"base_t AS (SELECT * FROM base WHERE vec_id {tw})",
+        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM base_t "
+        f"WHERE vec_id < {k})",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"""a{it} AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT vec_id, v, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM (SELECT b.vec_id, b.v, c.cid, {_sql_d2('b.v', 'c.cv')} AS d2
+              FROM base_t b CROSS JOIN {prev} c)
+    ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""s{it} AS (
+    SELECT cid, t.i AS pos,
+           CAST(sum(CAST(v[t.i] AS DECIMAL(28,10))) AS DOUBLE) AS s,
+           count(*) AS n
+    FROM a{it}, range(1, {SIM.DIM + 1}) t(i)
+    GROUP BY cid, t.i
+)"""
+        )
+        ctes.append(
+            f"c{it} AS (SELECT cid, array_agg(s / n ORDER BY pos) AS cv "
+            f"FROM s{it} GROUP BY cid)"
+        )
+        prev = f"c{it}"
+    ctes.append(
+        f"""asg_t AS (
+    SELECT vec_id, cid AS cell FROM (
+        SELECT b.vec_id, c.cid,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {_sql_d2('b.v', 'c.cv')}, c.cid) AS rn
+        FROM base_t b CROSS JOIN {prev} c
+    ) WHERE rn = 1
+)"""
+    )
+    ctes.append(
+        """lbl_t AS (SELECT n.vec_id, n.v, n.nrm, a.cell
+        FROM n JOIN asg_t a ON a.vec_id = n.vec_id)"""
+    )
+    ctes.append(
+        f"""comp AS (
+    SELECT cell, t.i AS pos, v[t.i] AS x
+    FROM lbl_t, range(1, {SIM.DIM + 1}) t(i)
+)"""
+    )
+    ctes.append(
+        """sums AS (
+    SELECT cell, pos,
+           CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS s,
+           count(*) AS cnt
+    FROM comp GROUP BY cell, pos
+)"""
+    )
+    ctes.append(
+        "cents AS (SELECT cell, array_agg(s / cnt ORDER BY pos) AS cv "
+        "FROM sums GROUP BY cell)"
+    )
+    ctes.append(
+        f"cents_n AS (SELECT cell, cv, sqrt({_sql_dot('cv', 'cv')}) AS cnrm "
+        f"FROM cents)"
+    )
+    ctes.append(
+        f"""asg_new AS (
+    SELECT vec_id, cell FROM (
+        SELECT b.vec_id, c.cell,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {_sql_d2('b.v', 'c.cv')}, c.cell) AS rn
+        FROM base b CROSS JOIN cents_n c
+        WHERE NOT (b.vec_id {tw})
+    ) WHERE rn = 1
+)"""
+    )
+    ctes.append(
+        """lbl AS (
+    SELECT vec_id, v, nrm, cell FROM lbl_t
+    UNION ALL
+    SELECT n.vec_id, n.v, n.nrm, a.cell
+    FROM n JOIN asg_new a ON a.vec_id = n.vec_id
+)"""
+    )
+    # residuals per regime: each row minus the re-derived centroid of
+    # ITS cell (train rows: last-Lloyd cell; added rows: stored-centroid
+    # cell) — both sides of pq_residuals' zip_with
+    ctes.append(
+        f"""resid AS (
+    SELECT l.vec_id,
+           list_transform(range(1, {SIM.DIM + 1}), i -> l.v[i] - c.cv[i]) AS v
+    FROM lbl l JOIN cents_n c ON c.cell = l.cell
+)"""
+    )
+    # PQ: per-subspace RESIDUAL training over the train slice, stored
+    # codebooks re-derived from the train codes, add-path encoding of
+    # the held-out residuals
+    for mi in range(m):
+        lo = mi * sd + 1
+        ctes.append(
+            f"sub{mi} AS (SELECT vec_id, "
+            f"list_transform(range({lo}, {lo + sd}), i -> v[i]) AS sv "
+            f"FROM resid)"
+        )
+        ctes.append(
+            f"p{mi}c0 AS (SELECT vec_id AS cid, sv AS cv FROM sub{mi} "
+            f"WHERE vec_id < {kcodes} AND vec_id {tw})"
+        )
+        prev = f"p{mi}c0"
+        for it in range(1, pq_iters + 1):
+            ctes.append(
+                f"""p{mi}a{it} AS (
+    SELECT vec_id, sv, cid FROM (
+        SELECT vec_id, sv, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM (SELECT b.vec_id, b.sv, c.cid, {_sql_d2_n('b.sv', 'c.cv', sd)} AS d2
+              FROM sub{mi} b CROSS JOIN {prev} c
+              WHERE b.vec_id {tw})
+    ) WHERE rn = 1
+)"""
+            )
+            ctes.append(
+                f"""p{mi}s{it} AS (
+    SELECT cid, t.i AS pos,
+           CAST(sum(CAST(sv[t.i] AS DECIMAL(28,10))) AS DOUBLE) AS s,
+           count(*) AS n
+    FROM p{mi}a{it}, range(1, {sd + 1}) t(i)
+    GROUP BY cid, t.i
+)"""
+            )
+            ctes.append(
+                f"p{mi}c{it} AS (SELECT cid, array_agg(s / n ORDER BY pos) AS cv "
+                f"FROM p{mi}s{it} GROUP BY cid)"
+            )
+            prev = f"p{mi}c{it}"
+        ctes.append(
+            f"""p{mi}asg AS (
+    SELECT vec_id, cid AS code FROM (
+        SELECT b.vec_id, c.cid,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {_sql_d2_n('b.sv', 'c.cv', sd)}, c.cid) AS rn
+        FROM sub{mi} b CROSS JOIN {prev} c
+        WHERE b.vec_id {tw}
+    ) WHERE rn = 1
+)"""
+        )
+    codes_sel = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {mi} AS m, code FROM p{mi}asg" for mi in range(m)
+    )
+    subs_sel = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {mi} AS m, sv FROM sub{mi}" for mi in range(m)
+    )
+    ctes.append(f"codes_t AS (\n{codes_sel}\n)")
+    ctes.append(f"subs AS (\n{subs_sel}\n)")
+    ctes.append(
+        f"""pcomp AS (
+    SELECT c.m, c.code, t.i AS pos, s.sv[t.i] AS x
+    FROM codes_t c
+    JOIN subs s ON s.vec_id = c.vec_id AND s.m = c.m,
+         range(1, {sd + 1}) t(i)
+)"""
+    )
+    ctes.append(
+        """psums AS (
+    SELECT m, code, pos,
+           CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS s,
+           count(*) AS n
+    FROM pcomp GROUP BY m, code, pos
+)"""
+    )
+    ctes.append(
+        "pcents AS (SELECT m, code, array_agg(s / n ORDER BY pos) AS cv "
+        "FROM psums GROUP BY m, code)"
+    )
+    ctes.append(
+        f"pcentn AS (SELECT m, code, cv, {_sql_dot_n('cv', 'cv', sd)} AS cn2 "
+        f"FROM pcents)"
+    )
+    ctes.append(
+        f"""codes_new AS (
+    SELECT vec_id, m, code FROM (
+        SELECT b.vec_id, c.m, c.code,
+               row_number() OVER (PARTITION BY b.vec_id, c.m
+                                  ORDER BY {_sql_d2_n('b.sv', 'c.cv', sd)}, c.code) AS rn
+        FROM subs b JOIN pcents c ON c.m = b.m
+        WHERE NOT (b.vec_id {tw})
+    ) WHERE rn = 1
+)"""
+    )
+    ctes.append(
+        """codes AS (
+    SELECT vec_id, m, code FROM codes_t
+    UNION ALL
+    SELECT vec_id, m, code FROM codes_new
+)"""
+    )
+    # residual serve tail — identical arithmetic to
+    # _knn_ivfpq_residual_oracle's
+    ctes.append(
+        f"""q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+      WHERE vec_id % {QUERY_MOD} = 0)"""
+    )
+    ctes.append(
+        f"""probes AS (
+    SELECT query_id, cell,
+           row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_sql_dot('qv', 'cv')} / (qnrm * cnrm) DESC, cell
+           ) AS crank
+    FROM q CROSS JOIN cents_n
+)"""
+    )
+    ctes.append(
+        f"""qc AS (
+    SELECT q.query_id, c.cell, {_sql_dot('q.qv', 'c.cv')} AS qc
+    FROM q CROSS JOIN cents_n c
+)"""
+    )
+    ctes.append(
+        f"cinfo AS (SELECT cell, {_sql_dot('cv', 'cv')} AS cn2c "
+        f"FROM cents_n)"
+    )
+    ctes.append(
+        f"""ccross AS (
+    SELECT cn.cell, p.m, p.code,
+           list_reduce(list_prepend(0.0,
+               list_transform(range(1, {sd + 1}),
+                   i -> cn.cv[p.m * {sd} + i] * p.cv[i])),
+               (acc, x) -> acc + x) AS crs
+    FROM cents_n cn CROSS JOIN pcentn p
+)"""
+    )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {_SQL_BASE},
+{joined},
+cand AS (
+    SELECT p.query_id, c.vec_id, c.cell
+    FROM probes p JOIN lbl c ON c.cell = p.cell
+    WHERE p.crank <= {IVF_KMEANS_NPROBE} AND c.vec_id != p.query_id
+),
+lut AS (
+    SELECT q.query_id, q.qnrm, c.m, c.code,
+           list_reduce(list_prepend(0.0,
+               list_transform(range(1, {sd + 1}),
+                   i -> q.qv[c.m * {sd} + i] * c.cv[i])),
+               (acc, x) -> acc + x) AS partial,
+           c.cn2
+    FROM q CROSS JOIN pcentn c
+),
+sp AS (
+    SELECT cd.query_id, cd.vec_id, cd.cell, l.qnrm,
+           co.m, l.partial, l.cn2, cx.crs
+    FROM cand cd
+    JOIN codes co ON co.vec_id = cd.vec_id
+    JOIN lut l ON l.query_id = cd.query_id
+             AND l.m = co.m AND l.code = co.code
+    JOIN ccross cx ON cx.cell = cd.cell
+                  AND cx.m = co.m AND cx.code = co.code
+),
+pagg AS (
+    SELECT query_id, vec_id, cell,
+           list_reduce(list_prepend(0.0, array_agg(partial ORDER BY m)),
+                       (acc, x) -> acc + x) AS adc,
+           list_reduce(list_prepend(0.0, array_agg(cn2 ORDER BY m)),
+                       (acc, x) -> acc + x) AS rn2,
+           list_reduce(list_prepend(0.0, array_agg(crs ORDER BY m)),
+                       (acc, x) -> acc + x) AS crs,
+           min(qnrm) AS qnrm
+    FROM sp GROUP BY query_id, vec_id, cell
+),
+ranked AS (
+    SELECT g.query_id, g.vec_id AS neighbor_id,
+           {_RESIDUAL_SCORE} AS cos,
+           row_number() OVER (
+               PARTITION BY g.query_id
+               ORDER BY {_RESIDUAL_SCORE} DESC, g.vec_id
+           ) AS rank
+    FROM pagg g
+    JOIN qc qq ON qq.query_id = g.query_id AND qq.cell = g.cell
+    JOIN cinfo ci ON ci.cell = g.cell
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine_sim,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {K}
+"""
+
+
 COV_SCALE = 1 << 26  # quantization step for order-free exact sums
 
 
@@ -3301,6 +3648,15 @@ QUERIES = {
         "train(residual=True) -> persist (meta row records the "
         "encoding) -> load -> residual-serve; shares "
         "knn_ivfpq_residual's oracle verbatim",
+    ),
+    "knn_ivfpq_residual_extended": QuerySpec(
+        knn_ivfpq_residual_extended,
+        _knn_ivfpq_residual_extended_oracle(),
+        "the residual ADD path: train a residual index on half the "
+        "corpus, meta-aware extend with the other half (residuals vs "
+        "stored-centroid assignment, stored-codebook encoding), "
+        "residual-serve the union; the oracle replays both residual "
+        "assignment regimes",
     ),
     "knn_ivfpq_removed": QuerySpec(
         knn_ivfpq_removed,
