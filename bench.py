@@ -709,6 +709,34 @@ def main() -> int:
             _time_stage("ann_index_extend", _extend_once)
         finally:
             shutil.rmtree(tdir, ignore_errors=True)
+
+        # residual-family amortization split (r12): train cost of the
+        # residual index and its pure serve cost from the loaded parts
+        rdir = tempfile.mkdtemp(prefix="bench_ann_res_")
+        try:
+            _time_stage(
+                "ann_index_train_residual",
+                lambda: ann_index_train(spark, sf_dir, rdir, residual=True),
+            )
+
+            def _residual_stored_serve() -> None:
+                cells, icents, codes, pqcents = ann_index_load(spark, rdir)
+                emb4 = load_table(spark, sf_dir, "embeddings")
+                queries = SIM2.normed(
+                    emb4.filter(F.col("vec_id") % SQ_MOD2 == 0),
+                    "vec_id", "embedding",
+                ).select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("v").alias("qv"),
+                    F.col("nrm").alias("qnrm"),
+                )
+                SIM2.ivfpq_residual_serve(
+                    queries, cells, icents, codes, pqcents, SQ_K2, SQ_NPROBE
+                ).write.format("noop").mode("overwrite").save()
+
+            _time_stage("knn_ivfpq_residual_serve", _residual_stored_serve)
+        finally:
+            shutil.rmtree(rdir, ignore_errors=True)
         _safe_release()
     except Exception as exc:
         errors["stage:ann_index_split"] = f"{type(exc).__name__}: {exc}"[:400]

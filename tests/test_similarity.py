@@ -869,3 +869,30 @@ def test_residual_index_artifact_round_trips(spark, tmp_path):
         ).collect()
     }
     assert got_raw == raw2
+
+
+def test_residual_encoding_recall_floor_and_gain(spark):
+    """Residual encoding must clear a recall floor and not lose to raw
+    IVFPQ at equal code budget on the 500-vector corpora (measured:
+    0.22 vs 0.12 at sf0.001, 0.26 vs 0.24 at sf0.01 — on the bigger
+    i.i.d. sf0.1 corpus the two are at parity, recorded in SCALE.md).
+    Guards the residual math against a regression that silently
+    degrades it below the raw baseline."""
+    sf = "/root/testdata/sf0.001"
+    truth: dict[int, set[int]] = {}
+    for r in SQ.knn_brute_force(spark, sf).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    n_truth = sum(len(v) for v in truth.values())
+
+    def recall(rows) -> float:
+        got: dict[int, set[int]] = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return (
+            sum(len(truth[q] & got.get(q, set())) for q in truth) / n_truth
+        )
+
+    res = recall(SQ.knn_ivfpq_residual(spark, sf).collect())
+    raw = recall(SQ.knn_ivfpq(spark, sf).collect())
+    assert res >= 0.15, res
+    assert res >= raw, (res, raw)
