@@ -81,6 +81,31 @@ def versioned_write(df: DataFrame, table_dir: str, keep: int = 3) -> int:
     return version
 
 
+def rollback_to(table_dir: str, version: int) -> int:
+    """Roll the live pointer back to a RETAINED snapshot — the
+    ``RESTORE TABLE ... VERSION AS OF`` analogue: one atomic pointer
+    move (``os.replace``), never a data rewrite, so it is instantaneous
+    at any table size and safe under concurrent readers (they see the
+    old or the new pointer, never a partial state — including a
+    mid-stream per-batch ``ann_index_load``, which picks the restored
+    version up on its next micro-batch;
+    tests/test_streaming.py::test_stream_knn_picks_up_midstream_remove_and_rollback).
+    The next :func:`versioned_write` continues ABOVE the highest
+    retained version (the rolled-back-from snapshot stays queryable
+    history until retention prunes it).  Raises if ``version`` is not
+    retained."""
+    if not os.path.isdir(os.path.join(table_dir, f"v={version}")):
+        raise ValueError(
+            f"version {version} not retained at {table_dir} "
+            f"(have {list_versions(table_dir)})"
+        )
+    tmp = _pointer_path(table_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, _pointer_path(table_dir))
+    return version
+
+
 def read_version(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:

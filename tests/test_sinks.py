@@ -797,3 +797,31 @@ def test_delta_gated_optimize_branch_emits_zorder_sql(spark, monkeypatch):
     monkeypatch.setattr(spark, "sql", lambda q: seen.append(q))
     W.compact_table(spark, "/fake/delta/tbl3", zorder_by=["user_id", "ts"])
     assert seen == ["OPTIMIZE delta.`/fake/delta/tbl3` ZORDER BY (user_id, ts)"]
+
+
+def test_versioned_rollback_is_a_pointer_move(spark, tmp_path):
+    """rollback_to must restore a retained snapshot atomically (reads
+    see the old data again), reject unretained versions, leave the
+    rolled-back-from snapshot queryable as history, and the next write
+    must continue ABOVE the highest retained version."""
+    import pytest
+
+    from data_pipelines_using_llm_spark.sinks.versioned import (
+        current_version,
+        read_version,
+        rollback_to,
+        versioned_write,
+    )
+
+    tdir = str(tmp_path / "t")
+    v1 = versioned_write(spark.range(0, 3).toDF("id"), tdir)
+    v2 = versioned_write(spark.range(0, 5).toDF("id"), tdir)
+    assert (v1, v2) == (1, 2) and current_version(tdir) == 2
+    assert rollback_to(tdir, v1) == v1
+    assert current_version(tdir) == v1
+    assert read_version(spark, tdir).count() == 3  # live = restored
+    assert read_version(spark, tdir, v2).count() == 5  # history intact
+    with pytest.raises(ValueError, match="not retained"):
+        rollback_to(tdir, 99)
+    v3 = versioned_write(spark.range(0, 7).toDF("id"), tdir)
+    assert v3 == 3 and current_version(tdir) == 3  # above the highest

@@ -449,3 +449,92 @@ def test_stream_knn_picks_up_midstream_extend(spark, tmp_path):
     assert got == want and len(got) > 0
     # non-vacuity: the extension must actually change the late serves
     assert reference(v1, late_ids) != reference(v1 + 1, late_ids)
+
+
+def test_stream_knn_picks_up_midstream_remove_and_rollback(spark, tmp_path):
+    """The full live-maintenance story under a query stream: a
+    mid-stream ann_index_remove is picked up by later batches, and a
+    mid-stream rollback_to restores the pre-removal serving — each via
+    the same per-batch pointer re-resolution, each batch seeing exactly
+    the version live at its start."""
+    from data_pipelines_using_llm_spark.operators import similarity as SIM
+    from data_pipelines_using_llm_spark.plans import similarity_queries as SQ
+    from data_pipelines_using_llm_spark.sinks.versioned import rollback_to
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+    from data_pipelines_using_llm_spark.streaming.stream_queries import (
+        run_stream_knn,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "embeddings")
+    tdir = str(tmp_path / "ann_index")
+    v1 = SQ.ann_index_train(spark, sf, tdir)
+    rm = e.filter(
+        F.col("vec_id") % SQ.REMOVE_MOD == SQ.REMOVE_RES
+    ).select("vec_id")
+
+    qids = sorted(
+        r["vec_id"]
+        for r in e.filter(F.col("vec_id") % SQ.QUERY_MOD == 0)
+        .select("vec_id")
+        .collect()
+    )
+    files = [qids[0:1], qids[1:2], qids[2:3], qids[3:]]
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    now = int(time.time())
+    for i, ids in enumerate(files):
+        p = str(tmp_path / f"qb{i}")
+        e.filter(F.col("vec_id").isin(ids)).coalesce(1).write.parquet(p)
+        leaf = [f for f in os.listdir(p) if f.endswith(".parquet")][0]
+        dst = os.path.join(src_dir, f"q{i}.parquet")
+        os.rename(os.path.join(p, leaf), dst)
+        os.utime(dst, (now - 400 + i, now - 400 + i))
+
+    actions = []
+
+    def on_batch_start(batch_id: int) -> None:
+        if batch_id == 1 and "removed" not in actions:
+            actions.append("removed")
+            SQ.ann_index_remove(spark, tdir, rm)  # -> v2 live
+        if batch_id == 3 and "rolled" not in actions:
+            actions.append("rolled")
+            rollback_to(tdir, v1)  # restore pre-removal serving
+
+    out_dir = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    run_stream_knn(
+        spark, src_dir, tdir, out_dir, chk, on_batch_start=on_batch_start
+    )
+    assert actions == ["removed", "rolled"]
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    def reference(version: int, ids: list) -> dict:
+        parts = SQ.ann_index_load(spark, tdir, version=version)
+        queries = SIM.normed(
+            e.filter(F.col("vec_id").isin(ids)), "vec_id", "embedding"
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+        return {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+            for r in SIM.ivfpq_serve(
+                queries, *parts, SQ.K, SQ.IVF_KMEANS_NPROBE
+            ).collect()
+        }
+
+    want = (
+        reference(v1, files[0])           # batch 0: pre-removal
+        | reference(v1 + 1, files[1] + files[2])  # batches 1-2: removed
+        | reference(v1, files[3])         # batch 3: rolled back
+    )
+    assert got == want and len(got) > 0
+    # non-vacuity: removal genuinely changed the serving for the middle
+    # batches' queries
+    mid = files[1] + files[2]
+    assert reference(v1, mid) != reference(v1 + 1, mid)
