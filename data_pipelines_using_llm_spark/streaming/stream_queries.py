@@ -653,7 +653,14 @@ def run_stream_knn(
     results are untouched — the snapshot-plus-atomic-pointer-flip
     artifact (sinks/versioned.py) makes the re-resolution safe: a batch
     reads the version that was live when it started, never a half
-    index.  ``on_batch_start(batch_id)`` is a test seam for committing
+    index.  The POINTER read is the only per-batch filesystem touch:
+    loaded parts are ``localCheckpoint``-cached PER VERSION, so at
+    100 TB a daily swap re-reads the O(corpus) per-vector parts once
+    per NEW version, not once per micro-batch (cached blocks live for
+    the stream's lifetime, bounded by the number of swaps; a rollback
+    to an already-served version reuses its cached parts — snapshots
+    are immutable, so the cache can never go stale).
+    ``on_batch_start(batch_id)`` is a test seam for committing
     an index change at a chosen batch boundary.  ``query_mod`` filters
     arriving vec_ids to the query block (None serves every arrival)."""
     from pyspark.sql.types import ArrayType, FloatType, IntegerType
@@ -663,6 +670,9 @@ def run_stream_knn(
         IVF_KMEANS_NPROBE,
         K,
         ann_index_load,
+    )
+    from data_pipelines_using_llm_spark.sinks.versioned import (
+        current_version,
     )
 
     schema = StructType(
@@ -677,13 +687,24 @@ def run_stream_knn(
         .option("maxFilesPerTrigger", "1")
         .parquet(src_dir)
     )
+    parts_by_version: dict[int, tuple] = {}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if on_batch_start is not None:
             on_batch_start(batch_id)
-        # per-batch pointer resolution — the whole point: the serve
-        # plan below reads whatever snapshot is live RIGHT NOW
-        cells, icents, codes, pqcents = ann_index_load(spark, table_dir)
+        # per-batch POINTER resolution — the whole point: the serve
+        # plan below reads whatever snapshot is live RIGHT NOW; the
+        # parts themselves are cached per version (pinned immutable
+        # snapshot read)
+        live = current_version(table_dir)
+        parts = parts_by_version.get(live)
+        if parts is None:
+            parts = tuple(
+                part.localCheckpoint(eager=True)
+                for part in ann_index_load(spark, table_dir, version=live)
+            )
+            parts_by_version[live] = parts
+        cells, icents, codes, pqcents = parts
         arrivals = (
             batch_df.filter(F.col("vec_id") % query_mod == 0)
             if query_mod is not None
