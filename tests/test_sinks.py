@@ -825,3 +825,19 @@ def test_versioned_rollback_is_a_pointer_move(spark, tmp_path):
         rollback_to(tdir, 99)
     v3 = versioned_write(spark.range(0, 7).toDF("id"), tdir)
     assert v3 == 3 and current_version(tdir) == 3  # above the highest
+
+
+def test_ann_maintain_cli_usage_contract():
+    """The maintenance CLI must print its usage and exit 1 on missing
+    args WITHOUT building a SparkSession (cron wrappers probe it)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "/root/repo/scripts/ann_maintain.py"],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert r.returncode == 1
+    assert "append" in r.stdout and "retrain" in r.stdout
