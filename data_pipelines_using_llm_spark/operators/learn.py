@@ -301,12 +301,23 @@ def ols_fit_gauss(
     n1 = d + 1
     a = [[scope[_gram_name(j, k)] for k in range(n1)] for j in range(n1)]
     yv = [scope[_ymom_name(j)] for j in range(n1)]
+    # Scale-relative singularity gate (r12 ADVICE): an exactly-zero
+    # check lets a NEARLY-collinear design through, and the fixed
+    # (unpivoted) schedule then amplifies rounding error with no
+    # warning.  A pivot below eps·(largest initial Gram diagonal) means
+    # elimination has cancelled ≳15 of the 16 significant decimal
+    # digits at that step — the coefficients are numerically
+    # meaningless, so raise instead.  The tolerance is relative, so
+    # feature rescaling doesn't move the gate.
+    pivot_tol = GAUSS_PIVOT_RTOL * max(abs(a[j][j]) for j in range(n1))
     for k in range(n1):
-        if a[k][k] == 0.0:
+        if abs(a[k][k]) <= pivot_tol:
             raise ValueError(
-                f"ols_fit_gauss: zero pivot at step {k} — collinear or "
-                "constant features (the Gram matrix is not positive "
-                "definite)"
+                f"ols_fit_gauss: near-zero pivot {a[k][k]!r} at step {k} "
+                f"(|pivot| <= {GAUSS_PIVOT_RTOL:g} x the largest initial "
+                "Gram diagonal) — collinear, nearly-collinear, or "
+                "constant features (the Gram matrix is not numerically "
+                "positive definite)"
             )
         for i in range(n1):
             if i == k:
@@ -318,6 +329,14 @@ def ols_fit_gauss(
 
 
 GAUSS_MAX_D = 8  # past this, moment count (d²/2) wants a vector fold
+
+# Relative pivot floor for ols_fit_gauss: pivots at or below this
+# fraction of the largest initial Gram diagonal raise.  1e-12 sits ~4
+# decimal digits above double machine-epsilon cancellation (1e-16) —
+# loose enough that any sane full-rank design passes (the gated
+# event_value_ols_* pivots sit > 1e-3 of the diagonal), tight enough
+# that a numerically collinear design cannot slip through.
+GAUSS_PIVOT_RTOL = 1e-12
 
 
 def ols_fit_one_pass(

@@ -1512,6 +1512,15 @@ def knn_pq_refined(
     scores are sequenced folds (hash-gated in ``knn_pq``); exact cosine
     is the same fold :func:`knn_brute_force` gates — so the composition
     hash-gates too.
+
+    ``n_queries`` (behavior change, r11→r12): the refine stage's
+    candidate-broadcast hint fires only when the caller supplies the
+    query count — pre-r12 an EAGER count at plan-construction time
+    attached it automatically.  Callers who omit it get the same rows
+    but leave the fetch-join strategy to AQE's runtime stats; pass
+    ``n_queries`` (e.g. one cached ``count()`` of the query block, as
+    the registry rows do via ``_n_queries_cached``) to restore the
+    plan-time broadcast.
     """
     ncand = refine_factor * k
     base = normed(df, id_col, vec_col)
@@ -1618,7 +1627,13 @@ def knn_ivfpq_refined(
     while inheriting the IVF scan-fraction economics — the standard
     billion-scale recipe.  Determinism: candidate ranks and exact
     cosines are both sequenced folds, so the composition hash-gates
-    like its two factors."""
+    like its two factors.
+
+    ``n_queries`` (behavior change, r11→r12): as in
+    :func:`knn_pq_refined` — the refine stage's candidate-broadcast
+    hint fires only when the caller supplies the query count (pre-r12
+    an eager plan-time count attached it automatically); omit it and
+    the fetch-join strategy falls to AQE, same rows either way."""
     ncand = refine_factor * k
     cands = knn_ivfpq(
         df, id_col, vec_col, cell_col, query_mod, ncand, nprobe,
@@ -1895,6 +1910,17 @@ def ann_retrain_decision(
         ).alias("worst"),
         F.sum("n_vectors").alias("n_total"),
     ).first()
+    if row["worst"] is None:
+        # r12 ADVICE: an EMPTY stats frame (e.g. an index whose vectors
+        # were all removed) must fail loudly, not TypeError on
+        # float(None) — there is no quantizer health to judge and no
+        # sane default decision for a vectorless index.
+        raise ValueError(
+            "ann_retrain_decision: empty index stats — the index has no "
+            "per-vector rows (all vectors removed, or the wrong parts "
+            "were passed); retrain-vs-append is undefined for an empty "
+            "index"
+        )
     worst = float(row["worst"])
     report = {
         "decision": (

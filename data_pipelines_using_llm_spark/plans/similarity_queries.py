@@ -1718,21 +1718,36 @@ def ann_index_extend(
     (one cheap semi-join count) and WITHIN the batch itself (one
     count/countDistinct aggregation; r11 ADVICE — a batch carrying the
     same id twice would be assigned and appended twice, serving twice,
-    exactly the failure the stored-side gate exists to prevent).
-    Returns the new artifact version."""
+    exactly the failure the stored-side gate exists to prevent).  NULL
+    ids (including ids the long cast nulls out) are rejected FIRST with
+    their own error (r12 ADVICE: countDistinct skips NULLs, so a null
+    id used to be misreported as a duplicate).  The version pointer is
+    resolved ONCE and pinned for both the parts load and the meta read
+    (r12 ADVICE: two independent pointer reads could pair one version's
+    parts with another's encoding regime under a concurrent
+    versioned_write/rollback).  Returns the new artifact version."""
     from data_pipelines_using_llm_spark.sinks.versioned import (
+        current_version,
         versioned_write,
     )
 
+    version = current_version(table_dir)
     cells, icents, codes, pqcents = (
         part.localCheckpoint(eager=True)
-        for part in ann_index_load(spark, table_dir)
+        for part in ann_index_load(spark, table_dir, version)
     )
     new_ids = new_df.select(F.col(id_col).cast("long").alias("vec_id"))
     batch = new_ids.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("vec_id").alias("nd"),
+        F.count(F.when(F.col("vec_id").isNull(), 1)).alias("nnull"),
     ).first()
+    if batch["nnull"]:
+        raise ValueError(
+            f"ann_index_extend: batch contains {batch['nnull']} NULL "
+            f"vector id(s) (or ids the cast to long nulls out) — every "
+            "row must carry a non-null id"
+        )
     if batch["n"] != batch["nd"]:
         raise ValueError(
             f"ann_index_extend: batch contains {batch['n'] - batch['nd']} "
@@ -1746,7 +1761,7 @@ def ann_index_extend(
             f"index at {table_dir} — extension is append-only; drop or "
             "re-id the duplicates (or retrain via ann_index_train)"
         )
-    meta = ann_index_meta(spark, table_dir)
+    meta = ann_index_meta(spark, table_dir, version)
     new_cells = SIM.ivf_assign(new_df, id_col, vec_col, icents)
     if meta["residual"]:
         # residual artifact: encode x − c_cell (w.r.t. the NEW vectors'
@@ -1796,22 +1811,34 @@ def ann_index_remove(
     that silently no-ops is worse than one that fails), and so are
     duplicate ids within the batch (the same strictness
     :func:`ann_index_extend` applies: the caller's bookkeeping is
-    wrong, say so).  Cost: one pass over the per-vector parts plus the
-    snapshot rewrite; at 100 TB both are cluster-side — nothing is
-    collected.  Returns the new artifact version."""
+    wrong, say so) and NULL ids (their own error, before the duplicate
+    gate — r12 ADVICE).  The version pointer is resolved ONCE and
+    pinned for both the parts load and the meta read, as in
+    :func:`ann_index_extend`.  Cost: one pass over the per-vector parts
+    plus the snapshot rewrite; at 100 TB both are cluster-side —
+    nothing is collected.  Returns the new artifact version."""
     from data_pipelines_using_llm_spark.sinks.versioned import (
+        current_version,
         versioned_write,
     )
 
+    version = current_version(table_dir)
     cells, icents, codes, pqcents = (
         part.localCheckpoint(eager=True)
-        for part in ann_index_load(spark, table_dir)
+        for part in ann_index_load(spark, table_dir, version)
     )
     rm_ids = ids_df.select(F.col(id_col).cast("long").alias("vec_id"))
     batch = rm_ids.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("vec_id").alias("nd"),
+        F.count(F.when(F.col("vec_id").isNull(), 1)).alias("nnull"),
     ).first()
+    if batch["nnull"]:
+        raise ValueError(
+            f"ann_index_remove: batch contains {batch['nnull']} NULL "
+            f"vector id(s) (or ids the cast to long nulls out) — every "
+            "removal row must carry a non-null id"
+        )
     if batch["n"] != batch["nd"]:
         raise ValueError(
             f"ann_index_remove: batch contains {batch['n'] - batch['nd']} "
@@ -1831,7 +1858,7 @@ def ann_index_remove(
             icents,
             codes.join(rm_ids, "vec_id", "left_anti"),
             pqcents,
-            residual=ann_index_meta(spark, table_dir)["residual"],
+            residual=ann_index_meta(spark, table_dir, version)["residual"],
         ),
         table_dir,
         keep=keep,

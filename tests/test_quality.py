@@ -599,3 +599,45 @@ def test_ols_gauss_agrees_with_numpy_and_caps(spark):
     fr = spark.createDataFrame([(1.5, 1.0)], "a double, y double")
     with _pt.raises(ValueError, match="integer-typed"):
         LN.ols_fit_gauss(fr, ["a"], "y")
+
+
+def test_ols_gauss_rejects_nearly_collinear_design(spark):
+    """r12 ADVICE: the pivot gate must be scale-RELATIVE, not
+    exact-zero — a nearly-collinear design (b = 2a everywhere except
+    one unit perturbation over 20k rows) leaves a tiny-but-nonzero
+    pivot that the old ``== 0.0`` check waved through, letting the
+    fixed-schedule elimination amplify rounding error silently.  The
+    relative gate (|pivot| <= 1e-12 x the largest initial Gram
+    diagonal) must raise; a comfortably full-rank design of the same
+    shape must still fit."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from data_pipelines_using_llm_spark.operators import learn as LN
+
+    n = 1_000
+    # wide integer features (a = 1000*i) blow the Gram diagonal up to
+    # ~1.3e15 while a single unit perturbation leaves the eliminated
+    # pivot O(1): relative pivot ~1e-15, below the 1e-12 gate but NOT
+    # exactly zero — the case the old check waved through.  The label
+    # stays small (a % 7) so the quantized label moments keep their
+    # exact-int64 headroom.
+    base = spark.range(1, n + 1).select(
+        (F.col("id") * 1000).alias("a"),
+        (
+            F.col("id") * 2000 + F.when(F.col("id") == 1, 1).otherwise(0)
+        ).alias("b"),
+        (F.col("id") % 7).cast("double").alias("y"),
+    )
+    with _pt.raises(ValueError, match="near-zero pivot"):
+        LN.ols_fit_gauss(base, ["a", "b"], "y")
+    # same scale, genuinely independent second feature: fits fine
+    ok = spark.range(1, n + 1).select(
+        (F.col("id") * 1000).alias("a"),
+        (F.col("id") * F.col("id") % 997).alias("b"),
+        (F.col("id") % 7).cast("double").alias("y"),
+    )
+    coeffs = LN.ols_fit_gauss(ok, ["a", "b"], "y")
+    assert len(coeffs) == 3 and all(
+        c == c and abs(c) < 1e6 for c in coeffs
+    )

@@ -804,6 +804,50 @@ def test_ann_retrain_decision_crosses_on_drifted_appends(spark, tmp_path):
     assert drifted["n_vectors"] == 2 * e.count()
 
 
+def test_ann_maintenance_rejects_null_ids_and_empty_stats(spark, tmp_path):
+    """r12 ADVICE hardening: (a) a maintenance batch carrying a NULL id
+    — or an id the long cast nulls out — must be rejected with a
+    dedicated null-id error, not misreported as 'duplicate ids'
+    (count/countDistinct skips NULLs); (b) ann_retrain_decision on an
+    EMPTY stats frame (an index whose vectors were all removed) must
+    raise a ValueError naming the problem, not TypeError(float(None))."""
+    import pytest
+
+    from data_pipelines_using_llm_spark.operators import similarity as S
+    from data_pipelines_using_llm_spark.sinks.versioned import (
+        current_version,
+    )
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "embeddings")
+    tdir = str(tmp_path / "ann_index")
+    v1 = SQ.ann_index_train(spark, sf, tdir)
+    dim = len(e.first()["embedding"])
+    # literal NULL id
+    null_batch = spark.createDataFrame(
+        [(None, [0.0] * dim), (10**9, [1.0] * dim)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="NULL vector id"):
+        SQ.ann_index_extend(spark, tdir, null_batch)
+    # (a string id that fails the long cast raises Spark's own ANSI
+    # CAST_INVALID_INPUT before reaching the gate — loud either way;
+    # the "nulls out" wording in the error covers non-ANSI sessions)
+    with pytest.raises(ValueError, match="NULL vector id"):
+        SQ.ann_index_remove(
+            spark, tdir, null_batch.select("vec_id")
+        )
+    assert current_version(tdir) == v1  # nothing committed by rejects
+    # empty stats frame: loud ValueError, not float(None)
+    cells, _, codes, _ = SQ.ann_index_load(spark, tdir)
+    empty_stats = SQ.ann_index_stats_from_parts(
+        cells.limit(0), codes.limit(0)
+    )
+    with pytest.raises(ValueError, match="empty index stats"):
+        S.ann_retrain_decision(empty_stats)
+
+
 def test_residual_index_artifact_round_trips(spark, tmp_path):
     """The residual encoding must travel IN the artifact (meta row) and
     the maintenance paths must honor it: extend on a residual index
