@@ -1363,20 +1363,16 @@ def knn_ivfpq_residual_stored(
     which ADC math applies) fails the gate.  Completes the claim that
     residual encoding composes with everything already built: stored
     here, extend/remove via the meta-aware maintenance paths
-    (tests/test_similarity.py::test_residual_index_artifact_round_trips)."""
-    import shutil
-    import tempfile
-
-    tdir = tempfile.mkdtemp(prefix="ann_index_res_")
-    try:
-        ann_index_train(spark, sf_dir, tdir, residual=True)
-        assert ann_index_meta(spark, tdir)["residual"]
-        cells, icents, codes, pqcents = (
-            part.localCheckpoint(eager=True)
-            for part in ann_index_load(spark, tdir)
-        )
-    finally:
-        shutil.rmtree(tdir, ignore_errors=True)
+    (tests/test_similarity.py::test_residual_index_artifact_round_trips).
+    Artifacts come from the session-shared RESIDUAL train→persist→load
+    round trip (:func:`shared_index_parts` with ``residual=True`` —
+    r12 verdict task 1: the parts are still parquet-loaded and the
+    meta row is asserted inside the seam, so round-trip drift still
+    fails this gate; the residual training just happens once per
+    session instead of once per gate row)."""
+    cells, icents, codes, pqcents = shared_index_parts(
+        spark, sf_dir, residual=True
+    )
     e = load_table(spark, sf_dir, "embeddings")
     return SIM.ivfpq_residual_serve(
         _residual_queries(e), cells, icents, codes, pqcents,
@@ -1390,6 +1386,7 @@ def _residual_ivfpq_prefix(
     m: int = SIM.PQ_M,
     kcodes: int = SIM.PQ_K,
     pq_iters: int = SIM.PQ_ITERS,
+    extra_cand_pred: str = "",
 ) -> str:
     """Shared oracle prefix of the residual-IVFPQ family: coarse
     k-means + cell centroids + probes, the residual CTE
@@ -1398,7 +1395,10 @@ def _residual_ivfpq_prefix(
     (coarse term ``qc``, cell norm ``cinfo``, centroid×codeword cross
     term ``ccross``), and the per-(query, vector) fold ``pagg`` —
     everything up to the scoring expression both residual oracles
-    state."""
+    state.  ``extra_cand_pred`` appends a predicate to the candidate
+    CTE (the removed-ids exclusion of ``knn_ivfpq_residual_removed``,
+    mirroring the raw family's ``_knn_ivfpq_oracle`` hook); the default
+    empty string leaves every existing oracle byte-identical."""
     sd = SIM.DIM // m
     return f"""{_kmeans_lbl_body(k, iters)},
 {_ivf_probe_body()},
@@ -1424,7 +1424,7 @@ ccross AS (
 cand AS (
     SELECT p.query_id, c.vec_id, c.cell
     FROM probes p JOIN lbl c ON c.cell = p.cell
-    WHERE p.crank <= {IVF_KMEANS_NPROBE} AND c.vec_id != p.query_id
+    WHERE p.crank <= {IVF_KMEANS_NPROBE} AND c.vec_id != p.query_id{extra_cand_pred}
 ),
 lut AS (
     SELECT q.query_id, q.qnrm, c.m, c.code,
@@ -1469,13 +1469,17 @@ def _knn_ivfpq_residual_oracle(
     m: int = SIM.PQ_M,
     kcodes: int = SIM.PQ_K,
     pq_iters: int = SIM.PQ_ITERS,
+    extra_cand_pred: str = "",
 ) -> str:
     """Residual-IVFPQ oracle: the shared residual prefix, then the
     reconstruction-cosine ranking ``(q·c + q·r̂) /
-    (‖q‖·sqrt(‖c‖² + 2·c·r̂ + ‖r̂‖²))``."""
+    (‖q‖·sqrt(‖c‖² + 2·c·r̂ + ‖r̂‖²))``.  ``extra_cand_pred`` threads
+    the candidate-exclusion predicate of
+    ``knn_ivfpq_residual_removed`` through to the prefix's ``cand``
+    CTE; default empty leaves the oracle byte-identical."""
     return f"""
 WITH {_SQL_BASE},
-{_residual_ivfpq_prefix(k, iters, m, kcodes, pq_iters)},
+{_residual_ivfpq_prefix(k, iters, m, kcodes, pq_iters, extra_cand_pred)},
 ranked AS (
     SELECT g.query_id, g.vec_id AS neighbor_id,
            {_RESIDUAL_SCORE} AS cos,
@@ -1911,6 +1915,49 @@ def knn_ivfpq_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_ivfpq_residual_removed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deletion on a RESIDUAL artifact under the hash gate (r12 verdict
+    task 3 — the last hole in the CRUD × encoding matrix): seed a
+    residual index trained on the FULL corpus,
+    :func:`ann_index_remove` the same 10% slice ``knn_ivfpq_removed``
+    removes, then RESIDUAL-serve the full query set from the shrunken
+    artifact.  The oracle is the full-corpus residual oracle with the
+    removed ids excluded from the CANDIDATE set only — so a removal
+    path that dropped the meta row (serving residual codes with raw
+    ADC math), touched a quantizer, or left a ghost row fails the
+    gate.  Remove-on-residual is now hash-proven end-to-end, not just
+    unit-tested (tests/test_similarity.py::
+    test_residual_index_artifact_round_trips covers the flag
+    mechanics)."""
+    import shutil
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings")
+    tdir = tempfile.mkdtemp(prefix="ann_index_res_rm_")
+    try:
+        seed_index_dir(spark, sf_dir, tdir, residual=True)
+        ann_index_remove(
+            spark,
+            tdir,
+            e.filter(F.col("vec_id") % REMOVE_MOD == REMOVE_RES).select(
+                "vec_id"
+            ),
+        )
+        assert ann_index_meta(spark, tdir)["residual"]
+        cells, icents, codes, pqcents = (
+            part.localCheckpoint(eager=True)
+            for part in ann_index_load(spark, tdir)
+        )
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    return SIM.ivfpq_residual_serve(
+        _residual_queries(e), cells, icents, codes, pqcents,
+        K, IVF_KMEANS_NPROBE,
+    )
+
+
 def ann_index_load(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
@@ -1936,29 +1983,34 @@ def ann_index_load(
     return cells, icents, codes, pqcents
 
 
-# Session-scoped trained-artifact cache (r11 verdict task 5): the
-# serve-only gate rows (knn_ivfpq_stored / knn_ivfpq_refined_stored /
-# ann_index_stats / knn_ivfpq_removed / stream_knn_serve) all consume
-# the SAME full-corpus training the in-plan anchor row ``knn_ivfpq``
-# proves, so re-running the k-means + PQ training inside each of them
-# measured ~40 s of pure duplication per bench run.  The first caller
-# per (session, sf_dir) performs the full train → persist → load round
+# Session-scoped trained-artifact cache (r11 verdict task 5; residual
+# key added per r12 verdict task 1): the serve-only gate rows
+# (knn_ivfpq_stored / knn_ivfpq_refined_stored / ann_index_stats /
+# knn_ivfpq_removed / stream_knn_serve — and their residual siblings
+# knn_ivfpq_residual_stored / knn_ivfpq_residual_removed) all consume
+# the SAME full-corpus training their in-plan anchor row (``knn_ivfpq``
+# / ``knn_ivfpq_residual``) proves, so re-running the k-means + PQ
+# training inside each of them measured ~40 s (raw) + ~25 s (residual)
+# of pure duplication per bench run.  The first caller per (session,
+# sf_dir, residual) performs the full train → persist → load round
 # trip (so the persist/load bit-exactness is still exercised — the
 # cached parts ARE parquet-loaded artifacts, and any round-trip drift
 # still fails every consuming gate); later callers reuse the
-# localCheckpointed parts.  ``knn_ivfpq`` itself stays fully
-# self-contained as the anchor.  Parts are centroid/codebook tables
-# plus per-vector cells/codes — at bench SFs a few thousand rows;
-# production keeps the artifact on disk instead (ann_index_load).
+# localCheckpointed parts.  ``knn_ivfpq`` and ``knn_ivfpq_residual``
+# themselves stay fully self-contained as the anchors.  Parts are
+# centroid/codebook tables plus per-vector cells/codes — at bench SFs
+# a few thousand rows; production keeps the artifact on disk instead
+# (ann_index_load).
 _SHARED_INDEX_CACHE: dict[
-    tuple[str, str], tuple[DataFrame, DataFrame, DataFrame, DataFrame]
+    tuple[str, str, bool],
+    tuple[DataFrame, DataFrame, DataFrame, DataFrame],
 ] = {}
 
 
 def shared_index_parts(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, residual: bool = False
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, residual)
     parts = _SHARED_INDEX_CACHE.get(key)
     if parts is None:
         import shutil
@@ -1966,7 +2018,11 @@ def shared_index_parts(
 
         tdir = tempfile.mkdtemp(prefix="ann_shared_idx_")
         try:
-            ann_index_train(spark, sf_dir, tdir)
+            ann_index_train(spark, sf_dir, tdir, residual=residual)
+            # the encoding regime must round-trip IN the artifact —
+            # a seam that silently dropped the meta row would let every
+            # consumer serve residual codes with raw ADC math
+            assert ann_index_meta(spark, tdir)["residual"] is residual
             parts = tuple(
                 part.localCheckpoint(eager=True)
                 for part in ann_index_load(spark, tdir)
@@ -1977,20 +2033,29 @@ def shared_index_parts(
     return parts
 
 
-def seed_index_dir(spark: SparkSession, sf_dir: str, table_dir: str) -> int:
+def seed_index_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    table_dir: str,
+    residual: bool = False,
+) -> int:
     """Commit the session-shared trained parts as a fresh versioned
     artifact at ``table_dir`` — byte-compatible with what
-    :func:`ann_index_train` would write (same parts, same pack), minus
-    the retraining.  The seam the dir-consuming gate rows
-    (``knn_ivfpq_removed``, ``stream_knn_serve``) use to share the
-    session's one training."""
+    :func:`ann_index_train` would write (same parts, same pack, same
+    meta row), minus the retraining.  The seam the dir-consuming gate
+    rows (``knn_ivfpq_removed``, ``knn_ivfpq_residual_removed``,
+    ``stream_knn_serve``) use to share the session's one training per
+    encoding regime."""
     from data_pipelines_using_llm_spark.sinks.versioned import (
         versioned_write,
     )
 
-    cells, icents, codes, pqcents = shared_index_parts(spark, sf_dir)
+    cells, icents, codes, pqcents = shared_index_parts(
+        spark, sf_dir, residual
+    )
     return versioned_write(
-        _ann_index_pack(cells, icents, codes, pqcents), table_dir
+        _ann_index_pack(cells, icents, codes, pqcents, residual=residual),
+        table_dir,
     )
 
 
@@ -2424,6 +2489,49 @@ FROM ranked WHERE rank <= {K}
 """
 
 
+# Session-scoped EXTENDED-artifact cache (r12 verdict task 1, second
+# half): the residual add-path gate row trains on the even half and
+# extends with the odd half — a setup that bench's cold+warm timing
+# loop would otherwise repeat per run (~12 s each at sf0.1, all of it
+# training the gate already proved once).  The first caller performs
+# the genuine train(half, residual) → extend(half) → load round trip;
+# later callers serve from the loaded parts.  The RAW
+# ``knn_ivfpq_extended`` stays fully self-contained on purpose — it is
+# the add-path anchor, exactly as ``knn_ivfpq`` anchors training.
+_EXTENDED_INDEX_CACHE: dict[
+    tuple[str, str, bool],
+    tuple[DataFrame, DataFrame, DataFrame, DataFrame],
+] = {}
+
+
+def _extended_index_parts(
+    spark: SparkSession, sf_dir: str, residual: bool
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    key = (spark.sparkContext.applicationId, sf_dir, residual)
+    parts = _EXTENDED_INDEX_CACHE.get(key)
+    if parts is None:
+        import shutil
+        import tempfile
+
+        e = load_table(spark, sf_dir, "embeddings")
+        train = e.filter(F.col("vec_id") % 2 == 0)
+        extra = e.filter(F.col("vec_id") % 2 == 1)
+        tdir = tempfile.mkdtemp(prefix="ann_index_ext_seam_")
+        try:
+            ann_index_train(
+                spark, sf_dir, tdir, source=train, residual=residual
+            )
+            ann_index_extend(spark, tdir, extra)
+            parts = tuple(
+                part.localCheckpoint(eager=True)
+                for part in ann_index_load(spark, tdir)
+            )
+        finally:
+            shutil.rmtree(tdir, ignore_errors=True)
+        _EXTENDED_INDEX_CACHE[key] = parts
+    return parts
+
+
 def knn_ivfpq_residual_extended(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2439,23 +2547,15 @@ def knn_ivfpq_residual_extended(
     stored-codebook encoding), so the unit-level claim that the
     meta-aware add path is exact (tests/test_similarity.py) is now
     proven end-to-end cross-engine — the residual family has the same
-    train/extend/serve CRUD guarantees as the raw family."""
-    import shutil
-    import tempfile
-
+    train/extend/serve CRUD guarantees as the raw family.  The
+    train→extend→load round trip runs once per session
+    (:func:`_extended_index_parts`, r12 verdict task 1); the raw
+    ``knn_ivfpq_extended`` stays self-contained as the add-path
+    anchor."""
     e = load_table(spark, sf_dir, "embeddings")
-    train = e.filter(F.col("vec_id") % 2 == 0)
-    extra = e.filter(F.col("vec_id") % 2 == 1)
-    tdir = tempfile.mkdtemp(prefix="ann_index_res_ext_")
-    try:
-        ann_index_train(spark, sf_dir, tdir, source=train, residual=True)
-        ann_index_extend(spark, tdir, extra)
-        cells, icents, codes, pqcents = (
-            part.localCheckpoint(eager=True)
-            for part in ann_index_load(spark, tdir)
-        )
-    finally:
-        shutil.rmtree(tdir, ignore_errors=True)
+    cells, icents, codes, pqcents = _extended_index_parts(
+        spark, sf_dir, residual=True
+    )
     return SIM.ivfpq_residual_serve(
         _residual_queries(e), cells, icents, codes, pqcents,
         K, IVF_KMEANS_NPROBE,
@@ -3696,6 +3796,19 @@ QUERIES = {
         "remove a 10% slice from the versioned artifact (anti-join, no "
         "retraining), serve; oracle = full-corpus IVFPQ with the removed "
         "ids excluded from candidates only",
+    ),
+    "knn_ivfpq_residual_removed": QuerySpec(
+        knn_ivfpq_residual_removed,
+        _knn_ivfpq_residual_oracle(
+            extra_cand_pred=(
+                f" AND NOT (c.vec_id % {REMOVE_MOD} = {REMOVE_RES})"
+            )
+        ),
+        "deletion on a RESIDUAL artifact: seed a full-corpus residual "
+        "index, remove the 10% slice, residual-serve; oracle = the "
+        "full-corpus residual oracle with removed ids excluded from "
+        "candidates only — remove preserves the encoding regime "
+        "end-to-end",
     ),
     "knn_ivfpq_refined_stored": QuerySpec(
         knn_ivfpq_refined_stored,
