@@ -1,51 +1,169 @@
 #!/usr/bin/env python3
 """Index-maintenance decision CLI — the operational face of the retrain
-loop (r11 verdict task 3): point it at a LIVE versioned IVFPQ artifact
+loop (r11 verdict task 3; cost flags + measure mode r12 verdict task 5):
+point it at a LIVE versioned IVFPQ artifact
 (plans/similarity_queries.py::ann_index_train's output directory) and it
 
 1. loads the current snapshot's per-vector parts (``ann_index_load``),
 2. computes the health report (``ann_index_stats_from_parts`` — per
    cell: population, corpus share, max single-PQ-code concentration),
 3. runs the policy (``operators/similarity.py::ann_retrain_decision``)
-   with the measured append/retrain cost split, and
+   with an append/retrain cost split whose PROVENANCE is recorded in
+   the output — measured on this deployment (``--measure``), supplied
+   by the operator (``--append-cost/--retrain-cost``), or absent, and
 4. prints ONE JSON line: ``{"decision": "append"|"retrain", ...}`` plus
    the artifact version and encoding regime — ready for a cron wrapper
    that calls ``ann_index_train`` when the answer is "retrain".
 
 Usage::
 
-    python scripts/ann_maintain.py <table_dir> [threshold]
+    python scripts/ann_maintain.py TABLE_DIR [--threshold 0.5]
+        [--append-cost S --retrain-cost S]
+        [--measure --corpus PARQUET [--id-col vec_id]
+         [--vec-col embedding] [--measure-batch 200]]
 
-``threshold`` defaults to 0.5 (see SCALE.md "Retrain policy" for the
-measured healthy/drifted bands).  Exit code 0 = append, 2 = retrain —
-scriptable either way.
+``--measure`` times the two maintenance operations on THIS deployment's
+own data and host instead of trusting someone else's bench box:
+a retrain is one full ``ann_index_train`` of the corpus into a
+throwaway directory; an append is one ``ann_index_extend`` of a small
+re-id'd batch against a COPY of the live artifact (the live pointer is
+never touched; copying the artifact costs one artifact-sized read —
+fine for routine cron use, use explicit flags if the artifact is huge).
+The JSON records ``cost_provenance`` so a reader can tell a measured
+split from a pasted one.
+
+Exit code 0 = append, 2 = retrain — scriptable either way.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
+import time
 
 sys.path.insert(0, "/root/repo")
 
 
-def main() -> int:
-    if len(sys.argv) < 2:
+def _parse(argv: list[str]) -> argparse.Namespace | None:
+    # bare invocation: print the full usage doc to STDOUT and let
+    # main() exit 1 WITHOUT building a SparkSession — the pinned cron
+    # probe contract (tests/test_sinks.py::
+    # test_ann_maintain_cli_usage_contract)
+    if not argv:
         print(__doc__)
-        return 1
-    table_dir = sys.argv[1]
-    threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 0.5
-
-    from pyspark.sql import SparkSession
-
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
+        return None
+    p = argparse.ArgumentParser(
+        prog="ann_maintain.py", description=__doc__
     )
-    spark.sparkContext.setLogLevel("ERROR")
+    p.add_argument("table_dir", help="versioned IVFPQ artifact directory")
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument(
+        "--append-cost", type=float, default=None,
+        help="measured seconds per append batch on this deployment",
+    )
+    p.add_argument(
+        "--retrain-cost", type=float, default=None,
+        help="measured seconds per full retrain on this deployment",
+    )
+    p.add_argument(
+        "--measure", action="store_true",
+        help="time one extend (on a copy) and one retrain (throwaway "
+        "dir) instead of trusting supplied costs; requires --corpus",
+    )
+    p.add_argument(
+        "--corpus", default=None,
+        help="parquet path of (id, vector) rows — the retrain source "
+        "and the append-batch source for --measure",
+    )
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument(
+        "--measure-batch", type=int, default=200,
+        help="rows in the timed append batch (re-id'd above max id)",
+    )
+    args = p.parse_args(argv)
+    if args.measure and not args.corpus:
+        p.error("--measure requires --corpus (the retrain source)")
+    if (args.append_cost is None) != (args.retrain_cost is None):
+        p.error("--append-cost and --retrain-cost go together")
+    if args.measure and args.append_cost is not None:
+        p.error("--measure and explicit costs are mutually exclusive")
+    return args
 
+
+def measure_costs(
+    spark,
+    table_dir: str,
+    corpus_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_rows: int = 200,
+) -> dict:
+    """Time one append and one retrain ON THIS DEPLOYMENT: the retrain
+    trains the corpus into a throwaway directory; the append extends a
+    COPY of the live artifact with ``batch_rows`` re-id'd corpus rows
+    (ids shifted above the current max so the append-only gate
+    passes).  Neither touches the live pointer.  Returns
+    ``{"append_cost_s", "retrain_cost_s", "measure_batch"}``."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_pipelines_using_llm_spark.plans.similarity_queries import (
+        ann_index_extend,
+        ann_index_meta,
+        ann_index_train,
+    )
+
+    corpus = spark.read.parquet(corpus_path).select(
+        F.col(id_col).cast("long").alias(id_col), vec_col
+    )
+    # time the retrain in the SAME encoding regime the live artifact
+    # uses — a raw-regime timing is the wrong cost for a residual index
+    residual = ann_index_meta(spark, table_dir)["residual"]
+    work = tempfile.mkdtemp(prefix="ann_maintain_measure_")
+    try:
+        t0 = time.perf_counter()
+        ann_index_train(
+            spark, "", f"{work}/retrain", source=corpus, residual=residual
+        )
+        retrain_s = time.perf_counter() - t0
+
+        shutil.copytree(table_dir, f"{work}/copy")
+        max_id = corpus.agg(F.max(id_col)).first()[0]
+        batch = corpus.limit(batch_rows).select(
+            (F.col(id_col) + max_id + 1).alias(id_col), vec_col
+        ).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        ann_index_extend(
+            spark, f"{work}/copy", batch, id_col=id_col, vec_col=vec_col
+        )
+        append_s = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return {
+        "append_cost_s": round(append_s, 4),
+        "retrain_cost_s": round(retrain_s, 4),
+        "measure_batch": batch_rows,
+    }
+
+
+def decide(
+    spark,
+    table_dir: str,
+    threshold: float = 0.5,
+    append_cost_s: float | None = None,
+    retrain_cost_s: float | None = None,
+    measure: bool = False,
+    corpus: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    measure_batch: int = 200,
+) -> dict:
+    """The CLI's whole pipeline as an importable function (tested
+    in-session; main() only parses args and owns the SparkSession)."""
     from data_pipelines_using_llm_spark.operators.similarity import (
         ann_retrain_decision,
     )
@@ -58,17 +176,60 @@ def main() -> int:
         current_version,
     )
 
+    provenance = None
+    measured: dict = {}
+    if measure:
+        measured = measure_costs(
+            spark, table_dir, corpus, id_col, vec_col, measure_batch
+        )
+        append_cost_s = measured["append_cost_s"]
+        retrain_cost_s = measured["retrain_cost_s"]
+        provenance = "measured"
+    elif append_cost_s is not None:
+        provenance = "flags"
+
     cells, _icents, codes, _pqcents = ann_index_load(spark, table_dir)
     report = ann_retrain_decision(
         ann_index_stats_from_parts(cells, codes),
         concentration_threshold=threshold,
-        # the committed sf0.1 split (SCALE.md "Incremental extension");
-        # re-measure per deployment for real cost accounting
-        append_cost_s=1.28,
-        retrain_cost_s=2.73,
+        append_cost_s=append_cost_s,
+        retrain_cost_s=retrain_cost_s,
     )
     report["version"] = current_version(table_dir)
     report["residual"] = ann_index_meta(spark, table_dir)["residual"]
+    report["cost_provenance"] = provenance
+    if measured:
+        report["measure_batch"] = measured["measure_batch"]
+    return report
+
+
+def main() -> int:
+    args = _parse(sys.argv[1:])
+    if args is None:
+        return 1
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    report = decide(
+        spark,
+        args.table_dir,
+        threshold=args.threshold,
+        append_cost_s=args.append_cost,
+        retrain_cost_s=args.retrain_cost,
+        measure=args.measure,
+        corpus=args.corpus,
+        id_col=args.id_col,
+        vec_col=args.vec_col,
+        measure_batch=args.measure_batch,
+    )
     print(json.dumps(report))
     spark.stop()
     return 2 if report["decision"] == "retrain" else 0

@@ -804,6 +804,74 @@ def test_ann_retrain_decision_crosses_on_drifted_appends(spark, tmp_path):
     assert drifted["n_vectors"] == 2 * e.count()
 
 
+def _load_ann_maintain():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ann_maintain", "/root/repo/scripts/ann_maintain.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_ann_maintain_costs_are_flag_or_measured(spark, tmp_path):
+    """r12 verdict task 5: the maintenance decision's cost split must be
+    measurable, not hardcoded — decide() records WHERE the costs came
+    from (``cost_provenance``: None / 'flags' / 'measured'), --measure
+    times a real extend (against a COPY — the live pointer must not
+    move) and a real retrain in the artifact's own encoding regime,
+    and the flag pairing is enforced at parse time."""
+    import pytest
+
+    from data_pipelines_using_llm_spark.sinks.versioned import (
+        current_version,
+    )
+
+    am = _load_ann_maintain()
+    sf = "/root/testdata/sf0.001"
+    tdir = str(tmp_path / "ann_index")
+    SQ.ann_index_train(spark, sf, tdir, residual=True)
+    v_live = current_version(tdir)
+
+    bare = am.decide(spark, tdir)
+    assert bare["cost_provenance"] is None
+    assert "append_cost_s" not in bare
+
+    flagged = am.decide(
+        spark, tdir, append_cost_s=1.0, retrain_cost_s=3.0
+    )
+    assert flagged["cost_provenance"] == "flags"
+    assert flagged["retrain_costs_n_appends"] == pytest.approx(3.0)
+
+    measured = am.decide(
+        spark,
+        tdir,
+        measure=True,
+        corpus=f"{sf}/embeddings.parquet",
+        measure_batch=50,
+    )
+    assert measured["cost_provenance"] == "measured"
+    assert measured["measure_batch"] == 50
+    assert measured["append_cost_s"] > 0
+    assert measured["retrain_cost_s"] > 0
+    assert measured["residual"] is True
+    assert current_version(tdir) == v_live  # live pointer untouched
+
+    # parse-time contracts: costs pair up; measure needs a corpus and
+    # excludes explicit costs; bare invocation is the usage probe
+    with pytest.raises(SystemExit):
+        am._parse(["t", "--append-cost", "1.0"])
+    with pytest.raises(SystemExit):
+        am._parse(["t", "--measure"])
+    with pytest.raises(SystemExit):
+        am._parse(
+            ["t", "--measure", "--corpus", "c",
+             "--append-cost", "1", "--retrain-cost", "2"]
+        )
+    assert am._parse([]) is None
+
+
 def test_ann_maintenance_rejects_null_ids_and_empty_stats(spark, tmp_path):
     """r12 ADVICE hardening: (a) a maintenance batch carrying a NULL id
     — or an id the long cast nulls out — must be rejected with a
