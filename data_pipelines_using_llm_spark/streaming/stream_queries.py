@@ -660,6 +660,14 @@ def run_stream_knn(
     the stream's lifetime, bounded by the number of swaps; a rollback
     to an already-served version reuses its cached parts — snapshots
     are immutable, so the cache can never go stale).
+    The serve dispatch is ENCODING-AWARE (r13): each new version's
+    meta row is read alongside its parts, and a ``residual`` artifact
+    is served through :func:`SIM.ivfpq_residual_serve` instead of the
+    raw ADC math — so the production drift loop (drift detected →
+    ``ann_index_train(residual=True)`` committed as the next snapshot,
+    see scripts/ann_maintain.py) swaps BOTH the version and the
+    encoding regime under the live stream, and a residual index can
+    never be silently served with raw arithmetic.
     ``on_batch_start(batch_id)`` is a test seam for committing
     an index change at a chosen batch boundary.  ``query_mod`` filters
     arriving vec_ids to the query block (None serves every arrival)."""
@@ -670,6 +678,7 @@ def run_stream_knn(
         IVF_KMEANS_NPROBE,
         K,
         ann_index_load,
+        ann_index_meta,
     )
     from data_pipelines_using_llm_spark.sinks.versioned import (
         current_version,
@@ -697,14 +706,22 @@ def run_stream_knn(
         # parts themselves are cached per version (pinned immutable
         # snapshot read)
         live = current_version(table_dir)
-        parts = parts_by_version.get(live)
-        if parts is None:
-            parts = tuple(
-                part.localCheckpoint(eager=True)
-                for part in ann_index_load(spark, table_dir, version=live)
+        cached = parts_by_version.get(live)
+        if cached is None:
+            cached = (
+                tuple(
+                    part.localCheckpoint(eager=True)
+                    for part in ann_index_load(
+                        spark, table_dir, version=live
+                    )
+                ),
+                # the encoding regime travels WITH the snapshot: read it
+                # once per new version so a mid-stream retrain that
+                # switches regimes is served with the right arithmetic
+                ann_index_meta(spark, table_dir, version=live)["residual"],
             )
-            parts_by_version[live] = parts
-        cells, icents, codes, pqcents = parts
+            parts_by_version[live] = cached
+        (cells, icents, codes, pqcents), residual = cached
         arrivals = (
             batch_df.filter(F.col("vec_id") % query_mod == 0)
             if query_mod is not None
@@ -715,7 +732,8 @@ def run_stream_knn(
             F.col("v").alias("qv"),
             F.col("nrm").alias("qnrm"),
         )
-        SIM.ivfpq_serve(
+        serve = SIM.ivfpq_residual_serve if residual else SIM.ivfpq_serve
+        serve(
             queries, cells, icents, codes, pqcents, K, IVF_KMEANS_NPROBE
         ).write.mode("append").parquet(out_dir)
 
