@@ -770,6 +770,27 @@ def stream_knn_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the online-retrieval shape: a Kafka stream of
     query embeddings against a daily-trained index, nothing stateful,
     no watermark, index artifacts broadcast per batch."""
+    return _stream_knn_serve_impl(spark, sf_dir, residual=False)
+
+
+def stream_knn_residual_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Online serving from a RESIDUAL index — the same stream as
+    :func:`stream_knn_serve` pointed at a residual-regime artifact, so
+    the ENCODING-AWARE dispatch in :func:`run_stream_knn` (per-version
+    meta read → :func:`SIM.ivfpq_residual_serve`) is itself hash-gated:
+    the row shares ``knn_ivfpq_residual``'s oracle verbatim, and a
+    stream that served the residual snapshot with raw ADC arithmetic —
+    the pre-r13 behavior — would hash-mismatch every batch.  Batching
+    invariance holds for the same reason as the raw row (per-query
+    top-k, exact sequenced folds)."""
+    return _stream_knn_serve_impl(spark, sf_dir, residual=True)
+
+
+def _stream_knn_serve_impl(
+    spark: SparkSession, sf_dir: str, residual: bool
+) -> DataFrame:
     import os
     import shutil
     import tempfile
@@ -788,7 +809,7 @@ def stream_knn_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # session-shared training committed as this stream's artifact
         # (byte-compatible with ann_index_train's snapshot)
-        seed_index_dir(spark, sf_dir, tdir)
+        seed_index_dir(spark, sf_dir, tdir, residual=residual)
         emb_path = os.path.join(sf_dir, "embeddings.parquet")
         if os.path.isdir(emb_path):  # multi-file table: one link per part
             leaves = [
@@ -819,6 +840,14 @@ def _stream_knn_oracle() -> str:
     return _knn_ivfpq_oracle()
 
 
+def _stream_knn_residual_oracle() -> str:
+    from data_pipelines_using_llm_spark.plans.similarity_queries import (
+        _knn_ivfpq_residual_oracle,
+    )
+
+    return _knn_ivfpq_residual_oracle()
+
+
 QUERIES = {
     "stream_knn_serve": QuerySpec(
         stream_knn_serve,
@@ -826,6 +855,14 @@ QUERIES = {
         "online vector serving: micro-batches of query vectors scored "
         "against the loaded persisted IVFPQ index (batching-invariant, "
         "shares knn_ivfpq's oracle verbatim)",
+    ),
+    "stream_knn_residual_serve": QuerySpec(
+        stream_knn_residual_serve,
+        _stream_knn_residual_oracle(),
+        "online serving from a RESIDUAL artifact: the stream's "
+        "per-version meta read must dispatch the reconstruction "
+        "arithmetic (shares knn_ivfpq_residual's oracle verbatim — "
+        "raw ADC math on the residual snapshot hash-mismatches)",
     ),
     "stream_quarantine_events": QuerySpec(
         stream_quarantine_events,
