@@ -328,7 +328,14 @@ def ols_fit_gauss(
     return [yv[i] / a[i][i] for i in range(n1)]
 
 
-GAUSS_MAX_D = 8  # past this, moment count (d²/2) wants a vector fold
+# d ≤ 9: the canonical moment-name grid (``s{j}{k}``, single digits)
+# is unambiguous exactly through 9 features — at d=10 "s111" could be
+# (1,11) or (11,1) — and the one-pass agg stays a manageable
+# (d+1)(d+2)/2 + 2d + 2 scalar expressions (77 at d=9).  Past 9, both
+# the naming and the agg width want an INDEXED vector fold (array
+# moments + array elimination CTEs) — a documented design boundary;
+# use gradient descent (linear_classifier_train) for wider designs.
+GAUSS_MAX_D = 9
 
 # Relative pivot floor for ols_fit_gauss: pivots at or below this
 # fraction of the largest initial Gram diagonal raise.  1e-12 sits ~4

@@ -1937,6 +1937,52 @@ def event_value_ols_5feat(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("term", F.round("coef", 6).alias("coef"))
 
 
+def event_value_ols_9feat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``value ~ 9 features`` — the d=9 instance at the lifted
+    :data:`LN.GAUSS_MAX_D` boundary (r12 verdict optional task 8):
+    five calendar features (hour/dow/day-of-month/minute/second), the
+    ISO week (a STEP function of day-of-month in the single-month
+    corpus — linearly independent, unlike month/quarter/day-of-year
+    which are constant or exactly collinear there), and three
+    entity-derived integers (user_id, user_id % 7 — independent of
+    user_id because the 0..14 range wraps — and the event-type string
+    length).  77 map-side-combinable moments in ONE scan, then the
+    10×10 fixed-pivot Gauss–Jordan on the driver; the oracle states
+    the same moments and the same elimination schedule
+    (one CTE per pivot), so the full d=9 trajectory hash-gates
+    cross-engine.  d=10+ is the documented vector-fold boundary
+    (operators/learn.py::GAUSS_MAX_D)."""
+    from data_pipelines_using_llm_spark.operators import learn as LN
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    feats = ev.select(
+        F.hour("ts").alias("h"),
+        F.dayofweek("ts").alias("dw"),
+        F.dayofmonth("ts").alias("dom"),
+        F.minute("ts").alias("mi"),
+        F.second("ts").alias("ss"),
+        F.weekofyear("ts").alias("wk"),
+        F.col("user_id").alias("uid"),
+        (F.col("user_id") % 7).alias("u7"),
+        F.length("event_type").alias("tl"),
+        "value",
+    )
+    cols = ["h", "dw", "dom", "mi", "ss", "wk", "uid", "u7", "tl"]
+    b = LN.ols_fit_gauss(feats, cols, "value")
+    terms = [
+        "intercept", "hour", "dow", "dom", "minute", "second",
+        "week", "user_id", "user_mod7", "type_len",
+    ]
+    return spark.createDataFrame(
+        list(zip(terms, b)), "term string, coef double"
+    ).select("term", F.round("coef", 6).alias("coef"))
+
+
 def _gauss_solve_ctes(d: int) -> str:
     """The fixed-pivot Gauss–Jordan schedule of
     operators/learn.py::ols_fit_gauss as SQL: ``g0`` lays the (d+1)²
@@ -1984,33 +2030,44 @@ def _gauss_solve_ctes(d: int) -> str:
     return ",\n".join(ctes)
 
 
-def _event_value_ols_5feat_oracle() -> str:
-    """The d=5 wide-OLS oracle: the moment CTE mirrors the Spark
-    aggregation (exact int64 X^T X, quantized X^T y), the elimination
-    CTEs state learn.ols_fit_gauss's fixed schedule verbatim."""
+def _wide_ols_moments_sql(xs: dict[int, str]) -> str:
+    """The one-pass moment SELECT body shared by every wide-OLS oracle:
+    exact int64 X^T X entries, quantized order-free X^T y — the SQL
+    statement of operators/learn.py::_ols_moments over feature aliases
+    ``xs[1..d]``."""
     q = _OLS_Q_SQL
-    xs = {1: "h", 2: "dw", 3: "dom", 4: "mi", 5: "ss"}
+    d = len(xs)
     mom = [
         "CAST(count(*) AS DOUBLE) AS n",
         f"CAST(sum(CAST(floor(value * {q}) AS BIGINT)) AS DOUBLE)"
         f" / {q} AS sy",
     ]
-    for j in range(1, 6):
+    for j in range(1, d + 1):
         mom.append(f"CAST(sum({xs[j]}) AS DOUBLE) AS s{j}")
         mom.append(
             f"CAST(sum(CAST(floor(CAST({xs[j]} AS DOUBLE) * value * {q}) "
             f"AS BIGINT)) AS DOUBLE) / {q} AS sy{j}"
         )
-        for k in range(j, 6):
+        for k in range(j, d + 1):
             mom.append(f"CAST(sum({xs[j]} * {xs[k]}) AS DOUBLE) AS s{j}{k}")
-    moms = ",\n           ".join(mom)
-    terms = ["intercept", "hour", "dow", "dom", "minute", "second"]
-    selects = "\nUNION ALL ".join(
+    return ",\n           ".join(mom)
+
+
+def _wide_ols_term_selects(terms: list[str]) -> str:
+    return "\nUNION ALL ".join(
         f"SELECT '{t}' AS term, round(b{i}, 6) AS coef FROM solved"
         if i == 0
         else f"SELECT '{t}', round(b{i}, 6) FROM solved"
         for i, t in enumerate(terms)
     )
+
+
+def _event_value_ols_5feat_oracle() -> str:
+    """The d=5 wide-OLS oracle: the moment CTE mirrors the Spark
+    aggregation (exact int64 X^T X, quantized X^T y), the elimination
+    CTEs state learn.ols_fit_gauss's fixed schedule verbatim."""
+    xs = {1: "h", 2: "dw", 3: "dom", 4: "mi", 5: "ss"}
+    terms = ["intercept", "hour", "dow", "dom", "minute", "second"]
     return f"""
 WITH feats AS (
     SELECT hour(ts) AS h, dayofweek(ts) + 1 AS dw, day(ts) AS dom,
@@ -2020,11 +2077,45 @@ WITH feats AS (
     WHERE value IS NOT NULL AND ts IS NOT NULL
 ),
 mom AS (
-    SELECT {moms}
+    SELECT {_wide_ols_moments_sql(xs)}
     FROM feats
 ),
 {_gauss_solve_ctes(5)}
-{selects}
+{_wide_ols_term_selects(terms)}
+"""
+
+
+def _event_value_ols_9feat_oracle() -> str:
+    """The d=9 wide-OLS oracle at the lifted GAUSS_MAX_D boundary: the
+    same generated moment body and per-pivot elimination CTEs as the
+    d=5 row, over the 9-feature design (calendar + ISO week +
+    entity-derived integers).  dayofweek is offset +1 to Spark's
+    1=Sunday convention; weekofyear is ISO in both engines."""
+    xs = {
+        1: "h", 2: "dw", 3: "dom", 4: "mi", 5: "ss",
+        6: "wk", 7: "uid", 8: "u7", 9: "tl",
+    }
+    terms = [
+        "intercept", "hour", "dow", "dom", "minute", "second",
+        "week", "user_id", "user_mod7", "type_len",
+    ]
+    return f"""
+WITH feats AS (
+    SELECT hour(ts) AS h, dayofweek(ts) + 1 AS dw, day(ts) AS dom,
+           minute(ts) AS mi, CAST(date_part('second', ts) AS BIGINT) AS ss,
+           weekofyear(ts) AS wk, user_id AS uid, user_id % 7 AS u7,
+           length(event_type) AS tl,
+           value
+    FROM events
+    WHERE value IS NOT NULL AND ts IS NOT NULL
+      AND user_id IS NOT NULL AND event_type IS NOT NULL
+),
+mom AS (
+    SELECT {_wide_ols_moments_sql(xs)}
+    FROM feats
+),
+{_gauss_solve_ctes(9)}
+{_wide_ols_term_selects(terms)}
 """
 
 
@@ -2048,6 +2139,14 @@ QUERIES: dict[str, QuerySpec] = {
         "wide regression value ~ hour + dow + dom + minute + second: "
         "d=5 past the Cramer boundary via fixed-pivot Gauss-Jordan, "
         "one oracle CTE per pivot stating the identical update tree",
+    ),
+    "event_value_ols_9feat": QuerySpec(
+        event_value_ols_9feat,
+        _event_value_ols_9feat_oracle(),
+        "wide regression over 9 features (calendar + ISO week + "
+        "entity-derived integers) at the lifted GAUSS_MAX_D boundary: "
+        "77 one-pass moments, 10x10 fixed-pivot elimination, "
+        "bit-identical trajectories both engines",
     ),
     "value_hour_correlation": QuerySpec(
         value_hour_correlation,

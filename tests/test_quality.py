@@ -595,7 +595,7 @@ def test_ols_gauss_agrees_with_numpy_and_caps(spark):
     with _pt.raises(ValueError, match="pivot|collinear"):
         LN.ols_fit_gauss(df, ["a", "b"], "y")  # b = 2a
     with _pt.raises(ValueError, match="1 <= d"):
-        LN.ols_fit_gauss(df, ["a"] * 9, "y")
+        LN.ols_fit_gauss(df, ["a"] * 10, "y")  # past GAUSS_MAX_D = 9
     fr = spark.createDataFrame([(1.5, 1.0)], "a double, y double")
     with _pt.raises(ValueError, match="integer-typed"):
         LN.ols_fit_gauss(fr, ["a"], "y")
