@@ -1712,6 +1712,7 @@ def ivfpq_serve(
     k: int = DEFAULT_K,
     nprobe: int = 2,
     m: int = PQ_M,
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """The PURE IVFPQ serving dataflow — queries in, top-k out, every
     trained artifact passed in: ``queries`` (query_id, qv, qnrm),
@@ -1725,7 +1726,20 @@ def ivfpq_serve(
     result for a given query is independent of WHICH batch it arrives
     in.  The float corpus is never touched: candidates come from the
     membership table, scores from the code table, queries carry their
-    own vectors."""
+    own vectors.
+
+    ``labels`` turns on METADATA-FILTERED search (the production
+    multi-tenant / attribute-filter shape every serving stack ships —
+    "search within my tenant"): pass ``(vec_id, label)`` and give each
+    query row a ``qlabel`` column, and candidates are PRE-filtered to
+    label-equal vectors INSIDE candidate generation — each query still
+    gets its full top-k among its own tenant, which a post-filter of
+    an unfiltered top-k cannot guarantee.  The filter is one equi-join
+    of the candidate pairs against the label table (O(corpus)
+    partition-friendly, never broadcast) plus a broadcast of the
+    per-query labels; candidates shrink BEFORE the ADC join, so
+    filtered serving reads fewer code rows, not more.  Default None
+    leaves every existing plan byte-identical."""
     subdim = DIM // m
     wprobe = Window.partitionBy("query_id").orderBy(
         F.col("ccos").desc(), F.col("cell")
@@ -1750,6 +1764,14 @@ def ivfpq_serve(
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
     )
+    if labels is not None:
+        qlab = queries.select("query_id", "qlabel")
+        cand = (
+            cand.join(labels.select("vec_id", "label"), "vec_id")
+            .join(F.broadcast(qlab), "query_id")
+            .filter(F.col("label") == F.col("qlabel"))
+            .select("query_id", "vec_id")
+        )
     partial = F.aggregate(
         F.transform(
             F.sequence(F.lit(1), F.lit(subdim)),

@@ -2084,6 +2084,47 @@ def knn_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_ivfpq_tenant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-FILTERED vector search (r13) — the multi-tenant serving
+    shape every production ANN stack ships: each query's top-k is
+    restricted to corpus vectors sharing the query's ``label`` (the
+    embeddings table's tenant column), with the filter applied INSIDE
+    candidate generation (operators/similarity.py::ivfpq_serve
+    ``labels=``) so every tenant gets its full k — a post-filter of
+    the unfiltered top-k would silently return fewer-than-k for any
+    query whose global neighbors belong to other tenants, which here
+    is all of them (10 balanced tenants ⇒ ~90% of each probed cell is
+    filtered out).  Artifacts come from the session-shared raw seam;
+    the oracle is the standard IVFPQ oracle with one correlated
+    label-equality predicate on the candidate CTE — so a filter that
+    leaked a foreign-tenant row, dropped a same-tenant row, or
+    post-filtered after ranking fails the hash."""
+    cells, icents, codes, pqcents = shared_index_parts(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = (
+        SIM.normed(e, "vec_id", "embedding")
+        .filter(F.col("vec_id") % QUERY_MOD == 0)
+        .join(e.select("vec_id", "label"), "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            F.col("label").cast("long").alias("qlabel"),
+        )
+    )
+    labels = e.select("vec_id", F.col("label").cast("long").alias("label"))
+    return SIM.ivfpq_serve(
+        queries, cells, icents, codes, pqcents, K, IVF_KMEANS_NPROBE,
+        labels=labels,
+    )
+
+
+_TENANT_CAND_PRED = (
+    " AND (SELECT e1.label FROM embeddings e1 WHERE e1.vec_id = c.vec_id)"
+    " = (SELECT e2.label FROM embeddings e2 WHERE e2.vec_id = p.query_id)"
+)
+
+
 def knn_ivfpq_refined_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL production serving stack from the persisted artifact:
     IndexRefineFlat(IndexIVFPQ) — IVF cells bound the scan, PQ codes
@@ -3796,6 +3837,15 @@ QUERIES = {
         "remove a 10% slice from the versioned artifact (anti-join, no "
         "retraining), serve; oracle = full-corpus IVFPQ with the removed "
         "ids excluded from candidates only",
+    ),
+    "knn_ivfpq_tenant": QuerySpec(
+        knn_ivfpq_tenant,
+        _knn_ivfpq_oracle(extra_cand_pred=_TENANT_CAND_PRED),
+        "metadata-filtered (multi-tenant) vector search: each query's "
+        "top-k restricted to label-equal corpus vectors, filtered "
+        "INSIDE candidate generation so every tenant gets its full k; "
+        "oracle = the IVFPQ oracle with a correlated label-equality "
+        "candidate predicate",
     ),
     "knn_ivfpq_residual_removed": QuerySpec(
         knn_ivfpq_residual_removed,

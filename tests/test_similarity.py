@@ -804,6 +804,42 @@ def test_ann_retrain_decision_crosses_on_drifted_appends(spark, tmp_path):
     assert drifted["n_vectors"] == 2 * e.count()
 
 
+def test_tenant_filtered_serving_is_prefiltered_not_postfiltered(spark):
+    """Metadata-filtered ANN (r13): every returned neighbor must share
+    its query's tenant label, the result must differ from the
+    unfiltered top-k (non-vacuity: 10 balanced tenants mean ~90% of
+    every probed cell is foreign), and the filter must act BEFORE
+    ranking — queries get MORE same-tenant neighbors than the
+    unfiltered top-k contains, which a post-filter could never
+    produce."""
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "embeddings")
+    lab = {r["vec_id"]: r["label"] for r in e.select("vec_id", "label").collect()}
+    filtered = SQ.knn_ivfpq_tenant(spark, sf).collect()
+    assert filtered, "tenant serve returned nothing"
+    for r in filtered:
+        assert lab[r["neighbor_id"]] == lab[r["query_id"]], r
+    unfiltered = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SQ.knn_ivfpq(spark, sf).collect()
+    }
+    fpairs = {(r["query_id"], r["neighbor_id"]) for r in filtered}
+    assert fpairs != unfiltered
+    # pre-filter beats post-filter: per query, the filtered result has
+    # at least as many same-tenant rows as survive post-filtering the
+    # unfiltered top-k, and strictly more for at least one query
+    from collections import Counter
+
+    post = Counter(
+        q for q, n in unfiltered if lab[n] == lab[q]
+    )
+    pre = Counter(q for q, _ in fpairs)
+    assert all(pre[q] >= post[q] for q in pre)
+    assert any(pre[q] > post.get(q, 0) for q in pre)
+
+
 def _load_ann_maintain():
     import importlib.util
 
