@@ -2008,6 +2008,7 @@ def ivfpq_residual_serve(
     k: int = DEFAULT_K,
     nprobe: int = 2,
     m: int = PQ_M,
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """The RESIDUAL-IVFPQ serving dataflow — :func:`ivfpq_serve` with
     the reconstruction ``x̂ = c_cell + r̂`` instead of ``x̂ = r̂``:
@@ -2027,7 +2028,9 @@ def ivfpq_residual_serve(
     final score is one fixed-shape expression
     ``(qc + adc) / (qnrm · sqrt(cn2c + 2·crs + rn2))`` mirrored
     textually in the oracle, so the stack hash-gates like the raw-PQ
-    family."""
+    family.  ``labels`` turns on the same metadata (multi-tenant)
+    pre-filter as :func:`ivfpq_serve` — label-equal candidates only,
+    applied inside candidate generation."""
     subdim = DIM // m
     wprobe = Window.partitionBy("query_id").orderBy(
         F.col("ccos").desc(), F.col("cell")
@@ -2053,6 +2056,16 @@ def ivfpq_residual_serve(
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", "cell")
     )
+    if labels is not None:
+        # same metadata pre-filter as ivfpq_serve's (see its docstring):
+        # label-equal candidates only, shrunk BEFORE the ADC join
+        qlab = queries.select("query_id", "qlabel")
+        cand = (
+            cand.join(labels.select("vec_id", "label"), "vec_id")
+            .join(F.broadcast(qlab), "query_id")
+            .filter(F.col("label") == F.col("qlabel"))
+            .select("query_id", "vec_id", "cell")
+        )
     partial = F.aggregate(
         F.transform(
             F.sequence(F.lit(1), F.lit(subdim)),

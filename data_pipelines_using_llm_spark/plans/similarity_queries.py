@@ -2125,6 +2125,33 @@ _TENANT_CAND_PRED = (
 )
 
 
+def knn_ivfpq_residual_tenant(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Metadata-filtered search on the RESIDUAL regime — the filters ×
+    encodings matrix closed: the same label-equality pre-filter as
+    :func:`knn_ivfpq_tenant` applied inside
+    :func:`SIM.ivfpq_residual_serve`'s candidate generation, serving
+    from the session-shared residual artifact; oracle = the residual
+    oracle with the same correlated candidate predicate."""
+    cells, icents, codes, pqcents = shared_index_parts(
+        spark, sf_dir, residual=True
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = _residual_queries(e).join(
+        e.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").cast("long").alias("qlabel"),
+        ),
+        "query_id",
+    )
+    labels = e.select("vec_id", F.col("label").cast("long").alias("label"))
+    return SIM.ivfpq_residual_serve(
+        queries, cells, icents, codes, pqcents, K, IVF_KMEANS_NPROBE,
+        labels=labels,
+    )
+
+
 def knn_ivfpq_refined_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL production serving stack from the persisted artifact:
     IndexRefineFlat(IndexIVFPQ) — IVF cells bound the scan, PQ codes
@@ -3846,6 +3873,14 @@ QUERIES = {
         "INSIDE candidate generation so every tenant gets its full k; "
         "oracle = the IVFPQ oracle with a correlated label-equality "
         "candidate predicate",
+    ),
+    "knn_ivfpq_residual_tenant": QuerySpec(
+        knn_ivfpq_residual_tenant,
+        _knn_ivfpq_residual_oracle(extra_cand_pred=_TENANT_CAND_PRED),
+        "metadata-filtered search on the residual regime (filters x "
+        "encodings matrix closed): label-equality pre-filter inside "
+        "residual candidate generation, served from the shared "
+        "residual artifact",
     ),
     "knn_ivfpq_residual_removed": QuerySpec(
         knn_ivfpq_residual_removed,
