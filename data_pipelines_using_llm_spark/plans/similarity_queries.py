@@ -1190,10 +1190,14 @@ def _knn_ivfpq_refined_oracle(
     kcodes: int = SIM.PQ_K,
     pq_iters: int = SIM.PQ_ITERS,
     refine_factor: int = SIM.PQ_REFINE_FACTOR,
+    extra_cand_pred: str = "",
 ) -> str:
     """The IVFPQ candidate CTE families (cells + codes, ranked to
     C = refine_factor·k) composed with the exact-cosine re-rank —
-    IndexRefineFlat(IndexIVFPQ) in SQL."""
+    IndexRefineFlat(IndexIVFPQ) in SQL.  ``extra_cand_pred`` appends a
+    predicate to the candidate CTE (the tenant filter of
+    ``knn_ivfpq_tenant_refined``); default empty leaves existing
+    oracles byte-identical."""
     sd = SIM.DIM // m
     ncand = refine_factor * K
     return f"""
@@ -1204,7 +1208,7 @@ WITH {_SQL_BASE},
 cand0 AS (
     SELECT p.query_id, c.vec_id
     FROM probes p JOIN lbl c ON c.cell = p.cell
-    WHERE p.crank <= {IVF_KMEANS_NPROBE} AND c.vec_id != p.query_id
+    WHERE p.crank <= {IVF_KMEANS_NPROBE} AND c.vec_id != p.query_id{extra_cand_pred}
 ),
 lut AS (
     SELECT q.query_id, q.qnrm, c.m, c.code,
@@ -2149,6 +2153,115 @@ def knn_ivfpq_residual_tenant(
     return SIM.ivfpq_residual_serve(
         queries, cells, icents, codes, pqcents, K, IVF_KMEANS_NPROBE,
         labels=labels,
+    )
+
+
+def knn_brute_force_tenant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT metadata-filtered top-k — the recall baseline of the
+    filtered family: every query's true cosine top-k among its own
+    tenant's vectors (one extra label equi-predicate on the brute-force
+    pair join; the broadcast-queries / single-corpus-scan shape of
+    :func:`SIM.knn_brute_force` is unchanged).  Filtered ANN recall is
+    measured against THIS row
+    (tests/test_similarity.py::test_tenant_refined_recall_floor)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = SIM.normed(e, "vec_id", "embedding").join(
+        e.select("vec_id", F.col("label").cast("long").alias("label")),
+        "vec_id",
+    )
+    queries = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(
+            base,
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") == F.col("qlabel")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                SIM.dot(F.col("qv"), F.col("v"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+KNN_BRUTE_FORCE_TENANT_ORACLE = f"""
+WITH {_SQL_BASE},
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+      WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           {_sql_dot('q.qv', 'c.v')} / (q.qnrm * c.nrm) AS cos
+    FROM q JOIN n c ON c.vec_id != q.query_id
+     AND (SELECT e1.label FROM embeddings e1 WHERE e1.vec_id = c.vec_id)
+       = (SELECT e2.label FROM embeddings e2 WHERE e2.vec_id = q.query_id)
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine_sim,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {K}
+"""
+
+
+def knn_ivfpq_tenant_refined(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FULL filtered production stack —
+    IndexRefineFlat(filtered IVFPQ): tenant-pure ADC candidates to
+    C = refine_factor·k (the pre-filter keeps the candidate set
+    tenant-pure, so the exact re-rank's top-k is the exact filtered
+    ordering over whatever the probed cells cover), then the same
+    size-gated exact-cosine re-rank every refined row shares.  Recall
+    vs the exact filtered baseline = candidate recall@C within the
+    probed cells — floor-pinned in tests/test_similarity.py."""
+    ncand = SIM.PQ_REFINE_FACTOR * K
+    cells, icents, codes, pqcents = shared_index_parts(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = (
+        SIM.normed(e, "vec_id", "embedding")
+        .filter(F.col("vec_id") % QUERY_MOD == 0)
+        .join(e.select("vec_id", "label"), "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            F.col("label").cast("long").alias("qlabel"),
+        )
+    )
+    labels = e.select("vec_id", F.col("label").cast("long").alias("label"))
+    cands = SIM.ivfpq_serve(
+        queries, cells, icents, codes, pqcents, ncand, IVF_KMEANS_NPROBE,
+        labels=labels,
+    ).select("query_id", "neighbor_id")
+    return SIM._refine_exact(
+        SIM.normed(e, "vec_id", "embedding"), cands, QUERY_MOD, K, ncand,
+        n_queries=_n_queries_cached(spark, sf_dir),
     )
 
 
@@ -3873,6 +3986,19 @@ QUERIES = {
         "INSIDE candidate generation so every tenant gets its full k; "
         "oracle = the IVFPQ oracle with a correlated label-equality "
         "candidate predicate",
+    ),
+    "knn_brute_force_tenant": QuerySpec(
+        knn_brute_force_tenant,
+        KNN_BRUTE_FORCE_TENANT_ORACLE,
+        "exact metadata-filtered top-k (the filtered family's recall "
+        "baseline): true cosine top-k among each query's own tenant",
+    ),
+    "knn_ivfpq_tenant_refined": QuerySpec(
+        knn_ivfpq_tenant_refined,
+        _knn_ivfpq_refined_oracle(extra_cand_pred=_TENANT_CAND_PRED),
+        "the full filtered production stack: tenant-pure ADC candidates "
+        "to C = 8k, exact cosine re-rank — "
+        "IndexRefineFlat(filtered IVFPQ)",
     ),
     "knn_ivfpq_residual_tenant": QuerySpec(
         knn_ivfpq_residual_tenant,

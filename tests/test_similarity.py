@@ -840,6 +840,26 @@ def test_tenant_filtered_serving_is_prefiltered_not_postfiltered(spark):
     assert any(pre[q] > post.get(q, 0) for q in pre)
 
 
+def test_tenant_refined_recall_floor(spark):
+    """The filtered production stack's recall vs the EXACT filtered
+    baseline (knn_brute_force_tenant) — measured 0.52 at sf0.001 and
+    0.54 at sf0.01; bounded by nprobe coarse-cell coverage, since the
+    pre-filter keeps every probed same-tenant vector in the candidate
+    set (C = 80 ≫ tenant∩cells) and the exact re-rank surfaces every
+    candidate truth.  Floor 0.40 guards the filter against silently
+    starving candidate generation."""
+    sf = "/root/testdata/sf0.001"
+    truth: dict[int, set[int]] = {}
+    for r in SQ.knn_brute_force_tenant(spark, sf).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got: dict[int, set[int]] = {}
+    for r in SQ.knn_ivfpq_tenant_refined(spark, sf).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    n = sum(len(v) for v in truth.values())
+    hit = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    assert n > 0 and hit / n >= 0.40, (hit, n)
+
+
 def _load_ann_maintain():
     import importlib.util
 
