@@ -284,8 +284,28 @@ def _current_round() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
+def _host_load_sample() -> dict:
+    """One host-contention snapshot (r13 verdict optional task 8): the
+    builder's sidecar run and the driver's end-of-round refresh have
+    diverged up to 2x on identical code since r6, and the adjudicator
+    could only INFER contention from the timings themselves.  Recording
+    loadavg (plus the cpu count it is relative to) at run start and end
+    lets next round's noise adjudication cite the host directly."""
+    try:
+        la1, la5, la15 = os.getloadavg()
+        return {
+            "loadavg_1m": round(la1, 2),
+            "loadavg_5m": round(la5, 2),
+            "loadavg_15m": round(la15, 2),
+            "cpus": os.cpu_count(),
+        }
+    except OSError:  # pragma: no cover - getloadavg absent
+        return {}
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    host_load_start = _host_load_sample()
     from data_pipelines_using_llm_spark.registry import all_queries
     from data_pipelines_using_llm_spark.session import get_spark
 
@@ -405,12 +425,15 @@ def main() -> int:
     # headline result (measured ~100-200s for the full pass; the budget
     # only bites if the host degrades).  Skipped names are RECORDED — a
     # truncated pass must not read as full coverage.
-    # 650s default (r10): the registry grew past the point where the old
-    # 300s fit — tier 2 is ~90 queries at ~3.5s/query plus the heavy new
-    # iterative/ANN rows, and a budget that silently drops half the
-    # registry is worse than a longer wall.  Rotation still guarantees
-    # skipped names go first next run if the budget ever bites.
-    tier2_budget = float(os.environ.get("SPARK_GRAFT_TIER2_BUDGET_SEC", "650"))
+    # 900s default (r14; was 650 from r10): the 650s budget was sized
+    # for ~90 tier-2 rows and fired on the driver's degraded r13 host at
+    # 114 rows, skipping 3 streaming queries — the first incomplete
+    # tier-2 since r9.  Even that slow host would have finished in
+    # ~680s; 900s covers the current 117+ rows with headroom while the
+    # budget still protects the headline artifact from a pathological
+    # hang.  Rotation still guarantees skipped names go first next run
+    # if it ever bites again.
+    tier2_budget = float(os.environ.get("SPARK_GRAFT_TIER2_BUDGET_SEC", "900"))
     tier2_skipped: list[str] = []
     # Rotate the PREVIOUS run's budget casualties to the front (r9: the
     # 300s budget fired for the first time and dropped three streaming
@@ -957,6 +980,15 @@ def main() -> int:
         "plan_audit": audit,
         "bench_delta": bench_delta,
         "noise_adjudication": noise_adjudication,
+        # Host contention telemetry (r13 verdict optional task 8):
+        # loadavg before/after so a slow-host round reads as a slow
+        # host, not a code regression.  On this 32-cpu box a 1m load
+        # near 0 at start means a quiet run; load >> queries' own
+        # parallelism at start means a contended one.
+        "host_load": {
+            "start": host_load_start,
+            "end": _host_load_sample(),
+        },
         # Machine-emitted run manifest (r10 verdict task 8): the EXACT
         # executed query lists, so coverage counts in notes can never
         # drift from what actually ran (the r10 93-vs-94 discrepancy).

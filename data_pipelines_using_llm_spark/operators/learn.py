@@ -301,23 +301,29 @@ def ols_fit_gauss(
     n1 = d + 1
     a = [[scope[_gram_name(j, k)] for k in range(n1)] for j in range(n1)]
     yv = [scope[_ymom_name(j)] for j in range(n1)]
-    # Scale-relative singularity gate (r12 ADVICE): an exactly-zero
-    # check lets a NEARLY-collinear design through, and the fixed
-    # (unpivoted) schedule then amplifies rounding error with no
-    # warning.  A pivot below eps·(largest initial Gram diagonal) means
-    # elimination has cancelled ≳15 of the 16 significant decimal
-    # digits at that step — the coefficients are numerically
-    # meaningless, so raise instead.  The tolerance is relative, so
-    # feature rescaling doesn't move the gate.
-    pivot_tol = GAUSS_PIVOT_RTOL * max(abs(a[j][j]) for j in range(n1))
+    # Scale-relative singularity gate (r12 ADVICE; PER-COLUMN r13
+    # ADVICE): an exactly-zero check lets a NEARLY-collinear design
+    # through, and the fixed (unpivoted) schedule then amplifies
+    # rounding error with no warning.  A pivot below eps·(its OWN
+    # column's initial Gram diagonal) means elimination has cancelled
+    # ≳15 of the 16 significant decimal digits IN THAT COLUMN — the
+    # coefficients are numerically meaningless, so raise.  The
+    # reference diagonal is per-column, not the global max: a
+    # full-rank design mixing a near-binary column with a ~1e6-valued
+    # one has a diagonal ratio ~1e12, and a global-max tolerance would
+    # falsely reject the small column even though its own elimination
+    # lost nothing.  Each column's tolerance is relative to itself, so
+    # neither rescaling one feature nor adding a huge unrelated one
+    # moves any other column's gate.
+    init_diag = [abs(a[j][j]) for j in range(n1)]
     for k in range(n1):
-        if abs(a[k][k]) <= pivot_tol:
+        if abs(a[k][k]) <= GAUSS_PIVOT_RTOL * init_diag[k]:
             raise ValueError(
                 f"ols_fit_gauss: near-zero pivot {a[k][k]!r} at step {k} "
-                f"(|pivot| <= {GAUSS_PIVOT_RTOL:g} x the largest initial "
-                "Gram diagonal) — collinear, nearly-collinear, or "
-                "constant features (the Gram matrix is not numerically "
-                "positive definite)"
+                f"(|pivot| <= {GAUSS_PIVOT_RTOL:g} x this column's own "
+                "initial Gram diagonal) — collinear, nearly-collinear, "
+                "or constant features (the Gram matrix is not "
+                "numerically positive definite)"
             )
         for i in range(n1):
             if i == k:

@@ -32,7 +32,11 @@ fine for routine cron use, use explicit flags if the artifact is huge).
 The JSON records ``cost_provenance`` so a reader can tell a measured
 split from a pasted one.
 
-Exit code 0 = append, 2 = retrain — scriptable either way.
+Exit code 0 = append, 2 = retrain — scriptable either way.  Usage
+errors (unknown flag, bad value, missing pairing) exit 64 (EX_USAGE),
+NOT argparse's default 2, so a cron wrapper keying "retrain" off exit
+code 2 can never be tricked into a full retrain by a flag typo (r13
+ADVICE item 1).
 """
 
 from __future__ import annotations
@@ -44,6 +48,20 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+# BSD sysexits.h EX_USAGE — distinct from both decision codes (0/2) and
+# the bare-invocation help code (1)
+EXIT_USAGE = 64
+
+
+class _UsageExit64Parser(argparse.ArgumentParser):
+    """argparse exits 2 on ANY usage error, which collides with this
+    CLI's documented "retrain" decision code — remap to EX_USAGE."""
+
+    def error(self, message: str) -> None:  # noqa: D401 - argparse hook
+        self.print_usage(sys.stderr)
+        print(f"{self.prog}: error: {message}", file=sys.stderr)
+        raise SystemExit(EXIT_USAGE)
+
 
 def _parse(argv: list[str]) -> argparse.Namespace | None:
     # bare invocation: print the full usage doc to STDOUT and let
@@ -53,7 +71,7 @@ def _parse(argv: list[str]) -> argparse.Namespace | None:
     if not argv:
         print(__doc__)
         return None
-    p = argparse.ArgumentParser(
+    p = _UsageExit64Parser(
         prog="ann_maintain.py", description=__doc__
     )
     p.add_argument("table_dir", help="versioned IVFPQ artifact directory")
@@ -105,7 +123,14 @@ def measure_costs(
     COPY of the live artifact with ``batch_rows`` re-id'd corpus rows
     (ids shifted above the current max so the append-only gate
     passes).  Neither touches the live pointer.  Returns
-    ``{"append_cost_s", "retrain_cost_s", "measure_batch"}``."""
+    ``{"append_cost_s", "retrain_cost_s", "measure_batch"}``.
+
+    The shift base is ``max(corpus max id, live artifact max vec_id)``
+    (r13 ADVICE item 2): a live artifact that has already been
+    extended — the normal drift scenario this tool exists for — holds
+    ids ABOVE the corpus max, and a corpus-only shift would collide
+    with them and trip ``ann_index_extend``'s append-only gate on
+    exactly the index we're here to measure."""
     import shutil
     import tempfile
 
@@ -113,13 +138,25 @@ def measure_costs(
 
     from data_pipelines_using_llm_spark.plans.similarity_queries import (
         ann_index_extend,
+        ann_index_load,
         ann_index_meta,
         ann_index_train,
     )
 
+    if corpus_path is None:
+        raise ValueError(
+            "measure_costs: corpus_path is required — it is both the "
+            "retrain source and the append-batch source"
+        )
     corpus = spark.read.parquet(corpus_path).select(
         F.col(id_col).cast("long").alias(id_col), vec_col
     )
+    corpus_max = corpus.agg(F.max(id_col)).first()[0]
+    if corpus_max is None:
+        raise ValueError(
+            f"measure_costs: corpus at {corpus_path!r} is empty — "
+            "nothing to time an append or retrain against"
+        )
     # time the retrain in the SAME encoding regime the live artifact
     # uses — a raw-regime timing is the wrong cost for a residual index
     residual = ann_index_meta(spark, table_dir)["residual"]
@@ -132,7 +169,11 @@ def measure_costs(
         retrain_s = time.perf_counter() - t0
 
         shutil.copytree(table_dir, f"{work}/copy")
-        max_id = corpus.agg(F.max(id_col)).first()[0]
+        # the LIVE artifact may already hold ids above the corpus max
+        # (prior drift appends); shift past whichever is larger
+        live_cells = ann_index_load(spark, table_dir)[0]
+        artifact_max = live_cells.agg(F.max("vec_id")).first()[0]
+        max_id = max(corpus_max, artifact_max or 0)
         batch = corpus.limit(batch_rows).select(
             (F.col(id_col) + max_id + 1).alias(id_col), vec_col
         ).localCheckpoint(eager=True)
@@ -179,6 +220,15 @@ def decide(
     provenance = None
     measured: dict = {}
     if measure:
+        # argparse enforces this pairing for the CLI; enforce it here
+        # too because decide() is the advertised importable API (r13
+        # ADVICE item 3) — without this, corpus=None surfaces as an
+        # opaque spark.read.parquet(None) failure deep in measure_costs
+        if corpus is None:
+            raise ValueError(
+                "decide: measure=True requires corpus= (the parquet "
+                "path used as retrain source and append-batch source)"
+            )
         measured = measure_costs(
             spark, table_dir, corpus, id_col, vec_col, measure_batch
         )

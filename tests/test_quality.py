@@ -641,3 +641,42 @@ def test_ols_gauss_rejects_nearly_collinear_design(spark):
     assert len(coeffs) == 3 and all(
         c == c and abs(c) < 1e6 for c in coeffs
     )
+
+
+def test_ols_gauss_pivot_gate_is_per_column(spark):
+    """r13 ADVICE: the pivot tolerance must be relative to each
+    column's OWN initial Gram diagonal, not the global max — a
+    genuinely full-rank design mixing a near-binary feature (diag
+    ~5e2) with a ~3e7-valued one (diag ~3e17, ratio ~6e14 > 1e12)
+    was falsely rejected by the global-max gate even though the small
+    column's elimination loses nothing.  The mixed-scale fit must
+    succeed and match numpy; a design collinear IN the small column
+    must still raise."""
+    import numpy as np
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from data_pipelines_using_llm_spark.operators import learn as LN
+
+    n = 1_000
+    mixed = spark.range(1, n + 1).select(
+        (F.col("id") % 2).alias("a"),           # binary: diag ~ 500
+        (F.col("id") * 30000).alias("b"),       # huge: diag ~ 3e17
+        ((F.col("id") % 7) + (F.col("id") % 2)).cast("double").alias("y"),
+    )
+    b = LN.ols_fit_gauss(mixed, ["a", "b"], "y")
+    rows = mixed.collect()
+    X = np.array([[1.0, float(r["a"]), float(r["b"])] for r in rows])
+    y = np.array([r["y"] for r in rows])
+    ref, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert np.allclose(b, ref, atol=1e-5), (b, ref)
+    # collinearity in the SMALL column still raises: c duplicates a,
+    # so a's per-column pivot cancels to ~0 regardless of b's scale
+    dup = spark.range(1, n + 1).select(
+        (F.col("id") % 2).alias("a"),
+        (F.col("id") % 2).alias("c"),
+        (F.col("id") * 30000).alias("b"),
+        (F.col("id") % 7).cast("double").alias("y"),
+    )
+    with _pt.raises(ValueError, match="near-zero pivot"):
+        LN.ols_fit_gauss(dup, ["a", "c", "b"], "y")

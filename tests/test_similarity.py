@@ -860,6 +860,96 @@ def test_tenant_refined_recall_floor(spark):
     assert n > 0 and hit / n >= 0.40, (hit, n)
 
 
+def test_tenant_skewed_per_class_recall(spark):
+    """r13 verdict task 2 — filtered search over the SKEWED tenant
+    fixture (hot tenant ~92.9%, three cold ~2.4% tenants), per-class
+    guarantees measured against the exact filtered baseline:
+
+    (a) policy: the data-derived nprobe map keeps the hot tenant
+        cell-pruned (default depth 4 of 10 cells) and sends cold
+        tenants to a full probe;
+    (b) cold tenants FILL k: every cold query returns exactly K rows
+        (the full probe sees the tenant's whole membership), where the
+        scalar-nprobe serve under-fills (measured 4 of 10 at sf0.001)
+        — the policy is load-bearing, not decorative;
+    (c) recall floors vs knn_brute_force_tenant_skewed: cold ≥ 0.7
+        (measured 0.90 — full membership as candidates, ADC ordering
+        only), hot ≥ 0.05 (measured 0.10 at sf0.001, 0.275 at sf0.01 —
+        the raw-PQ regime's honest recall on this near-orthogonal
+        corpus, same as the unfiltered raw family; the refined/residual
+        stacks are the recall path, see SCALE.md)."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_using_llm_spark.operators import similarity as SIM
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+
+    # (a) the policy map derives hot/cold from population share
+    e = load_table(spark, sf, "embeddings")
+    nmap = {
+        r["qlabel"]: r["qnprobe"]
+        for r in SQ._skew_nprobe_map(e).collect()
+    }
+    assert nmap[0] == SQ.IVF_KMEANS_NPROBE  # hot: stays cell-pruned
+    assert all(
+        nmap[t] == SQ._IVF_NCELLS for t in nmap if t != 0
+    )  # cold: full probe
+
+    def _skew(x: int) -> int:
+        return x % 3 + 1 if (x % 7 == 6 and x % 2 == 0) else 0
+
+    truth: dict[int, set[int]] = {}
+    for r in SQ.knn_brute_force_tenant_skewed(spark, sf).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got: dict[int, set[int]] = {}
+    for r in SQ.knn_ivfpq_tenant_skewed(spark, sf).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hot_q = [q for q in truth if _skew(q) == 0]
+    cold_q = [q for q in truth if _skew(q) != 0]
+    assert hot_q and cold_q  # the fixture puts queries in BOTH classes
+
+    # (b) cold queries fill k under the policy...
+    for q in cold_q:
+        assert len(got[q]) == SQ.K, (q, len(got[q]))
+    # ...and under-fill without it (same serve, no qnprobe column)
+    cells, icents, codes, pqcents = SQ.shared_index_parts(spark, sf)
+    labels = e.select(
+        "vec_id", SQ._skew_tenant(F.col("vec_id")).alias("label")
+    )
+    queries = (
+        SIM.normed(e, "vec_id", "embedding")
+        .filter(F.col("vec_id") % SQ.QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            SQ._skew_tenant(F.col("vec_id")).alias("qlabel"),
+        )
+    )
+    flat = SIM.ivfpq_serve(
+        queries, cells, icents, codes, pqcents, SQ.K,
+        SQ.IVF_KMEANS_NPROBE, labels=labels,
+    )
+    flat_counts = {
+        r["query_id"]: r["c"]
+        for r in flat.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert any(flat_counts.get(q, 0) < SQ.K for q in cold_q), flat_counts
+
+    # (c) per-class recall floors
+    def _recall(qs: list[int]) -> float:
+        n = sum(len(truth[q]) for q in qs)
+        hit = sum(len(truth[q] & got.get(q, set())) for q in qs)
+        assert n > 0
+        return hit / n
+
+    assert _recall(cold_q) >= 0.7, _recall(cold_q)
+    assert _recall(hot_q) >= 0.05, _recall(hot_q)
+
+
 def _load_ann_maintain():
     import importlib.util
 
@@ -915,17 +1005,66 @@ def test_ann_maintain_costs_are_flag_or_measured(spark, tmp_path):
     assert current_version(tdir) == v_live  # live pointer untouched
 
     # parse-time contracts: costs pair up; measure needs a corpus and
-    # excludes explicit costs; bare invocation is the usage probe
-    with pytest.raises(SystemExit):
-        am._parse(["t", "--append-cost", "1.0"])
-    with pytest.raises(SystemExit):
-        am._parse(["t", "--measure"])
-    with pytest.raises(SystemExit):
-        am._parse(
-            ["t", "--measure", "--corpus", "c",
-             "--append-cost", "1", "--retrain-cost", "2"]
-        )
+    # excludes explicit costs; bare invocation is the usage probe.
+    # r13 ADVICE item 1: every usage error exits 64 (EX_USAGE), never
+    # 2 — exit 2 is reserved for a genuine "retrain" decision, so a
+    # cron wrapper keying retrain off it can't be tricked by a typo.
+    for bad in (
+        ["t", "--append-cost", "1.0"],
+        ["t", "--measure"],
+        ["t", "--measure", "--corpus", "c",
+         "--append-cost", "1", "--retrain-cost", "2"],
+        ["t", "--no-such-flag"],
+        ["t", "--threshold", "not-a-float"],
+    ):
+        with pytest.raises(SystemExit) as exc:
+            am._parse(bad)
+        assert exc.value.code == am.EXIT_USAGE == 64, bad
     assert am._parse([]) is None
+
+    # r13 ADVICE item 3: decide() is the importable API — the
+    # measure/corpus pairing must raise a clear ValueError when called
+    # programmatically, not an opaque spark.read.parquet(None) failure
+    with pytest.raises(ValueError, match="requires corpus"):
+        am.decide(spark, tdir, measure=True)
+    # ...and an EMPTY corpus fails loudly before any timing work
+    empty = str(tmp_path / "empty_corpus")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    ).write.parquet(empty)
+    with pytest.raises(ValueError, match="empty"):
+        am.measure_costs(spark, tdir, empty)
+
+
+def test_ann_maintain_measures_extended_artifact(spark, tmp_path):
+    """r13 ADVICE item 2: --measure on a live artifact that has ALREADY
+    been extended (ids above the corpus max — the drift scenario the
+    tool exists for) must not trip ann_index_extend's append-only gate:
+    the timed batch's id shift is computed from max(corpus max,
+    artifact max), not the corpus alone."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+
+    am = _load_ann_maintain()
+    sf = "/root/testdata/sf0.001"
+    tdir = str(tmp_path / "ann_index")
+    SQ.ann_index_train(spark, sf, tdir)
+    # drift append: re-id'd corpus rows far above the corpus max
+    e = load_table(spark, sf, "embeddings")
+    drift = e.limit(40).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    SQ.ann_index_extend(spark, tdir, drift)
+    report = am.decide(
+        spark,
+        tdir,
+        measure=True,
+        corpus=f"{sf}/embeddings.parquet",
+        measure_batch=30,
+    )
+    assert report["cost_provenance"] == "measured"
+    assert report["append_cost_s"] > 0 and report["retrain_cost_s"] > 0
 
 
 def test_ann_maintenance_rejects_null_ids_and_empty_stats(spark, tmp_path):
