@@ -1739,36 +1739,73 @@ def ivfpq_serve(
     partition-friendly, never broadcast) plus a broadcast of the
     per-query labels; candidates shrink BEFORE the ADC join, so
     filtered serving reads fewer code rows, not more.  Default None
-    leaves every existing plan byte-identical."""
+    leaves every existing plan byte-identical.
+
+    PER-QUERY probe depth (r14, the skewed-tenant serving policy): if
+    ``queries`` carries a ``qnprobe`` column, each query probes its own
+    number of cells instead of the scalar ``nprobe`` — the production
+    fix for filtered search over a SKEWED tenant distribution, where a
+    cold tenant's members are so sparse per cell that the default probe
+    depth cannot fill k (raise its qnprobe to the cell count: scanning
+    a tiny tenant's full membership is cheap) while the hot tenant
+    stays cell-pruned at the default.  Queries without the column are
+    untouched — the scalar path is byte-identical."""
     subdim = DIM // m
     wprobe = Window.partitionBy("query_id").orderBy(
         F.col("ccos").desc(), F.col("cell")
     )
+    per_query_nprobe = "qnprobe" in queries.columns
     probes = (
         F.broadcast(queries)
         .crossJoin(F.broadcast(cents))
         .select(
             "query_id",
+            *(["qnprobe"] if per_query_nprobe else []),
             "cell",
             (dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cnrm"))).alias(
                 "ccos"
             ),
         )
         .withColumn("crank", F.row_number().over(wprobe))
-        .filter(F.col("crank") <= nprobe)
+        .filter(
+            F.col("crank")
+            <= (F.col("qnprobe") if per_query_nprobe else F.lit(nprobe))
+        )
         .select("query_id", "cell")
+    )
+    # PARTITIONED tenant layout (r14): when the membership table itself
+    # carries a ``label`` column (written ``partitionBy("label")`` at
+    # index-build time) and queries carry ``qlabel``, the tenant filter
+    # costs NOTHING extra at serve — the label rides the membership
+    # rows (on disk it is a partition directory, so a single-tenant
+    # serve is a PRUNED scan), and the O(corpus) label-table equi-join
+    # of the ``labels=`` path disappears.  ``labels=`` still wins when
+    # the index layout cannot be changed.
+    membership_label = (
+        labels is None
+        and "label" in membership.columns
+        and "qlabel" in queries.columns
     )
     cand = (
         F.broadcast(probes)
         .join(membership, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id")
+        .select(
+            "query_id", "vec_id", *(["label"] if membership_label else [])
+        )
     )
     if labels is not None:
         qlab = queries.select("query_id", "qlabel")
         cand = (
             cand.join(labels.select("vec_id", "label"), "vec_id")
             .join(F.broadcast(qlab), "query_id")
+            .filter(F.col("label") == F.col("qlabel"))
+            .select("query_id", "vec_id")
+        )
+    elif membership_label:
+        qlab = queries.select("query_id", "qlabel")
+        cand = (
+            cand.join(F.broadcast(qlab), "query_id")
             .filter(F.col("label") == F.col("qlabel"))
             .select("query_id", "vec_id")
         )

@@ -9,7 +9,7 @@ resulting doubles are bit-identical across engines and rankings agree.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipelines_using_llm_spark.operators import similarity as SIM
@@ -1101,14 +1101,20 @@ def _knn_ivfpq_oracle(
     kcodes: int = SIM.PQ_K,
     pq_iters: int = SIM.PQ_ITERS,
     extra_cand_pred: str = "",
+    probe_bound: str | None = None,
 ) -> str:
     """IVFPQ oracle: the k-means cell/probe CTE family and the PQ
     codebook CTE family composed under one WITH — candidates come from
     the probed cells, scores from the ADC lookup table.
     ``extra_cand_pred`` appends a predicate to the candidate CTE (the
-    removed-ids exclusion of ``knn_ivfpq_removed``); the default empty
-    string leaves every existing oracle byte-identical."""
+    removed-ids exclusion of ``knn_ivfpq_removed``); ``probe_bound``
+    replaces the scalar probe-depth literal with a SQL expression (the
+    per-tenant-class policy of ``knn_ivfpq_tenant_skewed`` — it may
+    reference ``p``, the probes row).  The defaults leave every
+    existing oracle byte-identical."""
     sd = SIM.DIM // m
+    if probe_bound is None:
+        probe_bound = str(IVF_KMEANS_NPROBE)
     return f"""
 WITH {_SQL_BASE},
 {_kmeans_lbl_body(k, iters)},
@@ -1117,7 +1123,7 @@ WITH {_SQL_BASE},
 cand AS (
     SELECT p.query_id, c.vec_id
     FROM probes p JOIN lbl c ON c.cell = p.cell
-    WHERE p.crank <= {IVF_KMEANS_NPROBE} AND c.vec_id != p.query_id{extra_cand_pred}
+    WHERE p.crank <= {probe_bound} AND c.vec_id != p.query_id{extra_cand_pred}
 ),
 lut AS (
     SELECT q.query_id, q.qnrm, c.m, c.code,
@@ -2263,6 +2269,261 @@ def knn_ivfpq_tenant_refined(
         SIM.normed(e, "vec_id", "embedding"), cands, QUERY_MOD, K, ncand,
         n_queries=_n_queries_cached(spark, sf_dir),
     )
+
+
+# ---- skewed-tenant filtered search (r14) -----------------------------
+#
+# The balanced-10-tenant fixture (knn_ivfpq_tenant) is the easy case of
+# filtered search; real multi-tenant corpora are SKEWED.  The skewed
+# fixture derives a tenant purely from vec_id — hot tenant 0 owns
+# ~92.9% of the corpus, three cold tenants ~2.4% each:
+#
+#   tenant(x) = x % 3 + 1  if (x % 7 = 6 AND x % 2 = 0)  else 0
+#
+# The (mod 7, mod 2) gate is chosen so the query block (vec_id % 100 =
+# 0) lands in BOTH classes at every sf: multiples of 100 are all even
+# and 100k % 7 cycles through every residue, so e.g. vec_id 300 is a
+# cold-tenant query at sf0.01 and 300/1000/1700 cover all three cold
+# tenants at sf0.1.  Because the tenant is a pure expression of vec_id,
+# the DuckDB oracle states the SAME derivation inline — no fixture
+# table to keep in sync.
+_SKEW_SQL = "CASE WHEN {x} % 7 = 6 AND {x} % 2 = 0 THEN {x} % 3 + 1 ELSE 0 END"
+_SKEW_CAND_PRED = (
+    f" AND ({_SKEW_SQL.format(x='c.vec_id')})"
+    f" = ({_SKEW_SQL.format(x='p.query_id')})"
+)
+# Per-tenant-class probe policy, stated identically on both engines: a
+# tenant holding >= 5% of the corpus keeps the default probe depth
+# (cell pruning still pays there); a cold tenant probes EVERY cell —
+# its full membership is tiny, and the default depth leaves too few
+# same-tenant candidates per probed cell to fill k.
+_IVF_NCELLS = 10
+_SKEW_HOT_SHARE = 0.05
+_SKEW_PROBE_BOUND = (
+    "(CASE WHEN (SELECT count(*) FROM embeddings et WHERE "
+    f"({_SKEW_SQL.format(x='et.vec_id')})"
+    f" = ({_SKEW_SQL.format(x='p.query_id')}))"
+    f" >= {_SKEW_HOT_SHARE} * (SELECT count(*) FROM embeddings)"
+    f" THEN {IVF_KMEANS_NPROBE} ELSE {_IVF_NCELLS} END)"
+)
+
+
+def _skew_tenant(col: Column) -> Column:
+    """The skewed-tenant derivation — MUST stay the Spark mirror of
+    :data:`_SKEW_SQL` (one hot tenant ~92.9%, three ~2.4% cold ones,
+    queries landing in both classes at every sf)."""
+    return (
+        F.when((col % 7 == 6) & (col % 2 == 0), col % 3 + 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
+def _skew_nprobe_map(e: DataFrame) -> DataFrame:
+    """Per-tenant probe policy table ``(qlabel, qnprobe)`` — derived
+    from the DATA (tenant population share vs :data:`_SKEW_HOT_SHARE`),
+    not hardcoded per tenant id, so the same plan serves any skew
+    shape.  A 4-row aggregate: the unbounded window over it is free."""
+    pops = (
+        e.select(_skew_tenant(F.col("vec_id")).alias("qlabel"))
+        .groupBy("qlabel")
+        .agg(F.count(F.lit(1)).alias("pop"))
+        .withColumn("total", F.sum("pop").over(Window.partitionBy()))
+    )
+    return pops.select(
+        "qlabel",
+        F.when(
+            F.col("pop") >= _SKEW_HOT_SHARE * F.col("total"),
+            F.lit(IVF_KMEANS_NPROBE),
+        )
+        .otherwise(F.lit(_IVF_NCELLS))
+        .alias("qnprobe"),
+    )
+
+
+def knn_ivfpq_tenant_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered search over a SKEWED tenant distribution (r13
+    verdict task 2) — the hard case of multi-tenant serving: one hot
+    tenant owns ~92.9% of the corpus, three cold tenants ~2.4% each.
+    Two failure modes, both closed here: (a) the hot tenant must NOT
+    degenerate toward an unfiltered scan — its candidates stay
+    cell-pruned at the default probe depth; (b) a cold tenant's members
+    are so sparse per cell that the default depth cannot fill k — its
+    queries probe EVERY cell (scanning a ~2% tenant's full membership
+    is cheap), via the per-query ``qnprobe`` column of
+    :func:`SIM.ivfpq_serve`.  The policy is data-derived (population
+    share vs 5%), and the oracle states the identical derivation and
+    policy inline (correlated count vs total in the probe bound), so a
+    leaked foreign-tenant row, an under-filled cold query, or a
+    hot-tenant full scan all fail the hash."""
+    cells, icents, codes, pqcents = shared_index_parts(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    labels = e.select(
+        "vec_id", _skew_tenant(F.col("vec_id")).alias("label")
+    )
+    queries = (
+        SIM.normed(e, "vec_id", "embedding")
+        .filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            _skew_tenant(F.col("vec_id")).alias("qlabel"),
+        )
+        .join(F.broadcast(_skew_nprobe_map(e)), "qlabel")
+    )
+    return SIM.ivfpq_serve(
+        queries, cells, icents, codes, pqcents, K, IVF_KMEANS_NPROBE,
+        labels=labels,
+    )
+
+
+def knn_brute_force_tenant_skewed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT filtered top-k over the SKEWED tenant fixture — the recall
+    baseline for :func:`knn_ivfpq_tenant_skewed`: every query's true
+    cosine top-k among its own (derived) tenant's vectors.  Per-class
+    recall floors are pinned against THIS row
+    (tests/test_similarity.py::test_tenant_skewed_per_class_recall)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = SIM.normed(e, "vec_id", "embedding").withColumn(
+        "label", _skew_tenant(F.col("vec_id"))
+    )
+    queries = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(
+            base,
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") == F.col("qlabel")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                SIM.dot(F.col("qv"), F.col("v"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+_TENANT_PART_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _tenant_partitioned_membership(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ALTERNATIVE tenant serving layout (r13 verdict optional
+    task 7): the IVF membership table written ``partitionBy("label")``
+    — on disk one directory per tenant, so the tenant is a partition
+    column that rides every membership row for free.  Serving then
+    needs NO label-table join (compare ``ivfpq_serve(labels=...)``,
+    which pays an O(corpus) equi-join per batch), and a single-tenant
+    serve with a literal label predicate is a partition-PRUNED scan —
+    the cold-tenant case reads ~1/10th of the membership bytes
+    (asserted via PartitionFilters in tests/test_similarity.py::
+    test_tenant_partitioned_layout_prunes).  Cached per (session,
+    sf_dir); the directory lives for the session so scans keep their
+    pruning (production writes this layout to the permanent index
+    path at build time).  Trade-off documented in SCALE.md: the
+    layout pins ONE partition key — a second filter attribute still
+    needs the join path — and tenant churn (a vector changing tenant)
+    becomes a file rewrite instead of a row update."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    mem = _TENANT_PART_CACHE.get(key)
+    if mem is None:
+        import tempfile
+
+        cells, _icents, _codes, _pqcents = shared_index_parts(
+            spark, sf_dir
+        )
+        e = load_table(spark, sf_dir, "embeddings")
+        labels = e.select(
+            "vec_id", F.col("label").cast("long").alias("label")
+        )
+        tdir = tempfile.mkdtemp(prefix="ann_tenant_part_")
+        cells.join(labels, "vec_id").write.mode("overwrite").partitionBy(
+            "label"
+        ).parquet(tdir)
+        mem = spark.read.parquet(tdir).select(
+            "vec_id", "cell", F.col("label").cast("long").alias("label")
+        )
+        _TENANT_PART_CACHE[key] = mem
+    return mem
+
+
+def knn_ivfpq_tenant_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Metadata-filtered search from the PARTITIONED-BY-TENANT index
+    layout — same semantics as :func:`knn_ivfpq_tenant` (the row
+    shares its oracle verbatim: layout changes, results don't), but
+    the filter is satisfied by the membership table's own partition
+    column instead of a per-batch label-table join: candidates carry
+    their tenant off the scan, one broadcast of per-query labels, zero
+    extra corpus-sized joins.  See
+    :func:`_tenant_partitioned_membership` for the layout contract
+    and SCALE.md for the measured crossover vs the join path."""
+    mem = _tenant_partitioned_membership(spark, sf_dir)
+    _cells, icents, codes, pqcents = shared_index_parts(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = (
+        SIM.normed(e, "vec_id", "embedding")
+        .filter(F.col("vec_id") % QUERY_MOD == 0)
+        .join(e.select("vec_id", "label"), "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            F.col("label").cast("long").alias("qlabel"),
+        )
+    )
+    return SIM.ivfpq_serve(
+        queries, mem, icents, codes, pqcents, K, IVF_KMEANS_NPROBE
+    )
+
+
+KNN_BRUTE_FORCE_TENANT_SKEWED_ORACLE = f"""
+WITH {_SQL_BASE},
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+      WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           {_sql_dot('q.qv', 'c.v')} / (q.qnrm * c.nrm) AS cos
+    FROM q JOIN n c ON c.vec_id != q.query_id
+     AND ({_SKEW_SQL.format(x='c.vec_id')})
+       = ({_SKEW_SQL.format(x='q.query_id')})
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine_sim,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {K}
+"""
 
 
 def knn_ivfpq_refined_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4007,6 +4268,33 @@ QUERIES = {
         "encodings matrix closed): label-equality pre-filter inside "
         "residual candidate generation, served from the shared "
         "residual artifact",
+    ),
+    "knn_ivfpq_tenant_skewed": QuerySpec(
+        knn_ivfpq_tenant_skewed,
+        _knn_ivfpq_oracle(
+            extra_cand_pred=_SKEW_CAND_PRED,
+            probe_bound=_SKEW_PROBE_BOUND,
+        ),
+        "filtered search over a SKEWED tenant distribution (hot tenant "
+        "~93%, cold ~2.4% each): hot queries stay cell-pruned at the "
+        "default probe depth, cold queries probe every cell so they "
+        "still fill k — the per-tenant policy derived from population "
+        "share, stated identically in the oracle's probe bound",
+    ),
+    "knn_brute_force_tenant_skewed": QuerySpec(
+        knn_brute_force_tenant_skewed,
+        KNN_BRUTE_FORCE_TENANT_SKEWED_ORACLE,
+        "exact filtered top-k over the skewed tenant fixture (the "
+        "skewed family's recall baseline)",
+    ),
+    "knn_ivfpq_tenant_partitioned": QuerySpec(
+        knn_ivfpq_tenant_partitioned,
+        _knn_ivfpq_oracle(extra_cand_pred=_TENANT_CAND_PRED),
+        "filtered search from the partitionBy(label) index layout: the "
+        "tenant rides the membership scan as a partition column — no "
+        "label-table join at serve, single-tenant serves prune "
+        "partitions; shares knn_ivfpq_tenant's oracle verbatim (layout "
+        "changes, results don't)",
     ),
     "knn_ivfpq_residual_removed": QuerySpec(
         knn_ivfpq_residual_removed,

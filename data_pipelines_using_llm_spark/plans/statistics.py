@@ -228,10 +228,18 @@ def user_value_ewma_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     order — each round is one grouped sort-fold over ONE chunk's events
     joined full-outer with the carried state, so per-key task memory is
     bounded by the key's activity within a single chunk, never its
-    lifetime.  The carry is persisted per round (operators/caching.py::
-    barrier) so round N+1 starts from materialized state instead of
-    re-deriving N rounds of lineage — exactly what streaming
-    ``transformWithState`` does incrementally, expressed as batch.
+    lifetime.  The carry is cut with an eager ``localCheckpoint`` per
+    round (r13 verdict task 5 — the graph-fixpoint lineage discipline,
+    NOT a persist barrier: persist caches blocks but leaves the logical
+    plan nested, so a multi-year corpus would stack one unanalyzed
+    full-outer segment per week and the final plan's analysis would
+    grow with the calendar; the checkpoint keeps plan depth CONSTANT —
+    one chunk join over a materialized carry, whatever the span, as
+    asserted on a ~3-year fixture in
+    tests/test_graph.py::test_ewma_chunked_plan_depth_bounded).  Round
+    N+1 therefore starts from materialized state instead of re-deriving
+    N rounds of lineage — exactly what streaming ``transformWithState``
+    does incrementally, expressed as batch.
 
     Bit-equality with the unchunked fold (same oracle, and asserted
     exactly in tests/test_graph.py): a left fold over a concatenation is
@@ -251,7 +259,6 @@ def user_value_ewma_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .collect()
     )
-    from data_pipelines_using_llm_spark.operators.caching import barrier
 
     step = lambda acc, s: (  # noqa: E731 — shared by both fold branches
         F.lit(EWMA_ALPHA) * s["value"] + F.lit(1 - EWMA_ALPHA) * acc
@@ -301,7 +308,9 @@ def user_value_ewma_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(seeded)
                 .alias("state"),
             )
-        carry = barrier(folded)
+        # eager lineage CUT, not a persist: keeps the final plan one
+        # segment deep however many weeks the calendar spans
+        carry = folded.localCheckpoint(eager=True)
     if carry is None:  # no qualifying events at all
         return spark.createDataFrame(
             [], "user_id bigint, n_events int, ewma_value double"

@@ -641,6 +641,7 @@ def run_stream_knn(
     query_mod: int | None = None,
     on_batch_start=None,
     timeout_s: int = 300,
+    labels: DataFrame | None = None,
 ) -> None:
     """The online-serving stream over a LIVE versioned index: query
     vectors arrive as parquet files (one micro-batch per file), and
@@ -670,7 +671,15 @@ def run_stream_knn(
     never be silently served with raw arithmetic.
     ``on_batch_start(batch_id)`` is a test seam for committing
     an index change at a chosen batch boundary.  ``query_mod`` filters
-    arriving vec_ids to the query block (None serves every arrival)."""
+    arriving vec_ids to the query block (None serves every arrival).
+    ``labels`` turns on METADATA-FILTERED serving (r13 verdict task 3 —
+    the actual multi-tenant deployment: filtered + versioned +
+    streaming): pass the static ``(vec_id, label)`` tenant table and
+    each arriving query carries its OWN ``label`` column (already in
+    the stream schema) as its tenant — the per-batch serve pre-filters
+    candidates inside candidate generation exactly as the batch rows
+    do, under BOTH encoding regimes, so a mid-stream index swap cannot
+    leak a foreign-tenant row."""
     from pyspark.sql.types import ArrayType, FloatType, IntegerType
 
     from data_pipelines_using_llm_spark.operators import similarity as SIM
@@ -732,9 +741,20 @@ def run_stream_knn(
             F.col("v").alias("qv"),
             F.col("nrm").alias("qnrm"),
         )
+        if labels is not None:
+            # the arriving request carries its own tenant; the corpus
+            # side comes from the static label table passed in
+            queries = queries.join(
+                arrivals.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").cast("long").alias("qlabel"),
+                ),
+                "query_id",
+            )
         serve = SIM.ivfpq_residual_serve if residual else SIM.ivfpq_serve
         serve(
-            queries, cells, icents, codes, pqcents, K, IVF_KMEANS_NPROBE
+            queries, cells, icents, codes, pqcents, K, IVF_KMEANS_NPROBE,
+            labels=labels,
         ).write.mode("append").parquet(out_dir)
 
     query = (
@@ -788,8 +808,27 @@ def stream_knn_residual_serve(
     return _stream_knn_serve_impl(spark, sf_dir, residual=True)
 
 
+def stream_knn_tenant_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTUAL multi-tenant serving deployment (r13 verdict task 3) —
+    filtered + versioned + streaming composed: query vectors stream in
+    carrying their tenant label, every micro-batch re-resolves the
+    index pointer, and candidates are pre-filtered to the query's
+    tenant INSIDE candidate generation.  The row shares
+    ``knn_ivfpq_tenant``'s oracle verbatim (the correlated
+    label-equality candidate predicate), so a stream that leaked a
+    foreign-tenant row, post-filtered after ranking, or dropped the
+    filter after an index swap fails the hash.  Batching invariance
+    holds as for the unfiltered stream (per-query top-k, exact
+    sequenced folds); tenant purity across a MID-STREAM index swap is
+    proven in tests/test_streaming.py::
+    test_stream_knn_tenant_purity_across_midstream_swap."""
+    return _stream_knn_serve_impl(
+        spark, sf_dir, residual=False, tenant=True
+    )
+
+
 def _stream_knn_serve_impl(
-    spark: SparkSession, sf_dir: str, residual: bool
+    spark: SparkSession, sf_dir: str, residual: bool, tenant: bool = False
 ) -> DataFrame:
     import os
     import shutil
@@ -821,8 +860,18 @@ def _stream_knn_serve_impl(
             leaves = [emb_path]
         for i, leaf in enumerate(leaves):
             os.symlink(leaf, os.path.join(src_dir, f"part-{i:05d}.parquet"))
+        labels = None
+        if tenant:
+            from data_pipelines_using_llm_spark.sources.tables import (
+                load_table,
+            )
+
+            labels = load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", F.col("label").cast("long").alias("label")
+            )
         run_stream_knn(
-            spark, src_dir, tdir, out_dir, chk, query_mod=QUERY_MOD
+            spark, src_dir, tdir, out_dir, chk, query_mod=QUERY_MOD,
+            labels=labels,
         )
         return spark.read.parquet(out_dir).localCheckpoint(eager=True)
     finally:
@@ -848,6 +897,15 @@ def _stream_knn_residual_oracle() -> str:
     return _knn_ivfpq_residual_oracle()
 
 
+def _stream_knn_tenant_oracle() -> str:
+    from data_pipelines_using_llm_spark.plans.similarity_queries import (
+        _TENANT_CAND_PRED,
+        _knn_ivfpq_oracle,
+    )
+
+    return _knn_ivfpq_oracle(extra_cand_pred=_TENANT_CAND_PRED)
+
+
 QUERIES = {
     "stream_knn_serve": QuerySpec(
         stream_knn_serve,
@@ -863,6 +921,14 @@ QUERIES = {
         "per-version meta read must dispatch the reconstruction "
         "arithmetic (shares knn_ivfpq_residual's oracle verbatim — "
         "raw ADC math on the residual snapshot hash-mismatches)",
+    ),
+    "stream_knn_tenant_serve": QuerySpec(
+        stream_knn_tenant_serve,
+        _stream_knn_tenant_oracle(),
+        "the multi-tenant serving deployment composed: filtered + "
+        "versioned + streaming — arriving queries carry their tenant, "
+        "candidates pre-filtered inside generation per micro-batch "
+        "(shares knn_ivfpq_tenant's oracle verbatim)",
     ),
     "stream_quarantine_events": QuerySpec(
         stream_quarantine_events,

@@ -153,6 +153,59 @@ def test_user_value_ewma_chunked_bit_equal(spark):
     assert weeks >= 2
 
 
+def test_ewma_chunked_plan_depth_bounded(spark, tmp_path):
+    """r13 verdict task 5 — the chunk-and-carry EWMA on a LONG calendar
+    (~3 years = 156 week chunks) must not stack one unanalyzed plan
+    segment per week: the per-round eager ``localCheckpoint`` cuts
+    lineage, so the final plan is a constant-depth projection over a
+    materialized carry — zero joins, no 156-deep full-outer chain —
+    and the fold still matches the unchunked sorted fold EXACTLY."""
+    import datetime as _dt
+
+    from data_pipelines_using_llm_spark.plans.statistics import (
+        user_value_ewma,
+        user_value_ewma_chunked,
+    )
+
+    t0 = _dt.datetime(2022, 1, 3)  # a Monday: clean week boundaries
+    rows = []
+    eid = 0
+    for w in range(156):
+        for u in range(8):
+            for j in range(2):
+                eid += 1
+                rows.append(
+                    (
+                        eid,
+                        t0 + _dt.timedelta(weeks=w, hours=3 * u + j),
+                        u,
+                        "click",
+                        float((eid * 13 + u) % 97) / 4.0,
+                        "{}",
+                    )
+                )
+    fixture = str(tmp_path / "sfcal")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{fixture}/events.parquet")
+
+    out = user_value_ewma_chunked(spark, fixture)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the carry behind the final projection is a materialized RDD scan:
+    # a persist-only barrier would leave 156 nested full-outer segments
+    assert "Join" not in plan, plan
+    assert len(plan.splitlines()) <= 10, plan
+    # correctness on the long calendar: bit-equal to the unchunked fold
+    a = {
+        r["user_id"]: (r["n_events"], r["ewma_value"])
+        for r in user_value_ewma(spark, fixture).collect()
+    }
+    b = {r["user_id"]: (r["n_events"], r["ewma_value"]) for r in out.collect()}
+    assert a == b and len(a) == 8
+
+
 def test_triangle_counts_hand_computed(spark):
     """K4 minus one edge: nodes {1,2,3,4}, edges all pairs except (3,4).
     Triangles: (1,2,3) and (1,2,4) — so 1 and 2 sit in 2 each, 3 and 4

@@ -950,6 +950,37 @@ def test_tenant_skewed_per_class_recall(spark):
     assert _recall(hot_q) >= 0.05, _recall(hot_q)
 
 
+def test_tenant_partitioned_layout_prunes(spark):
+    """r13 verdict optional task 7 — the partitionBy(label) index
+    layout's scale claim: a single-tenant serve with a literal label
+    predicate must reach the membership scan as a PARTITION filter
+    (reading ~1/n_tenants of the bytes), not a post-scan filter; and
+    the layout's serve must agree row-for-row with the label-join
+    layout (knn_ivfpq_tenant) — layout changes, results don't."""
+    sf = "/root/testdata/sf0.001"
+    mem = SQ._tenant_partitioned_membership(spark, sf)
+    plan = (
+        mem.filter(F.col("label") == 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    # the literal predicate lands in PartitionFilters, not PushedFilters
+    part_section = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "label" in part_section, plan
+
+    a = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+        for r in SQ.knn_ivfpq_tenant(spark, sf).collect()
+    }
+    b = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+        for r in SQ.knn_ivfpq_tenant_partitioned(spark, sf).collect()
+    }
+    assert a == b and len(a) > 0
+
+
 def _load_ann_maintain():
     import importlib.util
 

@@ -451,6 +451,116 @@ def test_stream_knn_picks_up_midstream_extend(spark, tmp_path):
     assert reference(v1, late_ids) != reference(v1 + 1, late_ids)
 
 
+def test_stream_knn_tenant_purity_across_midstream_swap(spark, tmp_path):
+    """r13 verdict task 3 — the multi-tenant serving deployment under a
+    LIVE index swap: a tenant-filtered query stream (labels= through
+    run_stream_knn) with an ann_index_extend committed at batch 2 must
+    (a) never leak a foreign-tenant neighbor in ANY batch, before or
+    after the swap, and (b) serve each batch exactly as a one-shot
+    FILTERED serve against the version live at that batch's start —
+    the filter composes with the pointer re-resolution, it is not
+    re-derived per version."""
+    from data_pipelines_using_llm_spark.operators import similarity as SIM
+    from data_pipelines_using_llm_spark.plans import similarity_queries as SQ
+    from data_pipelines_using_llm_spark.sources.tables import load_table
+    from data_pipelines_using_llm_spark.streaming.stream_queries import (
+        run_stream_knn,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "embeddings")
+    train = e.filter(F.col("vec_id") % 2 == 0)
+    extra = e.filter(F.col("vec_id") % 2 == 1)
+    tdir = str(tmp_path / "ann_index")
+    v1 = SQ.ann_index_train(spark, sf, tdir, source=train)
+    labels = e.select("vec_id", F.col("label").cast("long").alias("label"))
+
+    qids = sorted(
+        r["vec_id"]
+        for r in e.filter(F.col("vec_id") % SQ.QUERY_MOD == 0)
+        .select("vec_id")
+        .collect()
+    )
+    assert len(qids) >= 4
+    files = [qids[0:1], qids[1:2], qids[2:3], qids[3:]]
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    now = int(time.time())
+    for i, ids in enumerate(files):
+        p = str(tmp_path / f"qb{i}")
+        e.filter(F.col("vec_id").isin(ids)).coalesce(1).write.parquet(p)
+        leaf = [f for f in os.listdir(p) if f.endswith(".parquet")][0]
+        dst = os.path.join(src_dir, f"q{i}.parquet")
+        os.rename(os.path.join(p, leaf), dst)
+        os.utime(dst, (now - 400 + i, now - 400 + i))
+
+    extended = []
+
+    def on_batch_start(batch_id: int) -> None:
+        if batch_id == 2 and not extended:
+            extended.append(SQ.ann_index_extend(spark, tdir, extra))
+
+    out_dir = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    run_stream_knn(
+        spark, src_dir, tdir, out_dir, chk,
+        on_batch_start=on_batch_start, labels=labels,
+    )
+    assert extended == [v1 + 1]
+    out = spark.read.parquet(out_dir)
+
+    # (a) tenant purity in every batch: no (query, neighbor) pair may
+    # cross a label boundary
+    lab = {r["vec_id"]: r["label"] for r in labels.collect()}
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert lab[r["query_id"]] == lab[r["neighbor_id"]], (
+            r["query_id"], r["neighbor_id"],
+        )
+
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+        for r in rows
+    }
+
+    def reference(version: int, ids: list) -> dict:
+        parts = SQ.ann_index_load(spark, tdir, version=version)
+        queries = (
+            SIM.normed(
+                e.filter(F.col("vec_id").isin(ids)), "vec_id", "embedding"
+            )
+            .join(
+                labels.select(
+                    F.col("vec_id"),
+                    F.col("label").alias("qlabel"),
+                ),
+                "vec_id",
+            )
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("v").alias("qv"),
+                F.col("nrm").alias("qnrm"),
+                "qlabel",
+            )
+        )
+        return {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+            for r in SIM.ivfpq_serve(
+                queries, *parts, SQ.K, SQ.IVF_KMEANS_NPROBE, labels=labels
+            ).collect()
+        }
+
+    # (b) each batch = one-shot filtered serve against its live version
+    early_ids = files[0] + files[1]
+    late_ids = files[2] + files[3]
+    want = reference(v1, early_ids) | reference(v1 + 1, late_ids)
+    assert got == want
+    # non-vacuity: the swap must actually change the late filtered
+    # serves (the odd half contains same-tenant vectors that win)
+    assert reference(v1, late_ids) != reference(v1 + 1, late_ids)
+
+
 def test_stream_knn_picks_up_midstream_remove_and_rollback(spark, tmp_path):
     """The full live-maintenance story under a query stream: a
     mid-stream ann_index_remove is picked up by later batches, and a
