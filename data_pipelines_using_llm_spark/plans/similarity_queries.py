@@ -1197,15 +1197,20 @@ def _knn_ivfpq_refined_oracle(
     pq_iters: int = SIM.PQ_ITERS,
     refine_factor: int = SIM.PQ_REFINE_FACTOR,
     extra_cand_pred: str = "",
+    probe_bound: str | None = None,
 ) -> str:
     """The IVFPQ candidate CTE families (cells + codes, ranked to
     C = refine_factor·k) composed with the exact-cosine re-rank —
     IndexRefineFlat(IndexIVFPQ) in SQL.  ``extra_cand_pred`` appends a
     predicate to the candidate CTE (the tenant filter of
-    ``knn_ivfpq_tenant_refined``); default empty leaves existing
-    oracles byte-identical."""
+    ``knn_ivfpq_tenant_refined``); ``probe_bound`` replaces the scalar
+    probe-depth literal with a SQL expression (the per-tenant-class
+    policy of ``knn_ivfpq_tenant_skewed_refined``); defaults leave
+    existing oracles byte-identical."""
     sd = SIM.DIM // m
     ncand = refine_factor * K
+    if probe_bound is None:
+        probe_bound = str(IVF_KMEANS_NPROBE)
     return f"""
 WITH {_SQL_BASE},
 {_kmeans_lbl_body(k, iters)},
@@ -1214,7 +1219,7 @@ WITH {_SQL_BASE},
 cand0 AS (
     SELECT p.query_id, c.vec_id
     FROM probes p JOIN lbl c ON c.cell = p.cell
-    WHERE p.crank <= {IVF_KMEANS_NPROBE} AND c.vec_id != p.query_id{extra_cand_pred}
+    WHERE p.crank <= {probe_bound} AND c.vec_id != p.query_id{extra_cand_pred}
 ),
 lut AS (
     SELECT q.query_id, q.qnrm, c.m, c.code,
@@ -2500,6 +2505,47 @@ def knn_ivfpq_tenant_partitioned(
     )
     return SIM.ivfpq_serve(
         queries, mem, icents, codes, pqcents, K, IVF_KMEANS_NPROBE
+    )
+
+
+def knn_ivfpq_tenant_skewed_refined(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION stack for the skewed regime —
+    IndexRefineFlat(policy-probed filtered IVFPQ): tenant-pure
+    candidates at the per-tenant-class probe depth to C =
+    refine_factor·k, then the shared exact-cosine re-rank.  This is
+    the row that closes the skewed family's recall story: a COLD
+    tenant's candidate set is its entire membership (full probe), so
+    the exact re-rank makes its top-k EXACT (recall 1.0 vs the
+    brute-force baseline, asserted in tests/test_similarity.py); the
+    HOT tenant gets the usual refined recall bounded by cell
+    coverage.  Oracle = the refined oracle with the skewed candidate
+    predicate AND the policy probe bound."""
+    ncand = SIM.PQ_REFINE_FACTOR * K
+    cells, icents, codes, pqcents = shared_index_parts(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    labels = e.select(
+        "vec_id", _skew_tenant(F.col("vec_id")).alias("label")
+    )
+    queries = (
+        SIM.normed(e, "vec_id", "embedding")
+        .filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            _skew_tenant(F.col("vec_id")).alias("qlabel"),
+        )
+        .join(F.broadcast(_skew_nprobe_map(e)), "qlabel")
+    )
+    cands = SIM.ivfpq_serve(
+        queries, cells, icents, codes, pqcents, ncand, IVF_KMEANS_NPROBE,
+        labels=labels,
+    ).select("query_id", "neighbor_id")
+    return SIM._refine_exact(
+        SIM.normed(e, "vec_id", "embedding"), cands, QUERY_MOD, K, ncand,
+        n_queries=_n_queries_cached(spark, sf_dir),
     )
 
 
@@ -4286,6 +4332,18 @@ QUERIES = {
         KNN_BRUTE_FORCE_TENANT_SKEWED_ORACLE,
         "exact filtered top-k over the skewed tenant fixture (the "
         "skewed family's recall baseline)",
+    ),
+    "knn_ivfpq_tenant_skewed_refined": QuerySpec(
+        knn_ivfpq_tenant_skewed_refined,
+        _knn_ivfpq_refined_oracle(
+            extra_cand_pred=_SKEW_CAND_PRED,
+            probe_bound=_SKEW_PROBE_BOUND,
+        ),
+        "the production stack for the skewed regime: tenant-pure "
+        "candidates at the per-class probe depth to C = 8k, exact "
+        "re-rank — a cold tenant's top-k becomes EXACT (its full "
+        "membership is in candidates), the hot tenant gets refined "
+        "recall bounded by cell coverage",
     ),
     "knn_ivfpq_tenant_partitioned": QuerySpec(
         knn_ivfpq_tenant_partitioned,

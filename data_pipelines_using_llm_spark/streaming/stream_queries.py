@@ -827,6 +827,22 @@ def stream_knn_tenant_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_knn_residual_tenant_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The filters × encodings × serving-modes matrix CLOSED: tenant
+    filtering + residual encoding + streaming in one gated row —
+    arriving queries carry their tenant, each micro-batch re-resolves
+    the versioned RESIDUAL snapshot, reads its meta row, and serves
+    through :func:`SIM.ivfpq_residual_serve` with the label pre-filter
+    inside candidate generation.  Shares ``knn_ivfpq_residual_tenant``'s
+    oracle verbatim — a stream that dropped the filter, or served the
+    residual snapshot with raw ADC arithmetic, fails the hash."""
+    return _stream_knn_serve_impl(
+        spark, sf_dir, residual=True, tenant=True
+    )
+
+
 def _stream_knn_serve_impl(
     spark: SparkSession, sf_dir: str, residual: bool, tenant: bool = False
 ) -> DataFrame:
@@ -906,6 +922,15 @@ def _stream_knn_tenant_oracle() -> str:
     return _knn_ivfpq_oracle(extra_cand_pred=_TENANT_CAND_PRED)
 
 
+def _stream_knn_residual_tenant_oracle() -> str:
+    from data_pipelines_using_llm_spark.plans.similarity_queries import (
+        _TENANT_CAND_PRED,
+        _knn_ivfpq_residual_oracle,
+    )
+
+    return _knn_ivfpq_residual_oracle(extra_cand_pred=_TENANT_CAND_PRED)
+
+
 QUERIES = {
     "stream_knn_serve": QuerySpec(
         stream_knn_serve,
@@ -929,6 +954,13 @@ QUERIES = {
         "versioned + streaming — arriving queries carry their tenant, "
         "candidates pre-filtered inside generation per micro-batch "
         "(shares knn_ivfpq_tenant's oracle verbatim)",
+    ),
+    "stream_knn_residual_tenant_serve": QuerySpec(
+        stream_knn_residual_tenant_serve,
+        _stream_knn_residual_tenant_oracle(),
+        "filters x encodings x serving-modes closed: tenant-filtered "
+        "streaming serve from a residual snapshot (shares "
+        "knn_ivfpq_residual_tenant's oracle verbatim)",
     ),
     "stream_quarantine_events": QuerySpec(
         stream_quarantine_events,

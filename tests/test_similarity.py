@@ -950,6 +950,34 @@ def test_tenant_skewed_per_class_recall(spark):
     assert _recall(hot_q) >= 0.05, _recall(hot_q)
 
 
+def test_tenant_skewed_refined_cold_is_exact(spark):
+    """The skewed production stack's recall story: a COLD tenant's
+    candidate set under the full-probe policy is its entire membership,
+    so the exact re-rank returns the EXACT filtered top-k — recall 1.0
+    vs the brute-force skewed baseline, not a floor.  The hot class
+    keeps a refined-recall floor (candidates bounded by cell
+    coverage)."""
+    sf = "/root/testdata/sf0.001"
+
+    def _skew(x: int) -> int:
+        return x % 3 + 1 if (x % 7 == 6 and x % 2 == 0) else 0
+
+    truth: dict[int, set[int]] = {}
+    for r in SQ.knn_brute_force_tenant_skewed(spark, sf).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got: dict[int, set[int]] = {}
+    for r in SQ.knn_ivfpq_tenant_skewed_refined(spark, sf).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    cold_q = [q for q in truth if _skew(q) != 0]
+    hot_q = [q for q in truth if _skew(q) == 0]
+    assert cold_q and hot_q
+    for q in cold_q:  # exact, not approximate
+        assert got[q] == truth[q], (q, got[q], truth[q])
+    n = sum(len(truth[q]) for q in hot_q)
+    hit = sum(len(truth[q] & got.get(q, set())) for q in hot_q)
+    assert n > 0 and hit / n >= 0.30, (hit, n)
+
+
 def test_tenant_partitioned_layout_prunes(spark):
     """r13 verdict optional task 7 — the partitionBy(label) index
     layout's scale claim: a single-tenant serve with a literal label
