@@ -2067,16 +2067,21 @@ def ivfpq_residual_serve(
     textually in the oracle, so the stack hash-gates like the raw-PQ
     family.  ``labels`` turns on the same metadata (multi-tenant)
     pre-filter as :func:`ivfpq_serve` — label-equal candidates only,
-    applied inside candidate generation."""
+    applied inside candidate generation.  A ``qnprobe`` column on
+    ``queries`` gives each query its own probe depth (the skewed-tenant
+    policy), exactly as in :func:`ivfpq_serve`; without it the scalar
+    path is byte-identical."""
     subdim = DIM // m
     wprobe = Window.partitionBy("query_id").orderBy(
         F.col("ccos").desc(), F.col("cell")
     )
+    per_query_nprobe = "qnprobe" in queries.columns
     probes = (
         F.broadcast(queries)
         .crossJoin(F.broadcast(icents))
         .select(
             "query_id",
+            *(["qnprobe"] if per_query_nprobe else []),
             "cell",
             (
                 dot(F.col("qv"), F.col("cv"))
@@ -2084,7 +2089,10 @@ def ivfpq_residual_serve(
             ).alias("ccos"),
         )
         .withColumn("crank", F.row_number().over(wprobe))
-        .filter(F.col("crank") <= nprobe)
+        .filter(
+            F.col("crank")
+            <= (F.col("qnprobe") if per_query_nprobe else F.lit(nprobe))
+        )
         .select("query_id", "cell")
     )
     cand = (

@@ -1402,6 +1402,7 @@ def _residual_ivfpq_prefix(
     kcodes: int = SIM.PQ_K,
     pq_iters: int = SIM.PQ_ITERS,
     extra_cand_pred: str = "",
+    probe_bound: str | None = None,
 ) -> str:
     """Shared oracle prefix of the residual-IVFPQ family: coarse
     k-means + cell centroids + probes, the residual CTE
@@ -1412,9 +1413,13 @@ def _residual_ivfpq_prefix(
     everything up to the scoring expression both residual oracles
     state.  ``extra_cand_pred`` appends a predicate to the candidate
     CTE (the removed-ids exclusion of ``knn_ivfpq_residual_removed``,
-    mirroring the raw family's ``_knn_ivfpq_oracle`` hook); the default
-    empty string leaves every existing oracle byte-identical."""
+    mirroring the raw family's ``_knn_ivfpq_oracle`` hook);
+    ``probe_bound`` replaces the scalar probe-depth literal (the
+    per-tenant-class policy hook, as in ``_knn_ivfpq_oracle``).  The
+    defaults leave every existing oracle byte-identical."""
     sd = SIM.DIM // m
+    if probe_bound is None:
+        probe_bound = str(IVF_KMEANS_NPROBE)
     return f"""{_kmeans_lbl_body(k, iters)},
 {_ivf_probe_body()},
 resid AS (
@@ -1439,7 +1444,7 @@ ccross AS (
 cand AS (
     SELECT p.query_id, c.vec_id, c.cell
     FROM probes p JOIN lbl c ON c.cell = p.cell
-    WHERE p.crank <= {IVF_KMEANS_NPROBE} AND c.vec_id != p.query_id{extra_cand_pred}
+    WHERE p.crank <= {probe_bound} AND c.vec_id != p.query_id{extra_cand_pred}
 ),
 lut AS (
     SELECT q.query_id, q.qnrm, c.m, c.code,
@@ -1485,16 +1490,20 @@ def _knn_ivfpq_residual_oracle(
     kcodes: int = SIM.PQ_K,
     pq_iters: int = SIM.PQ_ITERS,
     extra_cand_pred: str = "",
+    probe_bound: str | None = None,
 ) -> str:
     """Residual-IVFPQ oracle: the shared residual prefix, then the
     reconstruction-cosine ranking ``(q·c + q·r̂) /
     (‖q‖·sqrt(‖c‖² + 2·c·r̂ + ‖r̂‖²))``.  ``extra_cand_pred`` threads
     the candidate-exclusion predicate of
     ``knn_ivfpq_residual_removed`` through to the prefix's ``cand``
-    CTE; default empty leaves the oracle byte-identical."""
+    CTE; ``probe_bound`` the per-tenant-class probe policy of
+    ``knn_ivfpq_residual_tenant_skewed``; defaults leave the oracle
+    byte-identical."""
     return f"""
 WITH {_SQL_BASE},
-{_residual_ivfpq_prefix(k, iters, m, kcodes, pq_iters, extra_cand_pred)},
+{_residual_ivfpq_prefix(k, iters, m, kcodes, pq_iters, extra_cand_pred,
+                        probe_bound)},
 ranked AS (
     SELECT g.query_id, g.vec_id AS neighbor_id,
            {_RESIDUAL_SCORE} AS cos,
@@ -2378,6 +2387,36 @@ def knn_ivfpq_tenant_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(_skew_nprobe_map(e)), "qlabel")
     )
     return SIM.ivfpq_serve(
+        queries, cells, icents, codes, pqcents, K, IVF_KMEANS_NPROBE,
+        labels=labels,
+    )
+
+
+def knn_ivfpq_residual_tenant_skewed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The skewed-tenant probe policy on the RESIDUAL regime — the
+    encodings × skew cell of the matrix: same data-derived
+    per-tenant-class probe depth as :func:`knn_ivfpq_tenant_skewed`
+    (hot stays cell-pruned, cold probes every cell to fill k), served
+    through :func:`SIM.ivfpq_residual_serve` from the session-shared
+    residual artifact.  Oracle = the residual oracle with the skewed
+    candidate predicate AND the policy probe bound — the policy is
+    verified under reconstruction-cosine arithmetic, not just raw
+    ADC."""
+    cells, icents, codes, pqcents = shared_index_parts(
+        spark, sf_dir, residual=True
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    labels = e.select(
+        "vec_id", _skew_tenant(F.col("vec_id")).alias("label")
+    )
+    queries = (
+        _residual_queries(e)
+        .withColumn("qlabel", _skew_tenant(F.col("query_id")))
+        .join(F.broadcast(_skew_nprobe_map(e)), "qlabel")
+    )
+    return SIM.ivfpq_residual_serve(
         queries, cells, icents, codes, pqcents, K, IVF_KMEANS_NPROBE,
         labels=labels,
     )
@@ -4332,6 +4371,17 @@ QUERIES = {
         KNN_BRUTE_FORCE_TENANT_SKEWED_ORACLE,
         "exact filtered top-k over the skewed tenant fixture (the "
         "skewed family's recall baseline)",
+    ),
+    "knn_ivfpq_residual_tenant_skewed": QuerySpec(
+        knn_ivfpq_residual_tenant_skewed,
+        _knn_ivfpq_residual_oracle(
+            extra_cand_pred=_SKEW_CAND_PRED,
+            probe_bound=_SKEW_PROBE_BOUND,
+        ),
+        "the skewed per-tenant-class probe policy on the RESIDUAL "
+        "regime (encodings x skew closed): hot cell-pruned, cold "
+        "full-probe, reconstruction-cosine arithmetic — oracle "
+        "verifies predicate AND probe bound",
     ),
     "knn_ivfpq_tenant_skewed_refined": QuerySpec(
         knn_ivfpq_tenant_skewed_refined,

@@ -949,6 +949,14 @@ def test_tenant_skewed_per_class_recall(spark):
     assert _recall(cold_q) >= 0.7, _recall(cold_q)
     assert _recall(hot_q) >= 0.05, _recall(hot_q)
 
+    # (d) the policy composes with the RESIDUAL regime: cold queries
+    # fill k there too (the encodings x skew matrix cell)
+    res: dict[int, set[int]] = {}
+    for r in SQ.knn_ivfpq_residual_tenant_skewed(spark, sf).collect():
+        res.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for q in cold_q:
+        assert len(res[q]) == SQ.K, (q, len(res.get(q, set())))
+
 
 def test_tenant_skewed_refined_cold_is_exact(spark):
     """The skewed production stack's recall story: a COLD tenant's
