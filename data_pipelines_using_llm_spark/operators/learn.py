@@ -343,12 +343,14 @@ def ols_fit_gauss(
 # use gradient descent (linear_classifier_train) for wider designs.
 GAUSS_MAX_D = 9
 
-# Relative pivot floor for ols_fit_gauss: pivots at or below this
-# fraction of the largest initial Gram diagonal raise.  1e-12 sits ~4
-# decimal digits above double machine-epsilon cancellation (1e-16) —
-# loose enough that any sane full-rank design passes (the gated
-# event_value_ols_* pivots sit > 1e-3 of the diagonal), tight enough
-# that a numerically collinear design cannot slip through.
+# Relative pivot floor for ols_fit_gauss: a pivot at or below this
+# fraction of ITS OWN column's initial Gram diagonal raises (per-column
+# since r13 ADVICE — a global-max reference falsely rejected full-rank
+# designs with mixed feature scales).  1e-12 sits ~4 decimal digits
+# above double machine-epsilon cancellation (1e-16) — loose enough that
+# any sane full-rank design passes (the gated event_value_ols_* pivots
+# sit > 1e-3 of their own diagonals), tight enough that a numerically
+# collinear design cannot slip through.
 GAUSS_PIVOT_RTOL = 1e-12
 
 

@@ -2311,6 +2311,14 @@ _SKEW_CAND_PRED = (
 # (cell pruning still pays there); a cold tenant probes EVERY cell —
 # its full membership is tiny, and the default depth leaves too few
 # same-tenant candidates per probed cell to fill k.
+#
+# _IVF_NCELLS MUST equal the trained index's cell count (the k=10 the
+# family trains with and the oracle generators' k default).  If the
+# two drifted, the Spark policy and the oracle's probe bound would
+# still AGREE with each other — the hash gate stays green — while
+# "probe every cell" silently became a partial probe, so the tie is
+# pinned by tests/test_similarity.py::
+# test_skew_full_probe_covers_all_cells against the live artifact.
 _IVF_NCELLS = 10
 _SKEW_HOT_SHARE = 0.05
 _SKEW_PROBE_BOUND = (
@@ -2496,6 +2504,8 @@ def _tenant_partitioned_membership(
     key = (spark.sparkContext.applicationId, sf_dir)
     mem = _TENANT_PART_CACHE.get(key)
     if mem is None:
+        import atexit
+        import shutil
         import tempfile
 
         cells, _icents, _codes, _pqcents = shared_index_parts(
@@ -2506,6 +2516,12 @@ def _tenant_partitioned_membership(
             "vec_id", F.col("label").cast("long").alias("label")
         )
         tdir = tempfile.mkdtemp(prefix="ann_tenant_part_")
+        # the files must outlive this call (pruned scans read them for
+        # the session), so the rmtree is deferred to process exit — a
+        # plain finally: rmtree (shared_index_parts' pattern) would
+        # break every later scan, and no cleanup at all leaks one
+        # membership copy per session into /tmp
+        atexit.register(shutil.rmtree, tdir, ignore_errors=True)
         cells.join(labels, "vec_id").write.mode("overwrite").partitionBy(
             "label"
         ).parquet(tdir)
@@ -2554,13 +2570,17 @@ def knn_ivfpq_tenant_skewed_refined(
     IndexRefineFlat(policy-probed filtered IVFPQ): tenant-pure
     candidates at the per-tenant-class probe depth to C =
     refine_factor·k, then the shared exact-cosine re-rank.  This is
-    the row that closes the skewed family's recall story: a COLD
-    tenant's candidate set is its entire membership (full probe), so
-    the exact re-rank makes its top-k EXACT (recall 1.0 vs the
-    brute-force baseline, asserted in tests/test_similarity.py); the
-    HOT tenant gets the usual refined recall bounded by cell
-    coverage.  Oracle = the refined oracle with the skewed candidate
-    predicate AND the policy probe bound."""
+    the row that closes the skewed family's recall story: WHILE a
+    cold tenant's membership fits the C = 80 candidate budget (true
+    at every fixture sf — ~12 members at sf0.001/0.01, ~47 at sf0.1),
+    the full probe puts its entire membership in candidates and the
+    exact re-rank makes its top-k EXACT (recall 1.0 vs the
+    brute-force baseline, asserted in tests/test_similarity.py);
+    past that bound the guarantee degrades to ADC recall@C — the
+    operational rule (per-tenant C, or reclassify to the hot policy)
+    is documented in SCALE.md.  The HOT tenant gets the usual refined
+    recall bounded by cell coverage.  Oracle = the refined oracle
+    with the skewed candidate predicate AND the policy probe bound."""
     ncand = SIM.PQ_REFINE_FACTOR * K
     cells, icents, codes, pqcents = shared_index_parts(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
@@ -4391,9 +4411,10 @@ QUERIES = {
         ),
         "the production stack for the skewed regime: tenant-pure "
         "candidates at the per-class probe depth to C = 8k, exact "
-        "re-rank — a cold tenant's top-k becomes EXACT (its full "
-        "membership is in candidates), the hot tenant gets refined "
-        "recall bounded by cell coverage",
+        "re-rank — a cold tenant's top-k is EXACT while its "
+        "membership fits C (true at every fixture sf; boundary in "
+        "SCALE.md), the hot tenant gets refined recall bounded by "
+        "cell coverage",
     ),
     "knn_ivfpq_tenant_partitioned": QuerySpec(
         knn_ivfpq_tenant_partitioned,

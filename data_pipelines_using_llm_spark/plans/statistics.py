@@ -309,7 +309,14 @@ def user_value_ewma_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("state"),
             )
         # eager lineage CUT, not a persist: keeps the final plan one
-        # segment deep however many weeks the calendar spans
+        # segment deep however many weeks the calendar spans.
+        # Lifetime: each round's cut drops every reference to the
+        # PREVIOUS carry's checkpointed RDD, so Spark's ContextCleaner
+        # frees intermediate carries as GC runs (bench.py forces a GC
+        # every 10 queries); only the final carry's blocks live as long
+        # as the returned frame — the same contract as every
+        # localCheckpoint-returning row (the graph fixpoints' pattern,
+        # which this replaces barrier() to match).
         carry = folded.localCheckpoint(eager=True)
     if carry is None:  # no qualifying events at all
         return spark.createDataFrame(

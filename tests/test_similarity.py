@@ -960,10 +960,12 @@ def test_tenant_skewed_per_class_recall(spark):
 
 def test_tenant_skewed_refined_cold_is_exact(spark):
     """The skewed production stack's recall story: a COLD tenant's
-    candidate set under the full-probe policy is its entire membership,
-    so the exact re-rank returns the EXACT filtered top-k — recall 1.0
-    vs the brute-force skewed baseline, not a floor.  The hot class
-    keeps a refined-recall floor (candidates bounded by cell
+    candidate set under the full-probe policy is its entire membership
+    (which FITS the C = 80 refine budget at every fixture sf — the
+    guarantee is conditional on that, see the plan docstring and
+    SCALE.md), so the exact re-rank returns the EXACT filtered top-k —
+    recall 1.0 vs the brute-force skewed baseline, not a floor.  The
+    hot class keeps a refined-recall floor (candidates bounded by cell
     coverage)."""
     sf = "/root/testdata/sf0.001"
 
@@ -984,6 +986,17 @@ def test_tenant_skewed_refined_cold_is_exact(spark):
     n = sum(len(truth[q]) for q in hot_q)
     hit = sum(len(truth[q] & got.get(q, set())) for q in hot_q)
     assert n > 0 and hit / n >= 0.30, (hit, n)
+
+
+def test_skew_full_probe_covers_all_cells(spark):
+    """The skewed policy's 'cold tenants probe EVERY cell' claim is only
+    as good as _IVF_NCELLS matching the trained index's actual cell
+    count — if the trainer's k ever changed while the constant stayed
+    10, the Spark policy and the oracle's probe bound would still agree
+    with each other (gate stays green) while full-probe silently became
+    partial.  Pin the tie against the live session artifact."""
+    icents = SQ.shared_index_parts(spark, "/root/testdata/sf0.001")[1]
+    assert icents.count() == SQ._IVF_NCELLS
 
 
 def test_tenant_partitioned_layout_prunes(spark):
