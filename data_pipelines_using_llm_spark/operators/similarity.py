@@ -344,26 +344,20 @@ def knn_lsh(
 
 def ivf_centroids(base: DataFrame, cell_col: str) -> DataFrame:
     """Per-cell mean vector with ORDER-INDEPENDENT exact arithmetic:
-    posexplode -> decimal sum per (cell, pos) -> double division ->
-    re-assemble sorted by pos.  Identical bits on any partitioning and in
-    the DuckDB oracle."""
-    comp = base.select(
-        F.col(cell_col).alias("cell"), F.posexplode("v").alias("pos", "x")
+    per-dimension decimal(28,10) sums -> double division, fused into ONE
+    ``groupBy(cell)`` exchange of d-column partials (r14: previously a
+    posexplode fed TWO exchanges — (cell, pos) sums then the collect_list
+    re-assembly — shuffling d rows per vector where one row of d partial
+    sums suffices).  The per-dimension arithmetic (cast-then-sum, s / n
+    double division, position order) is unchanged, so the cells are
+    bit-identical on any partitioning and in the DuckDB oracle.  Assumes
+    fixed-dimension (``DIM``) non-null vectors — the embeddings corpus
+    contract every caller already relies on."""
+    sums = _spread(base).groupBy(F.col(cell_col).alias("cell")).agg(
+        *_mean_aggs(_try_elem("v"), DIM)
     )
-    sums = comp.groupBy("cell", "pos").agg(
-        F.sum(F.col("x").cast("decimal(28,10)")).cast("double").alias("s"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    return (
-        sums.select("cell", "pos", (F.col("s") / F.col("n")).alias("c"))
-        .groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                lambda s: s["c"],
-            ).alias("cv")
-        )
-        .select("cell", "cv", norm(F.col("cv")).alias("cnrm"))
+    return sums.select("cell", _means_array(DIM).alias("cv")).select(
+        "cell", "cv", norm(F.col("cv")).alias("cnrm")
     )
 
 
@@ -493,6 +487,95 @@ def dist2(a: Column, b: Column) -> Column:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism floor for compute-dense map work: the
+    literal-centroid argmin evaluates k·d fold steps per row, so a corpus
+    that arrives in fewer partitions than the cluster has cores (the
+    small-file regime — a sub-128MB parquet scan is ONE task) would run
+    single-threaded.  Round-robin repartition up to defaultParallelism
+    ONLY in that regime; at scale the scan already exceeds the core count
+    and this is a no-op (no exchange added).  Results are partitioning-
+    independent everywhere this is used (exact order-free sums, pure
+    per-row maps), so the spread is free of semantic risk."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
+def _sql_double_lit(x: float) -> str:
+    """Exact SQL double literal: ``repr`` emits the shortest decimal that
+    round-trips to the same binary64, and Spark's parser reads it with
+    Double.parseDouble (correctly rounded), so the value re-enters the
+    plan bit-identical."""
+    return f"{float(x)!r}D"
+
+
+def _sql_vec_lit(xs: list[float]) -> str:
+    return "array(" + ",".join(_sql_double_lit(x) for x in xs) + ")"
+
+
+def _least_assign_sql(
+    vexpr: str, cents: list[tuple[int, list[float]]]
+) -> str:
+    """Argmin over LITERAL centroids as ``least`` of (d2, cid) structs —
+    the same (distance, lowest-cid) tie-break as ``min(struct(d2, cid))``
+    over a broadcast centroid table, but evaluated MAP-SIDE with zero
+    joins, zero exchanges: the centroids ride in the expression itself
+    (k·d double literals — codebook-sized at any corpus scale).  ``d2``
+    is the same sequential ``(x-y)²`` left fold as :func:`dist2` (the
+    SQL text parses to the identical ArrayAggregate/ZipWith nodes), so
+    distances are bit-identical to the joined formulation.  Emitted as
+    ONE SQL string because building the k·d-literal tree through py4j
+    Column calls costs seconds of driver round trips per round."""
+
+    def d2(cv: list[float]) -> str:
+        return (
+            f"aggregate(zip_with({vexpr}, {_sql_vec_lit(cv)}, "
+            "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+        )
+
+    structs = [
+        f"named_struct('d2', {d2(cv)}, 'cid', CAST({int(cid)} AS BIGINT))"
+        for cid, cv in cents
+    ]
+    if len(structs) == 1:
+        return structs[0]
+    return "least(" + ",".join(structs) + ")"
+
+
+def _mean_aggs(elem_sql, dim: int) -> list[Column]:
+    """Per-dimension decimal-exact sum aggregates + count — the fused
+    one-exchange form of the posexplode → (key, pos) double shuffle.
+    ``elem_sql(i)`` yields the i-th (1-based) element's SQL expression;
+    sums cast decimal(28,10) BEFORE summing exactly as the exploded
+    form did."""
+    return [
+        F.expr(
+            f"CAST(sum(CAST({elem_sql(i + 1)} AS DECIMAL(28,10))) "
+            "AS DOUBLE)"
+        ).alias(f"_s{i}")
+        for i in range(dim)
+    ] + [F.count(F.lit(1)).alias("_n")]
+
+
+def _try_elem(col: str):
+    """ANSI-safe element accessor for :func:`_mean_aggs` — identical to
+    ``element_at`` on fixed-dimension data (the corpus contract), NULL
+    (excluded from the decimal sum, exactly as the exploded form's
+    missing row) on a shorter vector instead of the ANSI index error."""
+    return lambda i: f"try_element_at({col}, {i})"
+
+
+def _means_array(dim: int) -> Column:
+    """Re-assemble the per-dimension means (s / n, the same double
+    division the exploded form applied per (key, pos) row) in position
+    order."""
+    return F.expr(
+        "array(" + ",".join(f"_s{i} / _n" for i in range(dim)) + ")"
+    )
+
+
 def kmeans_assign(
     df: DataFrame,
     id_col: str,
@@ -504,79 +587,59 @@ def kmeans_assign(
     with the ``k`` lowest ids) and ORDER-INDEPENDENT centroid updates
     (decimal-exact per-dimension means, see :func:`ivf_centroids`).
 
-    The iterative shape on Spark: each round is (broadcast centroids →
-    argmin assign → decimal mean update), persisted per round so the next
-    round's plan starts from materialized state instead of re-deriving the
-    whole lineage.  At 100 TB: assignments are a map-side broadcast join,
-    updates one shuffle on (cluster, dim) — the canonical distributed
-    k-means step.  Ties in the argmin break to the lowest cluster id, so
-    assignments are deterministic and oracle-checkable.
+    The iterative shape on Spark (r14 optimization — the literal-centroid
+    formulation): centroids are CONTROL-PLANE state (k·d doubles — the
+    quantizer, never the corpus), so each Lloyd round collects the k
+    updated mean vectors to the driver and embeds them as literals in the
+    next round's argmin expression (:func:`_least_assign`).  A round is
+    then ONE job: corpus scan → map-side argmin → map-side partial
+    decimal sums → one k-row exchange → collect.  The previous
+    formulation (broadcast-join the centroid table, min(struct) argmin
+    aggregation, posexplode mean update) ran 3 exchanges and ~7 AQE
+    stage-jobs per round for the identical arithmetic; at 100 TB the
+    collect is still k·d scalars (the same size the broadcast shipped)
+    and the corpus still moves zero times per round.
+
+    Arithmetic is unchanged and bit-identical: sequential-fold squared
+    distances, (d2, lowest-cid) argmin tie-break, per-dimension
+    decimal(28,10) sums with the double division applied after the cast
+    — collected doubles re-enter the plan exactly (IEEE round-trip).
+    Assumes fixed-dimension (``DIM``) non-null vectors, which every
+    caller guarantees (the embeddings corpus contract).
     """
     base = barrier(
-        df.select(F.col(id_col).alias("vec_id"), to_double(vec_col).alias("v"))
+        _spread(
+            df.select(
+                F.col(id_col).alias("vec_id"), to_double(vec_col).alias("v")
+            )
+        )
     )
-    cents = base.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    # argmin as a hash aggregation (min of struct(d2, cid) — same
-    # (distance, lowest-cid) tie-break a row_number window would give)
-    # instead of a window: the k×N scored rows are reduced MAP-SIDE to
-    # one row per vector, so the exchange never carries the blowup and
-    # there is no per-partition sort.
+    seed = base.filter(F.col("vec_id") < k).select("vec_id", "v").collect()
+    cents = sorted((int(r["vec_id"]), list(r["v"])) for r in seed)
+    if not cents:  # no seedable vectors: the joined formulation yielded 0 rows
+        return base.select(
+            "vec_id",
+            F.lit(None).cast("long").alias("cluster_id"),
+            F.lit(None).cast("double").alias("dist"),
+        ).filter(F.lit(False))
+    dim = len(cents[0][1])  # fixture dims vary; the corpus contract is DIM
     for _ in range(iters):
-        assigned = (
-            base.crossJoin(F.broadcast(cents))
-            .select(
-                "vec_id",
+        sums = (
+            base.select(
+                F.expr(f"({_least_assign_sql('v', cents)}).cid").alias("cid"),
                 "v",
-                F.struct(
-                    dist2(F.col("v"), F.col("cv")).alias("d2"),
-                    F.col("cid").alias("cid"),
-                ).alias("dc"),
             )
-            .groupBy("vec_id")
-            .agg(F.min("dc").alias("dc"), F.first("v").alias("v"))
-            .select(
-                "vec_id",
-                "v",
-                F.col("dc.cid").alias("cid"),
-                F.col("dc.d2").alias("d2"),
-            )
-        )
-        assigned = barrier(assigned)
-        comp = assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-        cents = (
-            comp.groupBy("cid", "pos")
-            .agg(
-                F.sum(F.col("x").cast("decimal(28,10)")).cast("double").alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .select("cid", "pos", (F.col("s") / F.col("n")).alias("c"))
             .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                    lambda s: s["c"],
-                ).alias("cv")
-            )
+            .agg(*_mean_aggs(_try_elem("v"), dim))
         )
-    # final assignment against the last updated centroids
-    return (
-        base.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            F.struct(
-                dist2(F.col("v"), F.col("cv")).alias("d2"),
-                F.col("cid").alias("cid"),
-            ).alias("dc"),
-        )
-        .groupBy("vec_id")
-        .agg(F.min("dc").alias("dc"))
-        .select(
-            "vec_id",
-            F.col("dc.cid").alias("cluster_id"),
-            F.round(F.sqrt(F.col("dc.d2")), 6).alias("dist"),
-        )
+        rows = sums.select("cid", _means_array(dim).alias("cv")).collect()
+        cents = sorted((int(r["cid"]), list(r["cv"])) for r in rows)
+    # final assignment against the last updated centroids — a pure map
+    dc = F.expr(_least_assign_sql("v", cents))
+    return base.select(
+        "vec_id",
+        dc["cid"].alias("cluster_id"),
+        F.round(F.sqrt(dc["d2"]), 6).alias("dist"),
     )
 
 
@@ -1268,96 +1331,70 @@ def pq_train(
     the per-subspace formulation and the gate agrees).
     """
     subdim = DIM // m
-    base = df.select(
-        F.col(id_col).alias("vec_id"), to_double(vec_col).alias("v")
+    base = barrier(
+        _spread(
+            df.select(
+                F.col(id_col).alias("vec_id"), to_double(vec_col).alias("v")
+            )
+        )
     )
-    subs = barrier(
-        base.select(
-            "vec_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(mi).alias("m"),
-                            F.slice("v", mi * subdim + 1, subdim).alias("sv"),
-                        )
-                        for mi in range(m)
-                    ]
-                )
-            ).alias("ms"),
-        ).select("vec_id", "ms.m", "ms.sv")
-    )
-    cents = subs.filter(F.col("vec_id") < k).select(
-        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
-    )
-    # argmin per (vec_id, m) as a hash aggregation of min(struct(d2,
-    # cid)) — identical (distance, lowest-cid) tie-break to a
-    # row_number window, but reduced map-side with no per-partition sort
+    seed = base.filter(F.col("vec_id") < k).select("vec_id", "v").collect()
+    # per-subspace literal codebooks: cents[mi] = [(cid, subvector), ...]
+    cents = {
+        mi: sorted(
+            (int(r["vec_id"]), list(r["v"])[mi * subdim : (mi + 1) * subdim])
+            for r in seed
+        )
+        for mi in range(m)
+    }
+
+    def codes_arr(cc: dict) -> Column:
+        # one (m-long) array of per-subspace argmin codes, computed
+        # MAP-SIDE against literal codebooks (:func:`_least_assign_sql`)
+        # — the joint m-subspace Lloyd round with zero joins
+        parts = ",".join(
+            f"({_least_assign_sql(f'slice(v, {mi * subdim + 1}, {subdim})', cc[mi])}).cid"
+            for mi in range(m)
+        )
+        return F.expr(f"array({parts})")
+
+    # per-round: explode the m codes (map-side), ONE (m, cid) exchange of
+    # per-dimension decimal partials, collect the m·k updated sub-means
+    def round_means(cc: dict) -> dict:
+        ex = base.select("v", F.posexplode(codes_arr(cc)).alias("m", "cid"))
+        sums = ex.groupBy("m", "cid").agg(
+            *_mean_aggs(
+                lambda i: f"try_element_at(v, CAST(m * {subdim} + {i} AS INT))",
+                subdim,
+            )
+        )
+        rows = sums.select("m", "cid", _means_array(subdim).alias("cv")).collect()
+        out: dict = {mi: [] for mi in range(m)}
+        for r in rows:
+            out[int(r["m"])].append((int(r["cid"]), list(r["cv"])))
+        return {mi: sorted(v) for mi, v in out.items()}
+
     for _ in range(iters):
-        assigned = barrier(
-            subs.join(F.broadcast(cents), "m")
-            .select(
-                "vec_id",
-                "m",
-                "sv",
-                F.struct(
-                    dist2(F.col("sv"), F.col("cv")).alias("d2"),
-                    F.col("cid").alias("cid"),
-                ).alias("dc"),
-            )
-            .groupBy("vec_id", "m")
-            .agg(F.min("dc").alias("dc"), F.first("sv").alias("sv"))
-            .select("vec_id", "m", "sv", F.col("dc.cid").alias("cid"))
-        )
-        ccomp = assigned.select("m", "cid", F.posexplode("sv").alias("pos", "x"))
-        cents = (
-            ccomp.groupBy("m", "cid", "pos")
-            .agg(
-                F.sum(F.col("x").cast("decimal(28,10)")).cast("double").alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .select("m", "cid", "pos", (F.col("s") / F.col("n")).alias("c"))
-            .groupBy("m", "cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                    lambda s: s["c"],
-                ).alias("cv")
-            )
-        )
+        cents = round_means(cents)
+    # final code table: a pure map over the persisted base (no exchange)
     codes = barrier(
-        subs.join(F.broadcast(cents), "m")
-        .select(
-            "vec_id",
-            "m",
-            F.struct(
-                dist2(F.col("sv"), F.col("cv")).alias("d2"),
-                F.col("cid").alias("cid"),
-            ).alias("dc"),
+        base.select(
+            "vec_id", F.posexplode(codes_arr(cents)).alias("m", "code")
         )
-        .groupBy("vec_id", "m")
-        .agg(F.min("dc").alias("dc"))
-        .select("vec_id", "m", F.col("dc.cid").alias("code"))
     )
-    comp = codes.join(subs, ["vec_id", "m"]).select(
-        "m", "code", F.posexplode("sv").alias("pos", "x")
-    )
-    sums = comp.groupBy("m", "code", "pos").agg(
-        F.sum(F.col("x").cast("decimal(28,10)")).cast("double").alias("s"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    cents = (
-        sums.select("m", "code", "pos", (F.col("s") / F.col("n")).alias("c"))
-        .groupBy("m", "code")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                lambda s: s["c"],
-            ).alias("cv")
+    # sub-codebooks re-derived from the FINAL assignment — same fused
+    # one-exchange decimal-mean shape, kept in-engine (m·k rows out)
+    ex = base.select("v", F.posexplode(codes_arr(cents)).alias("m", "code"))
+    sums = ex.groupBy("m", "code").agg(
+        *_mean_aggs(
+            lambda i: f"try_element_at(v, CAST(m * {subdim} + {i} AS INT))",
+            subdim,
         )
-        .select("m", "code", "cv", dot(F.col("cv"), F.col("cv")).alias("cn2"))
     )
-    return codes, barrier(cents)
+    cents_df = sums.select(
+        "m", "code", _means_array(subdim).alias("cv")
+    ).select("m", "code", "cv", dot(F.col("cv"), F.col("cv")).alias("cn2"))
+    return codes, barrier(cents_df)
 
 
 def _sorted_fold_sum(key: str, val: str) -> Column:

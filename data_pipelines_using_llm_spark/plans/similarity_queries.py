@@ -3600,156 +3600,154 @@ def embedding_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
     blowup is deliberate here (trivial cached subtrees, one job)
     where k-core needed per-round barriers (corpus-sized rounds).
     """
-    from data_pipelines_using_llm_spark.operators.caching import barrier
+    import math
 
-    # persist the CORPUS-pass result once, single-partition (d² = a few
-    # thousand rows — scheduling 32-partition exchanges per round cost
-    # more than the arithmetic); everything downstream is LAZY views
-    # over the cache: per-round barriers each forced a sequential
-    # tiny-job materialization (measured 7.4 s warm), while the
-    # 2^rounds plan blowup of unpersisted trivial subtrees is one job
-    # (~5 s warm, dominated by analysis not execution)
-    cov = barrier(
-        embedding_covariance(spark, sf_dir)
+    # ONE corpus-pass job collects the d² upper-triangle cells
+    # (control-plane — bounded by embedding width at any corpus size);
+    # the PI rounds run driver-side with bit-identical arithmetic
+    # (:func:`_pi_rounds_py`).  r14: the previous unrolled in-dataflow
+    # stacks compiled ~100 AQE stage-jobs of d-row work (~2.8 s warm);
+    # this is one job + microseconds of Python (~1 s warm).
+    cells = [
+        (r["i"], r["j"], r["cov"])
+        for r in embedding_covariance(spark, sf_dir)
         .select("i", "j", "cov")
-        .coalesce(1)
+        .collect()
+    ]
+    v, nn = _pi_rounds_py(cells, PI_ITERS)
+    eig = _round6_java(math.sqrt(nn))
+    return spark.createDataFrame(
+        [(d, _round6_java(x), eig) for d, x in sorted(v.items())],
+        "dim int, loading double, eigenvalue double",
     )
-    full = cov.unionAll(
-        cov.filter(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+
+
+def _round6_java(x: float) -> float:
+    """Spark's ``round(double, 6)``: BigDecimal.valueOf(x) (shortest-
+    round-trip decimal — ``repr`` in Python) setScale(6, HALF_UP),
+    back to a correctly-rounded double.  BigDecimal has no signed zero,
+    so a result of zero is +0.0 (mirrors the oracles' ``+ 0.0``)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    r = float(
+        Decimal(repr(float(x))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
         )
     )
-    v, nn = _pi_rounds(full, PI_ITERS)
-    return v.crossJoin(F.broadcast(nn)).select(
-        F.col("d").alias("dim"),
-        F.round("x", 6).alias("loading"),
-        F.round(F.sqrt(F.col("nn")), 6).alias("eigenvalue"),
-    )
+    return 0.0 if r == 0.0 else r
 
 
-def _pi_rounds(full: DataFrame, iters: int):
-    """``iters`` unrolled quantized power-iteration rounds over a full
-    symmetric cell table (i, j, cov); returns the lazy (v, nn) pair —
-    the shared arithmetic of embedding_top_eigvec and
-    embedding_top2_eigvecs (and the textual mirror of their oracles)."""
-    v = full.select(F.col("i").alias("d")).distinct().select(
-        "d", F.lit(1.0).alias("x")
-    )
-    nn = None
+def _pi_rounds_py(
+    cells: list[tuple[int, int, float]], iters: int
+) -> tuple[dict, float]:
+    """Driver-side mirror of the oracles' unrolled PI round CTEs
+    (:func:`_top2_stack_ctes`) over the upper-triangle cell list — the
+    d×d eigenproblem IS control-plane work (the
+    embedding_covariance docstring's production pattern: reduce the
+    corpus to d² accumulators once, eigendecompose d×d on the driver).
+    Each operation replicates the dataflow form exactly: per-term
+    ``floor((c·x)·Q)`` (IEEE double multiply chain, math.floor ==
+    F.floor on long-range values), exact int sums (order-free), the
+    ``sum/Q`` double division, and ``w/sqrt(nn)`` with the correctly-
+    rounded sqrt both engines share — so after the same number of
+    rounds the vector is bit-identical to the unrolled in-dataflow
+    stacks (and to the oracle CTEs).  Returns (v: dim→x, nn)."""
+    import math
+
+    full: dict[int, list[tuple[int, float]]] = {}
+    dims: set[int] = set()
+    for i, j, c in cells:
+        c = float(c)
+        dims.add(i)
+        dims.add(j)
+        full.setdefault(i, []).append((j, c))
+        if i != j:
+            full.setdefault(j, []).append((i, c))
+    q = float(PI_Q)
+    v = {d: 1.0 for d in dims}
+    nn = 0.0
     for _ in range(iters):
-        w = (
-            full.join(v.select(F.col("d").alias("j"), "x"), "j")
-            .groupBy("i")
-            .agg(
-                (
-                    F.sum(
-                        F.floor(
-                            F.col("cov") * F.col("x") * F.lit(PI_Q)
-                        ).cast("long")
-                    ).cast("double")
-                    / F.lit(PI_Q)
-                ).alias("w")
-            )
-        )
-        nn = w.agg(
-            (
-                F.sum(
-                    F.floor(F.col("w") * F.col("w") * F.lit(PI_Q)).cast(
-                        "long"
-                    )
-                ).cast("double")
-                / F.lit(PI_Q)
-            ).alias("nn")
-        )
-        v = w.crossJoin(F.broadcast(nn)).select(
-            F.col("i").alias("d"),
-            (F.col("w") / F.sqrt(F.col("nn"))).alias("x"),
-        )
+        w = {}
+        for i, nbr in full.items():
+            s = 0
+            for j, c in nbr:
+                s += math.floor(c * v[j] * q)
+            w[i] = s / q
+        s2 = 0
+        for wi in w.values():
+            s2 += math.floor(wi * wi * q)
+        nn = s2 / q
+        rt = math.sqrt(nn)
+        v = {d: wi / rt for d, wi in w.items()}
     return v, nn
 
 
+def _top2_pair_py(cells: list[tuple[int, int, float]]):
+    """(v1, nn1, v2, nn2) driver-side: PI_ITERS rounds for the dominant
+    pair, one Hotelling deflation on the upper-triangle cells
+    (``cov − sqrt(nn1)·xᵢ·xⱼ``, the same left-associated multiply chain
+    as the dataflow form), PI_ITERS rounds on the remainder."""
+    import math
+
+    v1, nn1 = _pi_rounds_py(cells, PI_ITERS)
+    rt1 = math.sqrt(nn1)
+    deflated = [
+        (i, j, float(c) - rt1 * v1[i] * v1[j]) for i, j, c in cells
+    ]
+    v2, nn2 = _pi_rounds_py(deflated, PI_ITERS)
+    return v1, nn1, v2, nn2
+
+
 def embedding_top2_eigvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-2 principal components via in-dataflow DEFLATION (r7 verdict
-    task 7): run the unrolled power iteration for the dominant eigenpair
+    """Top-2 principal components via DEFLATION (r7 verdict task 7):
+    run the unrolled power iteration for the dominant eigenpair
     (v₁, λ₁), subtract its rank-1 term from the cell table —
     ``C₂ = C − λ₁·v₁v₁ᵀ``, the Hotelling deflation / one Gram-Schmidt
     step against the found component — and iterate again on C₂ for
     (v₂, λ₂).  Together the two loading vectors are the projection basis
-    for embedding whitening/compression (project each vector onto them
-    with F.aggregate dot products).
+    for embedding whitening/compression.
 
     Output is LONG format: (component, dim, loading, eigenvalue), one
     row per component×dimension.
 
     Determinism: the deflated cell value is one multiply-chain over
     engine-identical inputs (``cov − sqrt(nn)·xᵢ·xⱼ``, left-associated
-    in both engines), and both components' folds use the same quantized
-    int64 discipline as :func:`embedding_top_eigvec`.  v₁/λ₁ are cut
-    with ``localCheckpoint`` before deflation — the second component's
-    plan references v₁ THREE times (two joins + output), so without the
-    cut the 2^rounds trivial-subtree blowup squares.
+    in both engines), and both components' rounds use the same
+    quantized int64 discipline as :func:`embedding_top_eigvec` — now
+    evaluated driver-side over the collected d² cells
+    (:func:`_top2_pair_py`), bit-identical to the oracle's unrolled
+    CTE stacks.
 
     Scale: identical to embedding_top_eigvec — the corpus is touched
-    once (embedding_covariance); deflation joins are d²×d row tables on
-    one partition.  Residual caveat, stated honestly: ``PI_ITERS``
-    rounds is a Rayleigh ESTIMATE, so the deflated matrix carries the
-    estimate's error into component 2 (fine for a report; production
-    chains :func:`operators.similarity.power_iteration` to convergence
-    before deflating — same arithmetic, residual-gated).
+    once (embedding_covariance); the deflation and both components'
+    rounds are d²-sized control-plane arithmetic.  Residual caveat,
+    stated honestly: ``PI_ITERS`` rounds is a Rayleigh ESTIMATE, so the
+    deflated matrix carries the estimate's error into component 2 (fine
+    for a report; production chains
+    :func:`operators.similarity.power_iteration` to convergence before
+    deflating — same arithmetic, residual-gated).
     """
-    from data_pipelines_using_llm_spark.operators.caching import barrier
+    import math
 
-    cov = barrier(
-        embedding_covariance(spark, sf_dir)
+    # same driver-side discipline as embedding_top_eigvec: one corpus
+    # pass collects the d² cells, both components' rounds + the
+    # deflation run in Python with bit-identical arithmetic
+    cells = [
+        (r["i"], r["j"], r["cov"])
+        for r in embedding_covariance(spark, sf_dir)
         .select("i", "j", "cov")
-        .coalesce(1)
+        .collect()
+    ]
+    v1, nn1, v2, nn2 = _top2_pair_py(cells)
+    rows = [
+        (comp, d, _round6_java(x), _round6_java(math.sqrt(nn)))
+        for comp, v, nn in ((1, v1, nn1), (2, v2, nn2))
+        for d, x in sorted(v.items())
+    ]
+    return spark.createDataFrame(
+        rows, "component int, dim int, loading double, eigenvalue double"
     )
-    v1, nn1, v2, nn2 = _top2_pair(cov)
-    return _eig_out(1, v1, nn1).unionByName(_eig_out(2, v2, nn2))
 
-
-def _top2_pair(cov: DataFrame):
-    """(v1, nn1, v2, nn2) from persisted single-partition upper-triangle
-    cells: PI_ITERS unrolled rounds for the dominant pair, one Hotelling
-    deflation, PI_ITERS rounds on the remainder — the shared core of
-    embedding_top2_eigvecs and embedding_pca_projection."""
-    full = cov.unionAll(
-        cov.filter(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
-        )
-    )
-    v1, nn1 = _pi_rounds(full, PI_ITERS)
-    v1 = v1.localCheckpoint(eager=True)
-    nn1 = nn1.localCheckpoint(eager=True)
-    full2 = (
-        full.join(
-            v1.select(F.col("d").alias("i"), F.col("x").alias("xi")), "i"
-        )
-        .join(v1.select(F.col("d").alias("j"), F.col("x").alias("xj")), "j")
-        .crossJoin(F.broadcast(nn1))
-        .select(
-            "i",
-            "j",
-            (
-                F.col("cov")
-                - F.sqrt(F.col("nn")) * F.col("xi") * F.col("xj")
-            ).alias("cov"),
-        )
-        # d² rows, one partition: the second round stack references this
-        # 2^PI_ITERS times — checkpointing it keeps analysis linear.
-        .localCheckpoint(eager=True)
-    )
-    v2, nn2 = _pi_rounds(full2, PI_ITERS)
-    return v1, nn1, v2, nn2
-
-
-def _eig_out(comp: int, v: DataFrame, nn: DataFrame) -> DataFrame:
-    return v.crossJoin(F.broadcast(nn)).select(
-        F.lit(comp).cast("int").alias("component"),
-        F.col("d").alias("dim"),
-        F.round("x", 6).alias("loading"),
-        F.round(F.sqrt(F.col("nn")), 6).alias("eigenvalue"),
-    )
 
 
 def _top_eigvec_oracle(iters: int = PI_ITERS) -> str:
@@ -4028,23 +4026,41 @@ def _pca_basis(spark: SparkSession, sf_dir: str):
     power-iteration stacks run on.  Values textually match the oracle's
     means/cov CTEs and the surfaced (6dp-rounded) top-2 output — the
     basis IS the published query output, not a higher-precision twin."""
-    from data_pipelines_using_llm_spark.operators.caching import barrier
+    import math
 
-    sums = barrier(_cov_sums(spark, sf_dir).coalesce(1))
-    means = {r["d"]: r["mean_d"] for r in _cov_means(sums).collect()}
-    # the stacks reference the cells 2^PI_ITERS times — persist the
-    # derived d²-row table, not just the accumulators beneath it
-    cells = barrier(_cov_cells(sums).select("i", "j", "cov").coalesce(1))
-    v1, nn1, v2, nn2 = _top2_pair(cells)
-    v = {1: {}, 2: {}}
-    for comp, vec in ((1, v1), (2, v2)):
-        for r in vec.select("d", F.round("x", 6).alias("loading")).collect():
-            v[comp][r["d"]] = r["loading"]
+    # ONE corpus-pass job collects the (i, j, sq, sqi, n) accumulators
+    # (d(d+1)/2 rows — control-plane at any corpus size); means, the
+    # covariance cells, and both deflation stacks are then pure Python
+    # with bit-identical arithmetic (r14: previously the in-dataflow
+    # stacks plus per-component collects ran ~100 tiny AQE stage-jobs).
+    scale = float(COV_SCALE)
+    acc = _cov_sums(spark, sf_dir).collect()
+    # means: the diagonal accumulators, mirroring _cov_means textually
+    means = {
+        r["i"]: float(r["sqi"]) / scale / float(r["n"])
+        for r in acc
+        if r["i"] == r["j"]
+    }
+    # cells: round(sq/scale/n − mean_i·mean_j, 6) + 0.0, as _cov_cells
+    cells = [
+        (
+            r["i"],
+            r["j"],
+            _round6_java(
+                float(r["sq"]) / scale / float(r["n"])
+                - means[r["i"]] * means[r["j"]]
+            ),
+        )
+        for r in acc
+    ]
+    v1, nn1, v2, nn2 = _top2_pair_py(cells)
+    v = {
+        1: {d: _round6_java(x) for d, x in v1.items()},
+        2: {d: _round6_java(x) for d, x in v2.items()},
+    }
     lam = {
-        comp: nn.select(
-            F.round(F.sqrt(F.col("nn")), 6).alias("l")
-        ).first()["l"]
-        for comp, nn in ((1, nn1), (2, nn2))
+        1: _round6_java(math.sqrt(nn1)),
+        2: _round6_java(math.sqrt(nn2)),
     }
     return means, v, lam
 

@@ -955,9 +955,16 @@ def daily_revenue_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("slope"),
     )
-    m = slopes.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        (F.countDistinct("di_a") + 1).alias("n_days"),
+    # (n_pairs, n_days) from the persisted DAY table, not a second full
+    # pair-generation pass (r14): the slope set is exactly all ordered
+    # pairs of existing days — n_pairs = C(n, 2) and every day except
+    # the max appears as a di_a partner, so countDistinct(di_a) + 1 = n.
+    # Same values as aggregating `slopes`, at day-table cost.
+    m = daily.agg(
+        (
+            F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2
+        ).cast("long").alias("n_pairs"),
+        F.count(F.lit(1)).alias("n_days"),
     )
     w = Window.orderBy("slope", "di_a", "di_b")
     mid = (
