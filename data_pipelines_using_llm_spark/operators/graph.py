@@ -112,21 +112,34 @@ def pagerank(
 
 
 def _pagerank_setup(edges, src_col, dst_col, dangling):
-    """Loop-invariant PageRank structure, persisted ONCE (the
-    GraphX-style lineage cut): edges/deg/nodes are referenced by every
-    iteration — without the barrier each round re-runs the distinct +
-    degree shuffles from scratch, and the dangling probe would add a
-    third full derivation on top."""
+    """Loop-invariant PageRank structure: the corpus-sized edge list is
+    persisted ONCE (the GraphX-style lineage cut — without the barrier
+    each round re-runs the distinct shuffle from scratch), and the
+    VERTEX-sized tables (deg, nodes) are cut with an eager
+    ``localCheckpoint`` (r14): they are referenced by every iteration
+    AND by the dangling probe / n scalar, and a persist only caches
+    execution — the logical plan re-included their full derivation at
+    every reference, compounding to a 218 KB / 407-Exchange physical
+    plan for a 2-round PageRank (~2.9 s of driver analysis per run,
+    plans/r14/supplier_pagerank_before.txt).  Checkpointing the |V|-row
+    tables truncates them to plan leaves at vertex-table cost (the same
+    trade k_core_with_rounds and pagerank_converged already make per
+    round); the edge list stays a persist, referenced linearly."""
     edges = barrier(
         edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
         ).distinct()
     )
-    deg = barrier(edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
-    nodes = barrier(
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sinks = nodes.join(
         deg.withColumnRenamed("src", "node"), "node", "left_anti"
@@ -340,7 +353,9 @@ def pagerank_converged(
     edges, deg, nodes, sinks, n_df = _pagerank_setup(
         edges, src_col, dst_col, dangling
     )
-    setup_barriers = (edges, deg, nodes)
+    # deg/nodes are localCheckpoint leaves since r14 (ContextCleaner
+    # reclaims them); only the persisted edge list needs releasing
+    setup_barriers = (edges,)
 
     def _release_setup() -> None:
         for b in setup_barriers:

@@ -488,19 +488,14 @@ def dist2(a: Column, b: Column) -> Column:
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Scale-adaptive parallelism floor for compute-dense map work: the
-    literal-centroid argmin evaluates k·d fold steps per row, so a corpus
-    that arrives in fewer partitions than the cluster has cores (the
-    small-file regime — a sub-128MB parquet scan is ONE task) would run
-    single-threaded.  Round-robin repartition up to defaultParallelism
-    ONLY in that regime; at scale the scan already exceeds the core count
-    and this is a no-op (no exchange added).  Results are partitioning-
-    independent everywhere this is used (exact order-free sums, pure
-    per-row maps), so the spread is free of semantic risk."""
-    want = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
-        return df.repartition(want)
-    return df
+    """Scale-adaptive parallelism floor for the literal-centroid argmin
+    kernels (k·d fold steps per row) — see
+    :func:`data_pipelines_using_llm_spark.sources.tables.spread_to_cores`
+    (shared implementation).  Results are partitioning-independent
+    everywhere this is used (exact order-free sums, pure per-row maps)."""
+    from data_pipelines_using_llm_spark.sources.tables import spread_to_cores
+
+    return spread_to_cores(df)
 
 
 def _sql_double_lit(x: float) -> str:
@@ -778,15 +773,16 @@ def farthest_point_sample(
     ]
     for _ in range(k - 1):
         new_id, new_v, new_nrm, _ = sel[-1]
-        new_df = F.broadcast(
-            spark.createDataFrame(
-                [(new_v, new_nrm)], "sv array<double>, snrm double"
-            )
-        )
-        cos_new = dot(F.col("v"), F.col("sv")) / (F.col("nrm") * F.col("snrm"))
+        # the newly selected vector is control-plane state — inline it
+        # as a literal array (exact IEEE round-trip) instead of a
+        # crossJoin(broadcast(1-row df)): same sequential-fold dot,
+        # zero exchanges per round (r14; was one broadcast exchange +
+        # a createDataFrame round trip per selection)
+        cos_new = dot(
+            F.col("v"), F.expr(_sql_vec_lit(new_v))
+        ) / (F.col("nrm") * F.lit(float(new_nrm)))
         state = barrier(
             state.filter(F.col("vec_id") != new_id)
-            .crossJoin(new_df)
             .select(
                 "vec_id",
                 "v",

@@ -811,7 +811,16 @@ def revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     that immediately partial-aggregates to B rows per task before the
     exchange — the shuffle carries B × n_partitions rows, never B × n).
     """
-    o = load_table(spark, sf_dir, "orders")
+    from data_pipelines_using_llm_spark.sources.tables import spread_to_cores
+
+    # the B× replicate explode runs inside the scan task — a sub-128MB
+    # orders scan is ONE task, so the 30M generated rows (and the
+    # Lehmer hash + CDF + decimal partials over them) were
+    # single-threaded.  Spread the 150k base rows across the cores
+    # first (no-op at scale, where the scan is already wide); the
+    # replicate sums are order-free exact, so partitioning cannot
+    # change a bit.
+    o = spread_to_cores(load_table(spark, sf_dir, "orders"))
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
     rows = o.select(
         F.col("o_orderkey"),

@@ -70,6 +70,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_to_cores(df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism floor for compute-dense work over a
+    SMALL scan: a sub-128MB parquet file arrives as ONE task, so a row
+    blowup (explode) or a per-row expression kernel downstream runs
+    single-threaded.  Round-robin repartition up to defaultParallelism
+    ONLY in that regime; at scale the scan already exceeds the core
+    count and this is a no-op (no exchange added).  Use only where
+    results are partitioning-independent (order-free exact sums, pure
+    per-row maps)."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> None:
     """Register each table as a temp view for the SQL entry point (K6).
 
