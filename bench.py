@@ -1047,6 +1047,27 @@ def main() -> int:
             line = json.dumps(compact)
             if len(line) <= 1500:
                 break
+    # Per-query warm map IN the stdout line (r14 verdict task 2: PERF's
+    # per_query came back empty because the driver parses only this line
+    # — never the sidecar — and the line carried totals only).  The
+    # driver keeps a 2000-char stdout tail, so the full 253-row map can
+    # NEVER fit (BENCH_r03/r04 recorded parsed:null from exactly that);
+    # include the SLOWEST rows first — the ones a perf diff is about —
+    # until the line reaches the tail budget.  The complete map stays in
+    # BENCH_DETAIL.json.
+    _LINE_BUDGET = 1900  # tail is 2000 incl. trailing newline + slack
+    all_q = {**timings, **tier2}
+    q_map: dict[str, float] = {}
+    compact["queries"] = q_map
+    for qname in sorted(all_q, key=lambda n: (-all_q[n], n)):
+        q_map[qname] = round(all_q[qname], 2)
+        if len(json.dumps(compact)) > _LINE_BUDGET:
+            del q_map[qname]
+            break
+    line = json.dumps(compact)
+    if len(line) > 2000:  # belt and braces: the tail must parse
+        compact.pop("queries", None)
+        line = json.dumps(compact)
     print(line)
     return 0
 

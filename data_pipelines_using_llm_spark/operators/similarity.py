@@ -353,11 +353,29 @@ def ivf_centroids(base: DataFrame, cell_col: str) -> DataFrame:
     bit-identical on any partitioning and in the DuckDB oracle.  Assumes
     fixed-dimension (``DIM``) non-null vectors — the embeddings corpus
     contract every caller already relies on."""
-    sums = _spread(base).groupBy(F.col(cell_col).alias("cell")).agg(
-        *_mean_aggs(_try_elem("v"), DIM)
+    sums = (
+        _spread(base)
+        .filter(F.col("v").isNotNull())  # NULL vectors: no sum, no count
+        .groupBy(F.col(cell_col).alias("cell"))
+        .agg(*_mean_aggs(_try_elem("v"), DIM))
     )
     return sums.select("cell", _means_array(DIM).alias("cv")).select(
         "cell", "cv", norm(F.col("cv")).alias("cnrm")
+    )
+
+
+def _normed_with_cell(df: DataFrame, id_col: str, vec_col: str, cell_col: str) -> DataFrame:
+    """(vec_id, v, nrm, cell) as ONE projection — r15: previously every
+    IVF serve path built this as ``normed(df) ⋈ df[vec_id, cell]``, a
+    corpus SELF-join on a unique key whose only effect was re-attaching
+    a column the input row already carried.  The projection is
+    value-identical (ids are unique, so the join duplicated/dropped
+    nothing) and removes one corpus-wide exchange from every serve."""
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        to_double(vec_col).alias("v"),
+        norm(to_double(vec_col)).alias("nrm"),
+        F.col(cell_col).alias("cell"),
     )
 
 
@@ -374,10 +392,7 @@ def knn_ivf(
     probe the ``nprobe`` nearest cell centroids, exact cosine within probed
     cells only.  At scale the corpus is hash-partitioned by cell and only
     probed cells are scanned; centroids + queries broadcast."""
-    base = normed(df, id_col, vec_col).join(
-        df.select(F.col(id_col).alias("vec_id"), F.col(cell_col).alias("cell")),
-        "vec_id",
-    )
+    base = _normed_with_cell(df, id_col, vec_col, cell_col)
     cents = ivf_centroids(base, "cell")
     queries = base.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -443,10 +458,7 @@ def ivf_scan_stats(
     ``corpus_rows`` — the scan fraction that decides whether an IVF config
     actually beats brute force at scale.  Same probe selection as
     :func:`knn_ivf`, so the numbers are the real ones."""
-    base = normed(df, id_col, vec_col).join(
-        df.select(F.col(id_col).alias("vec_id"), F.col(cell_col).alias("cell")),
-        "vec_id",
-    )
+    base = _normed_with_cell(df, id_col, vec_col, cell_col)
     cents = ivf_centroids(base, "cell")
     sizes = base.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_rows"))
     queries = base.filter(F.col("vec_id") % query_mod == 0).select(
@@ -609,18 +621,43 @@ def kmeans_assign(
             )
         )
     )
-    seed = base.filter(F.col("vec_id") < k).select("vec_id", "v").collect()
-    cents = sorted((int(r["vec_id"]), list(r["v"])) for r in seed)
-    if not cents:  # no seedable vectors: the joined formulation yielded 0 rows
+    cents = _kmeans_rounds(base, k, iters)
+    if cents is None:  # no seedable vectors: the joined formulation yielded 0 rows
         return base.select(
             "vec_id",
             F.lit(None).cast("long").alias("cluster_id"),
             F.lit(None).cast("double").alias("dist"),
         ).filter(F.lit(False))
+    # final assignment against the last updated centroids — a pure map
+    dc = F.expr(_least_assign_sql("v", cents))
+    return base.select(
+        "vec_id",
+        dc["cid"].alias("cluster_id"),
+        F.round(F.sqrt(dc["d2"]), 6).alias("dist"),
+    )
+
+
+def _kmeans_rounds(base: DataFrame, k: int, iters: int) -> list | None:
+    """The Lloyd-round loop of :func:`kmeans_assign` over a persisted
+    (vec_id, v) base — seed collect + ``iters`` literal-centroid rounds;
+    returns the final ``[(cid, cv)]`` list (None when no seedable
+    vectors exist).  Factored out (r15) so callers that only need the
+    CENTROIDS as control-plane literals (the self-trained IVF rows —
+    the final assignment is then a projected column, no assignment
+    table, no join) share the exact round arithmetic."""
+    seed = base.filter(F.col("vec_id") < k).select("vec_id", "v").collect()
+    cents = sorted((int(r["vec_id"]), list(r["v"])) for r in seed)
+    if not cents:
+        return None
     dim = len(cents[0][1])  # fixture dims vary; the corpus contract is DIM
     for _ in range(iters):
+        # v IS NOT NULL before the mean aggregation (r14 ADVICE): the
+        # exploded form excluded NULL vectors from BOTH sum and count
+        # (posexplode of NULL yields no rows); count(1) alone would
+        # silently inflate the mean divisor.  Free at any scale.
         sums = (
-            base.select(
+            base.filter(F.col("v").isNotNull())
+            .select(
                 F.expr(f"({_least_assign_sql('v', cents)}).cid").alias("cid"),
                 "v",
             )
@@ -629,13 +666,35 @@ def kmeans_assign(
         )
         rows = sums.select("cid", _means_array(dim).alias("cv")).collect()
         cents = sorted((int(r["cid"]), list(r["cv"])) for r in rows)
-    # final assignment against the last updated centroids — a pure map
-    dc = F.expr(_least_assign_sql("v", cents))
-    return base.select(
-        "vec_id",
-        dc["cid"].alias("cluster_id"),
-        F.round(F.sqrt(dc["d2"]), 6).alias("dist"),
+    return cents
+
+
+def kmeans_cents_literals(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 10, iters: int = 2
+) -> tuple[list, DataFrame] | None:
+    """Final k-means centroids as a literal list — :func:`kmeans_assign`
+    minus the assignment table: callers project the cell id as a column
+    (``_least_assign_sql`` over the final centroids) instead of joining
+    a materialized assignment, which removes the persist+count
+    materialization job AND the corpus-wide assignment join from the
+    self-trained IVF serve paths.  Same seed collect, same rounds, same
+    IEEE round-trip — centroid values are bit-identical to
+    :func:`kmeans_assign`'s.  Returns ``(cents, base)`` — the persisted
+    (vec_id, v) base is handed back so the serve side reuses the
+    materialized doubles instead of re-scanning the source (``v`` is
+    already array<double>; ``to_double`` over it is value-identity) —
+    or None when no seedable vectors exist."""
+    base = barrier(
+        _spread(
+            df.select(
+                F.col(id_col).alias("vec_id"), to_double(vec_col).alias("v")
+            )
+        )
     )
+    cents = _kmeans_rounds(base, k, iters)
+    if cents is None:
+        return None
+    return cents, base
 
 
 def kmeans_assign_arrow(
@@ -1121,19 +1180,16 @@ def knn_ivf_int8(
     Fully deterministic (float folds are sequential, int dots exact), so
     the whole stack hash-gates cross-engine — rare for an ANN pipeline.
     """
-    base = normed(df, id_col, vec_col).join(
-        df.select(F.col(id_col).alias("vec_id"), F.col(cell_col).alias("cell")),
-        "vec_id",
+    base = _normed_with_cell(df, id_col, vec_col, cell_col)
+    # int8 codes as columns of the SAME projection (r15): the previous
+    # ``base ⋈ codes`` was a second corpus self-join on the unique id —
+    # q/qnrm8 are per-row expressions of the input row, value-identical
+    # without the exchange.
+    base8 = base.withColumn(
+        "q", quantize_int8(F.col("v"))
+    ).withColumn(
+        "qnrm8", F.sqrt(idot(F.col("q"), F.col("q")).cast("double"))
     )
-    codes = df.select(
-        F.col(id_col).alias("vec_id"),
-        quantize_int8(to_double(vec_col)).alias("q"),
-    ).select(
-        "vec_id",
-        "q",
-        F.sqrt(idot(F.col("q"), F.col("q")).cast("double")).alias("qnrm8"),
-    )
-    base8 = base.join(codes, "vec_id")
     cents = ivf_centroids(base, "cell")
     queries = base8.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -1335,6 +1391,22 @@ def pq_train(
         )
     )
     seed = base.filter(F.col("vec_id") < k).select("vec_id", "v").collect()
+    if not seed:  # no seedable vectors (r14 ADVICE): the joined
+        # formulation degraded to empty results; the literal argmin
+        # would emit a zero-arg least() — an AnalysisException.  Mirror
+        # kmeans_assign's empty early return with the same schemas.
+        codes = base.select(
+            "vec_id",
+            F.lit(None).cast("int").alias("m"),
+            F.lit(None).cast("long").alias("code"),
+        ).filter(F.lit(False))
+        cents_df = base.select(
+            F.lit(None).cast("int").alias("m"),
+            F.lit(None).cast("long").alias("code"),
+            F.lit(None).cast("array<double>").alias("cv"),
+            F.lit(None).cast("double").alias("cn2"),
+        ).filter(F.lit(False))
+        return codes, cents_df
     # per-subspace literal codebooks: cents[mi] = [(cid, subvector), ...]
     cents = {
         mi: sorted(
@@ -1348,16 +1420,16 @@ def pq_train(
         # one (m-long) array of per-subspace argmin codes, computed
         # MAP-SIDE against literal codebooks (:func:`_least_assign_sql`)
         # — the joint m-subspace Lloyd round with zero joins
-        parts = ",".join(
-            f"({_least_assign_sql(f'slice(v, {mi * subdim + 1}, {subdim})', cc[mi])}).cid"
-            for mi in range(m)
-        )
-        return F.expr(f"array({parts})")
+        return F.expr(_pq_codes_arr_sql(cc, m, subdim))
 
     # per-round: explode the m codes (map-side), ONE (m, cid) exchange of
     # per-dimension decimal partials, collect the m·k updated sub-means
     def round_means(cc: dict) -> dict:
-        ex = base.select("v", F.posexplode(codes_arr(cc)).alias("m", "cid"))
+        # NULL vectors excluded from sums AND counts (r14 ADVICE — the
+        # exploded form's semantics; see kmeans_assign)
+        ex = base.filter(F.col("v").isNotNull()).select(
+            "v", F.posexplode(codes_arr(cc)).alias("m", "cid")
+        )
         sums = ex.groupBy("m", "cid").agg(
             *_mean_aggs(
                 lambda i: f"try_element_at(v, CAST(m * {subdim} + {i} AS INT))",
@@ -1380,7 +1452,9 @@ def pq_train(
     )
     # sub-codebooks re-derived from the FINAL assignment — same fused
     # one-exchange decimal-mean shape, kept in-engine (m·k rows out)
-    ex = base.select("v", F.posexplode(codes_arr(cents)).alias("m", "code"))
+    ex = base.filter(F.col("v").isNotNull()).select(
+        "v", F.posexplode(codes_arr(cents)).alias("m", "code")
+    )
     sums = ex.groupBy("m", "code").agg(
         *_mean_aggs(
             lambda i: f"try_element_at(v, CAST(m * {subdim} + {i} AS INT))",
@@ -1391,6 +1465,243 @@ def pq_train(
         "m", "code", _means_array(subdim).alias("cv")
     ).select("m", "code", "cv", dot(F.col("cv"), F.col("cv")).alias("cn2"))
     return codes, barrier(cents_df)
+
+
+def _pq_codes_arr_sql(cc: dict, m: int, subdim: int) -> str:
+    """The m-long array of per-subspace argmin codes as ONE SQL string —
+    map-side against literal codebooks (:func:`_least_assign_sql`), the
+    joint m-subspace assignment with zero joins.  Shared by
+    :func:`pq_train` and the fused trainer so the expression text (and
+    therefore every bit of the assignment) has one definition."""
+    parts = ",".join(
+        f"({_least_assign_sql(f'slice(v, {mi * subdim + 1}, {subdim})', cc[mi])}).cid"
+        for mi in range(m)
+    )
+    return f"array({parts})"
+
+
+def ivfpq_train_literals(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    iters: int = 2,
+    m: int = PQ_M,
+    kcodes: int = PQ_K,
+    pq_iters: int = PQ_ITERS,
+) -> tuple[list, dict, DataFrame] | None:
+    """FUSED coarse-k-means + PQ training over ONE persisted base —
+    the r15 cut of the self-contained IVFPQ rows' training floor
+    (guide §1.2-1, §2.4, §2.6): the coarse quantizer and the m
+    sub-quantizers are mathematically independent, but the r14 code ran
+    them as two sequential Lloyd chains over the SAME corpus (one seed
+    collect + one aggregation job per family per round ≈ 6 sequential
+    jobs).  Both are control-plane state (k·d + m·k·subdim doubles), so
+    each fused round evaluates BOTH argmin families map-side in one
+    pass and groups their decimal partials under one (family, cid) key
+    — ONE corpus-scan job per round, one seed collect total.
+
+    Bit-exactness: the per-family groups are disjoint (family = -1 for
+    coarse, 0..m-1 for PQ), so each group aggregates exactly the value
+    multiset the unfused round aggregated, with the same expressions —
+    cast-decimal(28,10)-then-sum, s/n double division, the
+    (d2, lowest-cid) literal-argmin tie-break, IEEE round-trip of the
+    collected doubles (all unchanged from r14's literal-centroid
+    formulation; proven by the oracle gates).
+
+    Returns ``(coarse, pqc, base)`` — the final coarse centroid list
+    ``[(cid, cv)]``, the per-subspace codebooks ``{mi: [(cid, cv)]}``,
+    and the persisted (vec_id, v) base for the serve side to reuse — or
+    ``None`` when either seed set is empty (the caller falls back to
+    the unfused formulations, which carry the degenerate-input
+    semantics).
+    """
+    subdim = DIM // m
+    base = barrier(
+        _spread(
+            df.select(
+                F.col(id_col).alias("vec_id"), to_double(vec_col).alias("v")
+            )
+        )
+    )
+    seed = (
+        base.filter(F.col("vec_id") < max(k, kcodes))
+        .select("vec_id", "v")
+        .collect()
+    )
+    coarse = sorted(
+        (int(r["vec_id"]), list(r["v"])) for r in seed if r["vec_id"] < k
+    )
+    pq_seed = [r for r in seed if r["vec_id"] < kcodes]
+    if not coarse or not pq_seed:
+        return None
+    pqc = {
+        mi: sorted(
+            (int(r["vec_id"]), list(r["v"])[mi * subdim : (mi + 1) * subdim])
+            for r in pq_seed
+        )
+        for mi in range(m)
+    }
+    dim = len(coarse[0][1])  # fixture dims vary; the corpus contract is DIM
+    width = max(dim, subdim)
+
+    def fused_elem(i: int) -> str:
+        # family -1 reads position i of the full vector (kmeans_assign's
+        # elem); families 0..m-1 read position fam·subdim+i (pq_train's
+        # elem) for i <= subdim and contribute nothing beyond it — NULL
+        # is excluded from the decimal sum exactly like the absent
+        # column of the narrower unfused aggregation.
+        if i <= subdim:
+            return (
+                f"CASE WHEN fam = -1 THEN try_element_at(v, {i}) "
+                f"ELSE try_element_at(v, CAST(fam * {subdim} + {i} AS INT)) "
+                "END"
+            )
+        return f"CASE WHEN fam = -1 THEN try_element_at(v, {i}) END"
+
+    rounds = max(iters, pq_iters)
+    for it in range(rounds):
+        entries = []
+        if it < iters:
+            entries.append(
+                "named_struct('fam', -1, 'cid', "
+                f"({_least_assign_sql('v', coarse)}).cid)"
+            )
+        if it < pq_iters:
+            for mi in range(m):
+                entries.append(
+                    f"named_struct('fam', {mi}, 'cid', "
+                    f"({_least_assign_sql(f'slice(v, {mi * subdim + 1}, {subdim})', pqc[mi])}).cid)"
+                )
+        ex = base.filter(F.col("v").isNotNull()).select(
+            "v", F.expr(f"inline(array({','.join(entries)}))")
+        )
+        sums = ex.groupBy("fam", "cid").agg(*_mean_aggs(fused_elem, width))
+        rows = sums.select(
+            "fam", "cid", _means_array(width).alias("cv")
+        ).collect()
+        if it < iters:
+            coarse = sorted(
+                (int(r["cid"]), list(r["cv"])[:dim])
+                for r in rows
+                if r["fam"] == -1
+            )
+        if it < pq_iters:
+            nxt: dict = {mi: [] for mi in range(m)}
+            for r in rows:
+                if r["fam"] >= 0:
+                    nxt[int(r["fam"])].append(
+                        (int(r["cid"]), list(r["cv"])[:subdim])
+                    )
+            pqc = {mi: sorted(v) for mi, v in nxt.items()}
+    return coarse, pqc, base
+
+
+def knn_ivfpq_selftrained(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_mod: int = 100,
+    k: int = DEFAULT_K,
+    nprobe: int = 2,
+    m: int = PQ_M,
+    kcodes: int = PQ_K,
+    iters: int = PQ_ITERS,
+    coarse_k: int = 10,
+    coarse_iters: int = 2,
+    refine_factor: int | None = None,
+    n_queries: int | None = None,
+) -> DataFrame:
+    """The self-contained IVFPQ rows' train+serve composition with the
+    FUSED trainer (:func:`ivfpq_train_literals`) and every serve-side
+    artifact derived MAP-SIDE from the one persisted base — no
+    kmeans-output join, no eager checkpoints (the artifacts are literal
+    expressions, so the serve plan carries no training lineage to cut):
+
+    - membership: the final coarse argmin as a projected column;
+    - probe centroids: :func:`ivf_centroids`'s exact aggregation shape
+      over that projection (in-plan — referenced once, broadcast);
+    - code table: the final PQ argmin array posexploded (pure map);
+    - sub-codebooks: pq_train's final re-derivation aggregation
+      verbatim (in-plan — referenced once, broadcast in the LUT).
+
+    Every expression is textually shared with the unfused path
+    (``_least_assign_sql`` / ``_pq_codes_arr_sql`` / ``_mean_aggs`` /
+    ``ivfpq_serve``), so the result is bit-identical to the r14
+    composition — the checkpoint/collect choreography was the only
+    thing removed.  ``refine_factor`` composes the exact re-rank
+    (:func:`_refine_exact`) over the widened candidate list exactly as
+    :func:`knn_ivfpq_refined`."""
+    trained = ivfpq_train_literals(
+        df, id_col, vec_col, coarse_k, coarse_iters, m, kcodes, iters
+    )
+    if trained is None:
+        # degenerate corpus (no seedable vectors): the unfused
+        # formulations own the empty-input semantics
+        cells = (
+            kmeans_assign(df, id_col, vec_col, k=coarse_k, iters=coarse_iters)
+            .select(
+                F.col("vec_id").alias(id_col),
+                F.col("cluster_id").alias("__cell"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        codes, pqcents = pq_train(df, id_col, vec_col, m, kcodes, iters)
+        pq = (
+            codes.localCheckpoint(eager=True),
+            pqcents.localCheckpoint(eager=True),
+        )
+        joined = df.join(cells, id_col)
+        if refine_factor is None:
+            return knn_ivfpq(
+                joined, id_col, vec_col, "__cell", query_mod, k, nprobe,
+                m, kcodes, iters, pq=pq,
+            )
+        return knn_ivfpq_refined(
+            joined, id_col, vec_col, "__cell", query_mod, k, nprobe,
+            refine_factor, m, kcodes, iters, pq=pq, n_queries=n_queries,
+        )
+    coarse, pqc, base = trained
+    subdim = DIM // m
+    cell_sql = f"({_least_assign_sql('v', coarse)}).cid"
+    with_cell = base.select("vec_id", "v", F.expr(cell_sql).alias("cell"))
+    membership = with_cell.select("vec_id", "cell")
+    icents = ivf_centroids(with_cell, "cell")
+    codes_sql = _pq_codes_arr_sql(pqc, m, subdim)
+    codes = base.select(
+        "vec_id", F.posexplode(F.expr(codes_sql)).alias("m", "code")
+    )
+    pex = base.filter(F.col("v").isNotNull()).select(
+        "v", F.posexplode(F.expr(codes_sql)).alias("m", "code")
+    )
+    psums = pex.groupBy("m", "code").agg(
+        *_mean_aggs(
+            lambda i: f"try_element_at(v, CAST(m * {subdim} + {i} AS INT))",
+            subdim,
+        )
+    )
+    pqcents = psums.select(
+        "m", "code", _means_array(subdim).alias("cv")
+    ).select("m", "code", "cv", dot(F.col("cv"), F.col("cv")).alias("cn2"))
+    queries = (
+        base.filter(F.col("vec_id") % query_mod == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            norm(F.col("v")).alias("qnrm"),
+        )
+    )
+    ncand = k if refine_factor is None else refine_factor * k
+    out = ivfpq_serve(
+        queries, membership, icents, codes, pqcents, ncand, nprobe, m
+    )
+    if refine_factor is None:
+        return out
+    cands = out.select("query_id", "neighbor_id")
+    return _refine_exact(
+        normed(df, id_col, vec_col), cands, query_mod, k, ncand,
+        n_queries=n_queries,
+    )
 
 
 def _sorted_fold_sum(key: str, val: str) -> Column:
@@ -1717,10 +2028,7 @@ def knn_ivfpq(
     plans/similarity_queries.py::knn_ivfpq_stored); by default they are
     re-derived from the full-precision corpus per call.
     """
-    base = normed(df, id_col, vec_col).join(
-        df.select(F.col(id_col).alias("vec_id"), F.col(cell_col).alias("cell")),
-        "vec_id",
-    )
+    base = _normed_with_cell(df, id_col, vec_col, cell_col)
     cents = ivf if ivf is not None else ivf_centroids(base, "cell")
     codes, pqcents = (
         pq if pq is not None else pq_train(df, id_col, vec_col, m, kcodes, iters)

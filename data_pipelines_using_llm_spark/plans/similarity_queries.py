@@ -350,8 +350,26 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     trusting metadata to correlate with cosine neighborhoods.  This is the
     recommended IVF configuration; ``knn_ivf`` (label cells) stays as the
     metadata-partitioned variant.
+
+    r15: the headline row projects the cell id as a literal-centroid
+    column (operators/similarity.py::kmeans_cents_literals) instead of
+    materializing the assignment table and joining it back — same
+    centroids, same argmin, no persist+count job, no corpus join.  The
+    amortized train/serve split (:func:`knn_ivf_kmeans_train` /
+    :func:`knn_ivf_kmeans_serve`) keeps the materialized-assignment
+    shape the bench stages time.
     """
-    return knn_ivf_kmeans_serve(*knn_ivf_kmeans_train(spark, sf_dir))
+    e = load_table(spark, sf_dir, "embeddings")
+    trained = SIM.kmeans_cents_literals(e, "vec_id", "embedding", k=10, iters=2)
+    if trained is None:  # degenerate corpus: the materialized path owns it
+        return knn_ivf_kmeans_serve(*knn_ivf_kmeans_train(spark, sf_dir))
+    cents, base = trained
+    bcell = base.withColumn(
+        "kcell", F.expr(f"({SIM._least_assign_sql('v', cents)}).cid")
+    )
+    return SIM.knn_ivf(
+        bcell, "vec_id", "v", "kcell", QUERY_MOD, K, IVF_KMEANS_NPROBE,
+    )
 
 
 def _kmeans_lbl_prefix(k: int = 10, iters: int = 2) -> str:
@@ -475,21 +493,34 @@ FROM ranked WHERE rank <= {K}
 def knn_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means coarse quantizer) + int8 candidate codes — the
     production serving stack: probe in float, score compressed.  See
-    operators/similarity.py::knn_ivf_int8."""
+    operators/similarity.py::knn_ivf_int8.  r15: the cell id is a
+    literal-centroid projected column (same centroids via
+    kmeans_cents_literals, same argmin expression) instead of a
+    materialized assignment joined back — the persist+count job and the
+    corpus-wide join are gone; values are bit-identical."""
     from pyspark.sql import functions as F
 
-    from data_pipelines_using_llm_spark.operators.caching import barrier
-
     e = load_table(spark, sf_dir, "embeddings")
-    cells = barrier(
-        SIM.kmeans_assign(e, "vec_id", "embedding", k=10, iters=2).select(
-            "vec_id", F.col("cluster_id").alias("kcell")
+    trained = SIM.kmeans_cents_literals(e, "vec_id", "embedding", k=10, iters=2)
+    if trained is None:  # degenerate corpus: empty assignment, empty serve
+        from data_pipelines_using_llm_spark.operators.caching import barrier
+
+        cells = barrier(
+            SIM.kmeans_assign(e, "vec_id", "embedding", k=10, iters=2).select(
+                "vec_id", F.col("cluster_id").alias("kcell")
+            )
         )
+        cells.count()
+        return SIM.knn_ivf_int8(
+            e.join(cells, "vec_id"), "vec_id", "embedding", "kcell",
+            QUERY_MOD, K, IVF_KMEANS_NPROBE,
+        )
+    cents, base = trained
+    bcell = base.withColumn(
+        "kcell", F.expr(f"({SIM._least_assign_sql('v', cents)}).cid")
     )
-    cells.count()
     return SIM.knn_ivf_int8(
-        e.join(cells, "vec_id"), "vec_id", "embedding", "kcell", QUERY_MOD, K,
-        IVF_KMEANS_NPROBE,
+        bcell, "vec_id", "v", "kcell", QUERY_MOD, K, IVF_KMEANS_NPROBE,
     )
 
 
@@ -1071,26 +1102,18 @@ FROM ranked WHERE rank <= {K}
 
 def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means cells) + PQ codes — the FAISS IVFPQ serving stack:
-    probe float, score compressed via the ADC lookup table.  Training
-    artifacts (cell assignment, code table, sub-codebooks) are
-    materialized behind ``localCheckpoint`` lineage cuts — the batch
-    analogue of writing the index between train and serve, and the
-    thing that keeps six k-means lineages out of the serve plan's
-    analysis (see operators/similarity.py::knn_ivfpq)."""
+    probe float, score compressed via the ADC lookup table.  r15: the
+    coarse and PQ Lloyd chains train FUSED over one persisted base
+    (operators/similarity.py::ivfpq_train_literals — one corpus-scan
+    job per round instead of two sequential chains), and every serving
+    artifact is a literal-centroid expression over that base, so the
+    eager localCheckpoint cuts (and the k-means-output join) are gone —
+    there is no training lineage left to cut.  Bit-identical to the
+    checkpointed composition (same argmin/mean expressions, same serve
+    dataflow); the oracle is unchanged."""
     e = load_table(spark, sf_dir, "embeddings")
-    cells = (
-        SIM.kmeans_assign(e, "vec_id", "embedding", k=10, iters=2)
-        .select("vec_id", F.col("cluster_id").alias("kcell"))
-        .localCheckpoint(eager=True)
-    )
-    codes, pqcents = SIM.pq_train(e, "vec_id", "embedding")
-    pq = (
-        codes.localCheckpoint(eager=True),
-        pqcents.localCheckpoint(eager=True),
-    )
-    return SIM.knn_ivfpq(
-        e.join(cells, "vec_id"), "vec_id", "embedding", "kcell", QUERY_MOD, K,
-        IVF_KMEANS_NPROBE, pq=pq,
+    return SIM.knn_ivfpq_selftrained(
+        e, "vec_id", "embedding", QUERY_MOD, K, IVF_KMEANS_NPROBE,
     )
 
 
@@ -1169,22 +1192,12 @@ def knn_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full production ANN serving stack under one hash gate —
     FAISS ``IndexRefineFlat(IndexIVFPQ)``: k-means cells bound the scan,
     PQ codes bound the bytes, exact re-rank restores exact ordering
-    over each query's top-C survivors.  Training artifacts behind
-    localCheckpoint lineage cuts as in knn_ivfpq."""
+    over each query's top-C survivors.  r15: fused literal-centroid
+    training, artifacts as expressions — see :func:`knn_ivfpq`."""
     e = load_table(spark, sf_dir, "embeddings")
-    cells = (
-        SIM.kmeans_assign(e, "vec_id", "embedding", k=10, iters=2)
-        .select("vec_id", F.col("cluster_id").alias("kcell"))
-        .localCheckpoint(eager=True)
-    )
-    codes, pqcents = SIM.pq_train(e, "vec_id", "embedding")
-    pq = (
-        codes.localCheckpoint(eager=True),
-        pqcents.localCheckpoint(eager=True),
-    )
-    return SIM.knn_ivfpq_refined(
-        e.join(cells, "vec_id"), "vec_id", "embedding", "kcell", QUERY_MOD,
-        K, IVF_KMEANS_NPROBE, pq=pq,
+    return SIM.knn_ivfpq_selftrained(
+        e, "vec_id", "embedding", QUERY_MOD, K, IVF_KMEANS_NPROBE,
+        refine_factor=SIM.PQ_REFINE_FACTOR,
         n_queries=_n_queries_cached(spark, sf_dir),
     )
 
@@ -1615,6 +1628,89 @@ def ann_index_train(
         if source is not None
         else load_table(spark, sf_dir, "embeddings")
     )
+    # r15 (guide §1.2-1, §2.4): training artifacts are control-plane
+    # literals, so the raw path trains coarse+PQ FUSED over one
+    # persisted base (one scan job per Lloyd round, one seed collect)
+    # and the per-vector parts (cells, codes) are projected columns of
+    # that base computed INSIDE the single artifact-write job — the
+    # eager checkpoint of the assignment and the corpus-wide
+    # normed⋈cells join are gone.  Values are bit-identical (same
+    # argmin / decimal-mean expressions; the stored-serve gates share
+    # the in-plan oracles verbatim).
+    if not residual:
+        trained = SIM.ivfpq_train_literals(e, "vec_id", "embedding")
+        if trained is not None:
+            coarse, pqc, base = trained
+            subdim = SIM.DIM // SIM.PQ_M
+            cell_sql = f"({SIM._least_assign_sql('v', coarse)}).cid"
+            with_cell = base.select(
+                "vec_id", "v", F.expr(cell_sql).alias("cell")
+            )
+            cells = with_cell.select("vec_id", "cell")
+            icents = SIM.ivf_centroids(with_cell, "cell")
+            codes_sql = SIM._pq_codes_arr_sql(pqc, SIM.PQ_M, subdim)
+            codes = base.select(
+                "vec_id", F.posexplode(F.expr(codes_sql)).alias("m", "code")
+            )
+            pex = base.filter(F.col("v").isNotNull()).select(
+                "v", F.posexplode(F.expr(codes_sql)).alias("m", "code")
+            )
+            psums = pex.groupBy("m", "code").agg(
+                *SIM._mean_aggs(
+                    lambda i: (
+                        f"try_element_at(v, CAST(m * {subdim} + {i} AS INT))"
+                    ),
+                    subdim,
+                )
+            )
+            pqcents = psums.select(
+                "m", "code", SIM._means_array(subdim).alias("cv")
+            ).select(
+                "m", "code", "cv",
+                SIM.dot(F.col("cv"), F.col("cv")).alias("cn2"),
+            )
+            return versioned_write(
+                _ann_index_pack(
+                    cells, icents, codes, pqcents, residual=False
+                ),
+                table_dir,
+            )
+    if residual:
+        trained = SIM.kmeans_cents_literals(e, "vec_id", "embedding")
+        if trained is not None:
+            # residual regime (r15): the coarse quantizer is literal, so
+            # the cell id is a projected column of the persisted base —
+            # pq_residuals' corpus-wide base⋈cells join is gone; the
+            # residual subtraction is the same zip_with over the same
+            # broadcast centroid table.  icents stays an eager
+            # localCheckpoint (consumed by both the residual computation
+            # and the artifact pack).
+            coarse, base = trained
+            with_cell = base.select(
+                "vec_id", "v",
+                F.expr(f"({SIM._least_assign_sql('v', coarse)}).cid").alias(
+                    "cell"
+                ),
+            )
+            cells = with_cell.select("vec_id", "cell")
+            icents = SIM.ivf_centroids(with_cell, "cell").localCheckpoint(
+                eager=True
+            )
+            pq_src = with_cell.join(
+                F.broadcast(icents.select("cell", F.col("cv").alias("ccv"))),
+                "cell",
+            ).select(
+                "vec_id",
+                F.zip_with("v", "ccv", lambda a, b: a - b).alias("v"),
+                "cell",
+            )
+            codes, pqcents = SIM.pq_train(pq_src, "vec_id", "v")
+            return versioned_write(
+                _ann_index_pack(
+                    cells, icents, codes, pqcents, residual=True
+                ),
+                table_dir,
+            )
     cells = (
         SIM.kmeans_assign(e, "vec_id", "embedding", k=10, iters=2)
         .select("vec_id", F.col("cluster_id").alias("cell"))

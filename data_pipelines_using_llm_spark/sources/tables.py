@@ -9,6 +9,7 @@ predicate pushdown and column pruning for free.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import pyarrow.parquet as pq
@@ -70,6 +71,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _size_suffix_bytes(v: str) -> int:
+    """Parse a Spark size conf value ("134217728", "128m", "1g") to bytes."""
+    s = v.strip().lower()
+    mult = 1
+    for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if s.endswith(suf):
+            s = s[: -len(suf)]
+            mult = m
+            break
+    return int(float(s) * mult)
+
+
 def spread_to_cores(df: DataFrame) -> DataFrame:
     """Scale-adaptive parallelism floor for compute-dense work over a
     SMALL scan: a sub-128MB parquet file arrives as ONE task, so a row
@@ -78,9 +91,45 @@ def spread_to_cores(df: DataFrame) -> DataFrame:
     ONLY in that regime; at scale the scan already exceeds the core
     count and this is a no-op (no exchange added).  Use only where
     results are partitioning-independent (order-free exact sums, pure
-    per-row maps)."""
-    want = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
+    per-row maps).
+
+    The small-scan regime is decided from the LEAF FILE BYTES of the
+    plan (``df.inputFiles()`` — plan inspection, no job), never from
+    ``df.rdd.getNumPartitions()``: under AQE, touching ``.rdd``
+    finalizes the adaptive plan by eagerly executing every upstream
+    shuffle/broadcast stage at plan-construction time, and those stage
+    results are not reused by the later action — for a joined input the
+    upstream work would silently run twice (r14 ADVICE).  The estimate
+    mirrors Spark's own split packing: a stage over ``total_bytes`` of
+    input files opens at most ``ceil(total / maxPartitionBytes)`` scan
+    tasks, so fewer estimated tasks than cores means idle capacity.
+    Unknown inputs (no file leaves — e.g. a localCheckpoint, or
+    non-local storage where sizes cannot be statted) are left untouched:
+    at scale that is the correct no-op, and every current caller feeds
+    file-backed plans."""
+    session = df.sparkSession
+    want = session.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files:
+        return df
+    total = 0
+    for uri in files:
+        path = uri[len("file:"):] if uri.startswith("file:") else uri
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return df  # non-local / unstattable: assume scale, no-op
+    try:
+        max_pb = _size_suffix_bytes(
+            session.conf.get("spark.sql.files.maxPartitionBytes")
+        )
+    except Exception:
+        max_pb = 128 * 1024 * 1024
+    est_tasks = max(1, -(-total // max_pb))
+    if est_tasks < want:
         return df.repartition(want)
     return df
 
